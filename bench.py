@@ -1,0 +1,71 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Timing excludes session startup; each query is fully materialized via a
+count-collect (foreach-noop) so the measured cost is the real plan.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from zenodb_spark import queries as Q
+from zenodb_spark.session import get_spark
+
+HEADLINE = [
+    "q01_sum_period",
+    "q06_having",
+    "q09_crosstab",
+    "q11_shift",
+    "q13_percentile",
+    "q14_percentile_sketch",
+    "q15_in_subquery",
+    "q21_pricing_summary",
+    "q22_join_enrich",
+    "q24_ngram_jaccard",
+    "q25_minhash_lsh",
+    "q26_simhash",
+    "q27_ann_cosine",
+    "q28_text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("zenodb_spark_bench")
+    # warm the JVM + parquet footers with a trivial action
+    Q.QUERIES["q01_sum_period"](spark, sf_dir).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = Q.QUERIES[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

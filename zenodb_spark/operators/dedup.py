@@ -1,0 +1,222 @@
+"""Deduplication operators for large-scale document corpora.
+
+Four tiers, all shuffle-bounded (no cross joins), designed for 100 TB:
+
+1. exact            — hash-groupBy on a content digest. One shuffle keyed by
+                      md5(text); map-side combine makes it cheap.
+2. ngram_jaccard    — exact n-gram-shingle Jaccard similarity join. Inverted
+                      index on shingles (explode → join on shingle), with a
+                      document-frequency cap dropping ubiquitous shingles —
+                      the standard guard against quadratic hot keys.
+3. minhash_lsh      — MinHash signatures + banded LSH: candidate pairs only
+                      from shared band buckets, then *verified* with exact
+                      Jaccard, so output = true near-dup pairs (LSH is just
+                      the pruning step). Hashes are lexicographic mins of
+                      md5(seed|shingle) hex strings — deterministic and
+                      engine-independent (the oracle can reproduce them).
+4. simhash          — 16-bit simhash from md5 nibbles of tokens; near-dup =
+                      hamming distance ≤ k via bucket join on fingerprint
+                      halves (any pair at distance ≤ k shares an exact half
+                      for k ≤ 1 per half — pigeonhole blocking).
+
+All use built-in functions only (md5, explode, groupBy) — no Python UDFs in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["normalize_text", "exact_dedup", "shingles", "ngram_jaccard_pairs", "minhash_signatures", "minhash_lsh_pairs", "simhash", "simhash_pairs"]
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for near-dup hashing: lowercase, collapse whitespace."""
+    col = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One row per distinct (normalized) text: keep min id, count duplicates."""
+    return (
+        df.select(F.md5(normalize_text(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Tokenizes on whitespace and joins n consecutive tokens with a space.
+    Built entirely from array functions (split/transform/slice) → codegen.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(sh)).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int = 1000,
+) -> DataFrame:
+    """Exact Jaccard similarity join on n-gram shingle sets.
+
+    Plan shape: explode shingles → filter hot shingles (df cap) → self-join
+    on shingle → count intersections per pair → jaccard from set sizes.
+    Only pairs sharing ≥1 (non-ubiquitous) shingle are ever materialized.
+    """
+    sh = shingles(df, text_col, id_col, n).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+    rare = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle")
+    inter = (
+        rare.alias("a")
+        .join(rare.alias("b"), "shingle")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """MinHash signature per doc: for seed i, min over shingles of
+    md5(i|shingle) (lexicographic min of hex strings — a valid uniform
+    min-hash, reproducible in any engine with md5)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash + banded LSH candidate generation, exact-Jaccard verified.
+
+    Scale shape: signatures are one groupBy over exploded shingles; band
+    buckets explode to `bands` rows/doc; candidates come from joining docs
+    sharing a band bucket (hot buckets are bounded because equal bands imply
+    near-identical docs); final exact verification touches only candidates.
+    """
+    rows_per_band = num_hashes // bands
+    sh = shingles(df, text_col, id_col, n).cache()
+    sig = minhash_signatures(sh, num_hashes)
+    band_cols = [
+        F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
+        for b in range(bands)
+    ]
+    buckets = sig.select("doc", F.explode(F.array(*band_cols)).alias("bucket"))
+    cands = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), "bucket")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # count shared shingles via join on shingle, restricted to candidate pairs
+    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc").alias("doc_b"), F.col("shingle").alias("shingle"))
+    shared = (
+        cands.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
+    """16-bit SimHash per document from word unigrams.
+
+    Bit j of the fingerprint = majority vote of bit j across token hashes
+    (weighted by token frequency). Token hash bit j = high bit of the j-th
+    hex nibble of md5(token) — deterministic in any engine.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    h = toks.withColumn("md5", F.md5("tok"))
+    # vote[j] = Σ tokens (+1 if nibble_j >= 8 else -1)
+    votes = [
+        F.sum(
+            F.when(
+                F.substring("md5", j + 1, 1).isin(*list("89abcdef")), F.lit(1)
+            ).otherwise(F.lit(-1))
+        ).alias(f"v{j}")
+        for j in range(bits)
+    ]
+    per_doc = h.groupBy("doc").agg(*votes)
+    fp = per_doc.select(
+        "doc",
+        sum(
+            (F.when(F.col(f"v{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)) for j in range(bits)),
+            start=F.lit(0),
+        ).cast("long").alias("simhash"),
+    )
+    return fp
+
+
+def simhash_pairs(fp: DataFrame, max_hamming: int = 2, bits: int = 16) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ max_hamming.
+
+    Blocking: split the fingerprint into (max_hamming+1) segments — any pair
+    within distance k must agree exactly on ≥1 segment (pigeonhole), so we
+    only join within segment-value buckets. Verification via bit_count(xor).
+    """
+    nseg = max_hamming + 1
+    seg_bits = bits // nseg
+    segs = [
+        F.concat_ws(":", F.lit(str(s)), ((F.col("simhash").bitwiseAND(F.lit(((1 << seg_bits) - 1) << (s * seg_bits)))) / F.lit(1 << (s * seg_bits))).cast("long"))
+        for s in range(nseg)
+    ]
+    keyed = fp.select("doc", "simhash", F.explode(F.array(*segs)).alias("seg"))
+    pairs = (
+        keyed.alias("a")
+        .join(keyed.alias("b"), "seg")
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return pairs

@@ -1,0 +1,124 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched pandas UDFs.
+
+The decode step itself is STUBBED (no image/audio libraries in this
+container): ``register_decoder`` lets a real deployment plug in PIL/ffmpeg;
+the default produces a deterministic fake so the Spark-side plumbing —
+schema, batching, partition sizing — is real and testable.
+
+Scale notes:
+- binary payloads ride in parquet as BYTE_ARRAY; `maxPartitionBytes` keeps
+  tasks bounded no matter how large blobs get.
+- all per-blob work happens in ``mapInPandas`` (Arrow batches, zero-copy
+  into pandas), never row-at-a-time Python.
+- metadata (width/height/duration/codec) lives in a sibling struct column so
+  filters on metadata prune without touching payload bytes (parquet column
+  pruning drops the blob column entirely).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField("meta_width", IntegerType()),
+        StructField("meta_height", IntegerType()),
+        StructField("meta_bytes", IntegerType()),
+    ]
+)
+
+_DECODERS: dict[str, Callable[[bytes], dict[str, Any]]] = {}
+
+
+def register_decoder(kind: str, fn: Callable[[bytes], dict[str, Any]]) -> None:
+    _DECODERS[kind] = fn
+
+
+def _default_decode(payload: bytes) -> dict[str, Any]:
+    """Deterministic fake decode: real deployments replace via register_decoder."""
+    digest = hashlib.md5(payload).hexdigest()
+    return {"digest": digest, "n_bytes": len(payload)}
+
+
+def attach_media(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Build a synthetic media table from text bytes (testing aid): payload =
+    utf-8 bytes, metadata derived deterministically."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.lit("image").alias("kind"),
+        payload.alias("payload"),
+        (F.octet_length(payload) % 1024).cast("int").alias("meta_width"),
+        (F.octet_length(payload) % 768).cast("int").alias("meta_height"),
+        F.octet_length(payload).cast("int").alias("meta_bytes"),
+    )
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("digest", StringType()),
+        StructField("n_bytes", IntegerType()),
+    ]
+)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Decode/feature-extract each blob in Arrow batches via mapInPandas.
+
+    The closure is self-contained (no module-global references) so it
+    pickles cleanly to executor Python workers without requiring
+    zenodb_spark on their import path — important when the engine is
+    driven from an arbitrary working directory. A registered decoder is
+    captured by value at plan-build time.
+    """
+    decoder = _DECODERS.get("image")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def default_decode(payload: bytes) -> dict:
+            return {"digest": _hashlib.md5(payload).hexdigest(), "n_bytes": len(payload)}
+
+        decode = decoder or default_decode
+        for pdf in batches:
+            feats = [decode(bytes(p)) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "digest": [f["digest"] for f in feats],
+                    "n_bytes": [f["n_bytes"] for f in feats],
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Placeholder for image resize: raises unless a real decoder was
+    registered — the Spark plumbing (schema/partitioning) is what's tested."""
+    if "image" not in _DECODERS:
+        raise NotImplementedError(
+            "image decode requires a registered decoder (no image libs in this container)"
+        )
+    raise NotImplementedError("resize requires a registered decoder implementing resize")

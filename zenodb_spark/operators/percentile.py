@@ -1,0 +1,128 @@
+"""PERCENTILE — exact, approximate, and mergeable-sketch forms.
+
+Reference: ``PERCENTILE(x, p, min, max, precision)`` keeps a bounded HDR
+histogram per cell — values clamped to [min, max], `precision` decimal
+digits, state merged across buckets, read out as value-at-quantile
+(reference expr/percentile.go:31–173). A 2-arg form re-reads a stored
+sketch at a different quantile (reference sql/sql.go:794–853).
+
+Spark-first mapping:
+
+- Direct queries → ``percentile(x, p)`` (exact, matches DuckDB
+  quantile_cont bit-for-bit) or ``percentile_approx`` for cheap scans.
+- Stored/mergeable state → a **fixed-bin linear histogram** on the bounded
+  range, exactly the reference's bounded-HDR idea: state is an
+  array<long> of bin counts; merge = element-wise ``zip_with(+)``;
+  read = first bin where the cumulative count crosses ceil(p/100·total),
+  returned as the bin's lower bound (integer math → deterministic and
+  engine-independent). All built-ins — no UDAF, fully codegen'd, and the
+  state column aggregates with ordinary shuffle-combine at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def percentile_exact(value: Column | str, p: float) -> Column:
+    """Exact interpolated percentile (p in [0,1]) — matches quantile_cont."""
+    value = F.col(value) if isinstance(value, str) else value
+    return F.percentile(value, F.lit(p))
+
+
+def percentile_approx(value: Column | str, p: float, accuracy: int = 10000) -> Column:
+    value = F.col(value) if isinstance(value, str) else value
+    return F.percentile_approx(value, F.lit(p), F.lit(accuracy))
+
+
+def hist_bin(value: Column | str, lo: float, hi: float, precision: int) -> Column:
+    """Bin index of a value in the bounded linear histogram (null if out of bounds).
+
+    precision = decimal digits retained (reference scales to ints the same
+    way; expr/percentile.go:43–53). Bin width = 10^-precision.
+    """
+    value = F.col(value) if isinstance(value, str) else value
+    scale = float(10**precision)
+    idx = F.floor((value - F.lit(lo)) * scale + F.lit(0.5)).cast("long")
+    nbins = int((hi - lo) * scale) + 1
+    return F.when((value >= lo) & (value <= hi), F.least(idx, F.lit(nbins - 1)))
+
+
+def hist_state(value: Column | str, lo: float, hi: float, precision: int) -> Column:
+    """Aggregate: histogram state as array<long> of bin counts.
+
+    Built from ``count per bin`` via a map aggregate — use inside
+    ``groupBy().agg(hist_state(...))`` wrapped by `hist_agg` below.
+    """
+    raise NotImplementedError("use hist_agg(df, group_cols, ...) which composes the two-level aggregate")
+
+
+def hist_agg(
+    df: DataFrame,
+    group_cols: list[str | Column],
+    value: str,
+    lo: float,
+    hi: float,
+    precision: int,
+    state_col: str = "hist",
+) -> DataFrame:
+    """Aggregate rows to one histogram state array per group.
+
+    Two-level: count per (group, bin) — map-side combinable — then assemble
+    the dense array per group. Both stages are plain hash aggregates.
+    """
+    scale = float(10**precision)
+    nbins = int(round((hi - lo) * scale)) + 1
+    binned = df.withColumn("__bin", hist_bin(value, lo, hi, precision)).filter(
+        F.col("__bin").isNotNull()
+    )
+    per_bin = binned.groupBy(*group_cols, "__bin").agg(F.count(F.lit(1)).alias("__c"))
+    assembled = per_bin.groupBy(*group_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct("__bin", "__c"))).alias("__m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(nbins - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__m"), i.cast("long")), F.lit(0).cast("long")),
+    )
+    return assembled.withColumn(state_col, dense).drop("__m")
+
+
+def hist_merge(state: Column | str) -> Column:
+    """Merge histogram states across rows: element-wise sum of arrays.
+
+    Usable in ``groupBy().agg(hist_merge("hist").alias("hist"))`` to
+    re-aggregate stored sketches to coarser time buckets (the reference's
+    SubMerge for percentiles — expr/percentile.go:126–144)."""
+    state = F.col(state) if isinstance(state, str) else state
+    return F.aggregate(
+        F.collect_list(state),
+        F.expr("CAST(array() AS array<bigint>)"),
+        lambda acc, x: F.when(F.size(acc) == 0, x).otherwise(
+            F.zip_with(acc, x, lambda a, b: a + b)
+        ),
+    )
+
+
+def hist_quantile(state: Column | str, p: float, lo: float, precision: int) -> Column:
+    """Read value-at-quantile from a histogram state (p in [0,100]).
+
+    Deterministic integer scan: the lower bound of the first bin where the
+    cumulative count reaches ceil(p/100 · total).
+    """
+    state = F.col(state) if isinstance(state, str) else state
+    scale = float(10**precision)
+    total = F.aggregate(state, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = F.ceil(total * F.lit(p) / F.lit(100.0)).cast("long")
+    # positional scan via a (cum, answer) struct fold
+    folded = F.aggregate(
+        F.zip_with(state, F.sequence(F.lit(0), F.size(state) - 1), lambda c, i: F.struct(c.alias("c"), i.alias("i"))),
+        F.struct(F.lit(0).cast("long").alias("cum"), F.lit(-1).cast("long").alias("ans")),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["c"]).alias("cum"),
+            F.when((acc["ans"] < 0) & (acc["cum"] + x["c"] >= target), x["i"].cast("long"))
+            .otherwise(acc["ans"])
+            .alias("ans"),
+        ),
+    )
+    return F.when(folded["ans"] >= 0, folded["ans"] / F.lit(scale) + F.lit(lo))

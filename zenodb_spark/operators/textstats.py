@@ -1,0 +1,112 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting.
+
+All integer/ratio math from built-in regex/string functions — deterministic,
+codegen'd, engine-independent (the DuckDB oracle reproduces every value).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A BPE-ish tokenization: letter runs, digit runs, single punctuation marks.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "de", "et"],
+}
+
+
+def token_count(text: Column | str) -> Column:
+    """Number of BPE-ish tokens (letter runs / digit runs / punct marks)."""
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), F.lit(0)))
+
+
+def word_count(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.split(F.trim(text), r"\s+"))
+
+
+def occurrences(text: Column | str, word: str) -> Column:
+    """Count of ' word ' occurrences via the replace-length trick (exact ints)."""
+    text = F.col(text) if isinstance(text, str) else text
+    padded = F.concat(F.lit(" "), text, F.lit(" "))
+    needle = f" {word} "
+    # non-overlapping count; for needles with single-space padding two
+    # adjacent occurrences overlap on the shared space, so count on a
+    # double-spaced copy where occurrences are disjoint.
+    doubled = F.regexp_replace(padded, r" ", "  ")
+    dneedle = needle.replace(" ", "  ")
+    return ((F.length(doubled) - F.length(F.replace(doubled, F.lit(dneedle), F.lit("")))) / F.lit(len(dneedle))).cast("long")
+
+
+def stopword_count(text: Column | str, lang: str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(text)
+    counts = [occurrences(lowered, w) for w in STOPWORDS[lang]]
+    return sum(counts[1:], start=counts[0])
+
+
+def punct_count(text: Column | str) -> Column:
+    text = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), F.lit(0)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: counts + deterministic ratios.
+
+    quality_score ∈ [0,1]: penalizes very short docs, high punctuation
+    density, and absence of common stopwords — the standard cheap heuristics
+    for pretraining-corpus filtering.
+    """
+    t = F.col(text_col)
+    nw = word_count(t)
+    nt = token_count(t)
+    np_ = punct_count(t)
+    nsw = stopword_count(t, "en")
+    out = (
+        df.withColumn("n_words", nw)
+        .withColumn("n_tokens", nt)
+        .withColumn("n_punct", np_)
+        .withColumn("n_stopwords", nsw)
+        .withColumn("punct_ratio", F.col("n_punct") / F.col("n_tokens"))
+        .withColumn("stopword_ratio", F.col("n_stopwords") / F.col("n_words"))
+    )
+    score = (
+        F.when(F.col("n_words") >= 20, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(F.col("punct_ratio") <= 0.2, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(F.col("stopword_ratio") >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return out.withColumn("quality_score", score)
+
+
+def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language stopword hit counts
+    (ties → lexicographically-first language; no hits → 'und')."""
+    lowered = F.lower(F.col(text_col))
+    scores = {lang: stopword_count(lowered, lang) for lang in sorted(STOPWORDS)}
+    out = df
+    for lang, s in scores.items():
+        out = out.withColumn(f"__s_{lang}", s)
+    best = F.greatest(*[F.col(f"__s_{lang}") for lang in sorted(STOPWORDS)])
+    pred = F.lit("und")
+    for lang in sorted(STOPWORDS, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"__s_{lang}") == best), F.lit(lang)).otherwise(pred)
+    out = out.withColumn("pred_lang", pred)
+    return out.drop(*[f"__s_{lang}" for lang in sorted(STOPWORDS)])
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Content fingerprint of the normalized document (md5) — the join key
+    for exact dedup and incremental re-crawl diffing."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.md5(norm).alias("fingerprint"),
+        F.substring(F.md5(norm), 1, 2).alias("shard"),
+    )

@@ -1,0 +1,121 @@
+"""Time-axis operators: period buckets, ASOF/UNTIL, STRIDE, SHIFT, CROSSHIFT.
+
+Reference semantics (SURVEY.md §2.3, §2.5, §2.9):
+
+- ``period(d)``  — tumbling time buckets at resolution d; timestamps round
+  down to the bucket start (reference encoding/time.go:39–77). Spark-first:
+  epoch-aligned integer bucket math or ``window()``/``date_trunc``.
+- ``ASOF/UNTIL`` — half-open time range [asof, until) applied as a plain
+  filter that Catalyst pushes into the parquet scan via row-group stats
+  (reference planner/local.go:110–135).
+- ``stride(d)``  — sample one resolution-slice at the start of every stride:
+  keep only rows whose bucket phase ``epoch % stride < resolution``, then
+  bucket by the stride (reference planner/local.go:144–150,
+  encoding/seq.go:309–316).
+- ``SHIFT(agg,'dur')`` — the aggregate's value from dur earlier aligned into
+  the current bucket (reference expr/shift.go:16–92). On a potentially
+  *sparse* bucket axis, a row-offset lag is wrong; we self-join on
+  ``bucket - dur`` instead. Scale note: both sides share the same
+  (dims, bucket) partitioning, so at 100 TB this is a co-partitioned
+  sort-merge join, not a windowed global sort; AQE handles skew.
+
+Bucket columns are exposed both ways:
+- ``bucket_epoch`` — BIGINT epoch-seconds bucket start: exact integer math,
+  reproducible across engines (used by the oracle-gated queries).
+- ``bucket_ts``    — TimestampType bucket start for human-facing results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zenodb_spark.sqlparser.durations import parse_duration
+
+__all__ = ["bucket_epoch", "bucket_ts", "time_range", "stride_filter", "shift_join", "crosshift"]
+
+
+def _secs(d: str | int | float) -> int:
+    return int(parse_duration(d)) if isinstance(d, str) else int(d)
+
+
+def bucket_epoch(ts: Column | str, period: str | int) -> Column:
+    """Epoch-seconds start of the tumbling `period` bucket containing ts."""
+    ts = F.col(ts) if isinstance(ts, str) else ts
+    p = _secs(period)
+    epoch = F.unix_timestamp(ts)
+    return (epoch - epoch % F.lit(p)).cast("long")
+
+
+def bucket_ts(ts: Column | str, period: str | int) -> Column:
+    """TimestampType start of the tumbling `period` bucket containing ts."""
+    return F.timestamp_seconds(bucket_epoch(ts, period))
+
+
+def time_range(df: DataFrame, ts_col: str, asof: str | None, until: str | None) -> DataFrame:
+    """ASOF '…' UNTIL '…' → half-open [asof, until) filter, pushdown-friendly."""
+    if asof is not None:
+        df = df.filter(F.col(ts_col) >= F.lit(asof).cast("timestamp"))
+    if until is not None:
+        df = df.filter(F.col(ts_col) < F.lit(until).cast("timestamp"))
+    return df
+
+
+def stride_filter(df: DataFrame, ts_col: str, stride: str | int, resolution: str | int) -> DataFrame:
+    """Keep only the first `resolution` worth of data in every `stride` window."""
+    s, r = _secs(stride), _secs(resolution)
+    if s % r != 0:
+        raise ValueError(f"stride {s}s must be a multiple of resolution {r}s")
+    epoch = F.unix_timestamp(F.col(ts_col))
+    return df.filter((epoch % F.lit(s)) < F.lit(r))
+
+
+def shift_join(
+    agg_df: DataFrame,
+    dims: list[str],
+    bucket_col: str,
+    value_cols: list[str],
+    dur: str | int,
+    suffix: str,
+) -> DataFrame:
+    """Attach `{col}{suffix}` = value of col from `dur` earlier for the same dims.
+
+    Implemented as an equi-join on (dims, bucket - dur): correct on sparse
+    bucket axes and co-partitioned with the main aggregation at scale.
+    Missing source buckets yield 0.0 (the reference reads absent periods as
+    zero — encoding/seq.go reads out-of-range as 0).
+    """
+    d = _secs(dur)
+    shifted = agg_df.select(
+        *dims,
+        (F.col(bucket_col) + F.lit(d)).alias(bucket_col),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    )
+    out = agg_df.join(shifted, on=[*dims, bucket_col], how="left")
+    for c in value_cols:
+        out = out.withColumn(f"{c}{suffix}", F.coalesce(F.col(f"{c}{suffix}"), F.lit(0.0)))
+    return out
+
+
+def crosshift(
+    agg_df: DataFrame,
+    dims: list[str],
+    bucket_col: str,
+    value_cols: list[str],
+    cutoff: str | int,
+    interval: str | int,
+    label: str = "_{n}",
+) -> DataFrame:
+    """CROSSHIFT(x, cutoff, interval): expand into a family of SHIFT columns
+    x, x_1, x_2, … covering `cutoff` at `interval` steps (reference
+    sql/sql.go:363–422). One join per shift; each join shares the
+    (dims, bucket) shuffle key so Catalyst reuses the exchange."""
+    c, i = _secs(cutoff), _secs(interval)
+    n = 1
+    out = agg_df
+    off = i
+    while off <= c:
+        out = shift_join(out, dims, bucket_col, value_cols, off, label.format(n=n))
+        off += i
+        n += 1
+    return out

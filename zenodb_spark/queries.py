@@ -1,0 +1,851 @@
+"""Driver-facing query inventory: every implemented operator from
+SURVEY.md §2 (plus the LLM-data-pipeline extensions) as a
+(spark_impl, oracle_sql) pair.
+
+Contract (see __spark_entry__.py): each Spark impl takes (spark, sf_dir) and
+returns a DataFrame whose column names AND values match the DuckDB oracle.
+
+Determinism design (the whole file follows these rules so the driver's
+order-insensitive value-hash comparison is exact, not approximate):
+
+- fractional SUM/AVG go through integer "cents" (floor(x·100+0.5) summed as
+  BIGINT, divided back at the end) — integer addition is associative, so
+  results are identical under any partitioning, in both engines;
+- ratios are ratios-of-exact-integers (identical double division);
+- time buckets are BIGINT epoch seconds (identical floor arithmetic);
+- percentiles are either exact interpolated (percentile ≡ quantile_cont,
+  verified bit-equal) or integer histogram-sketch reads;
+- string/hash ops use md5 + regex constructs verified to agree between
+  Spark (Java regex) and DuckDB (RE2) for the patterns used.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from zenodb_spark.catalog import load_table
+from zenodb_spark.functions.measures import IF, BOUNDED, MAX_FLOAT64, cents, safe_div
+from zenodb_spark.functions.dims import CONCAT, DECODE, LEN, REPLACEALL, SPLIT, SUBSTR
+from zenodb_spark.operators import dedup, similarity, textstats, timeops
+from zenodb_spark.operators.crosstab import crosstab
+from zenodb_spark.operators.percentile import hist_agg, hist_quantile, percentile_exact
+from zenodb_spark.operators.topk import topk
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+# DuckDB oracle macros (kept in lockstep with the Spark-side helpers)
+C = "CAST(floor({x}*100+0.5) AS BIGINT)"  # cents() equivalent
+BUCKET = "CAST(floor(epoch(ts)/{p})*{p} AS BIGINT)"  # bucket_epoch() equivalent
+NORM = "trim(regexp_replace(lower({x}), '\\s+', ' ', 'g'))"  # normalize_text()
+
+
+def query(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Core ZenoDB semantics over the `events` stream (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_sum_period",
+    f"""
+    SELECT event_type, {BUCKET.format(p=3600)} AS bucket,
+           sum({C.format(x='value')})/100.0 AS sum_value,
+           count(*) AS n_points
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q01_sum_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT value, _points FROM events GROUP BY event_type, period(1h) —
+    default-to-SUM + the implicit _points counter (reference sql/sql.go:727,
+    core/core.go:26)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", timeops.bucket_epoch("ts", 3600).alias("bucket")
+    ).agg(
+        (F.sum(cents("value")) / F.lit(100.0)).alias("sum_value"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+@query(
+    "q02_avg_min_max",
+    f"""
+    SELECT event_type,
+           (sum({C.format(x='value')})/100.0) / count(value) AS avg_value,
+           min(value) AS min_value, max(value) AS max_value,
+           count(*) AS n_points
+    FROM events GROUP BY 1
+    """,
+)
+def q02_avg_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG/MIN/MAX/COUNT aggregates (reference expr/aggregates.go:4–50)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        ((F.sum(cents("value")) / F.lit(100.0)) / F.count("value")).alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+@query(
+    "q03_if_conditional",
+    """
+    SELECT user_id % 10 AS cohort,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+           count(*) AS total,
+           count(CASE WHEN event_type = 'error' THEN 1 END) / count(*) AS error_rate
+    FROM events GROUP BY 1
+    """,
+)
+def q03_if_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IF(cond, agg) — conditional aggregation, the reference's correlation
+    primitive (reference expr/if.go:16–95, README 'bye bye JOINs')."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = F.count(IF(F.col("event_type") == "error", F.lit(1)))
+    return ev.groupBy((F.col("user_id") % 10).alias("cohort")).agg(
+        errors.alias("errors"),
+        F.count(F.lit(1)).alias("total"),
+        (errors / F.count(F.lit(1))).alias("error_rate"),
+    )
+
+
+@query(
+    "q04_bounded_avg",
+    f"""
+    SELECT event_type,
+           (sum(CASE WHEN value >= 10 AND value <= 90 THEN {C.format(x='value')} END)/100.0)
+             / count(CASE WHEN value >= 10 AND value <= 90 THEN 1 END) AS bounded_avg,
+           count(CASE WHEN value >= 10 AND value <= 90 THEN 1 END) AS n_in_bounds
+    FROM events GROUP BY 1
+    """,
+)
+def q04_bounded_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AVG(BOUNDED(value, 10, 90)) — out-of-range values treated as unset
+    (reference expr/bounded.go:14–68)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = BOUNDED("value", 10, 90)
+    return ev.groupBy("event_type").agg(
+        ((F.sum(cents(b)) / F.lit(100.0)) / F.count(b)).alias("bounded_avg"),
+        F.count(b).alias("n_in_bounds"),
+    )
+
+
+@query(
+    "q05_wavg",
+    f"""
+    SELECT event_type,
+           (sum({C.format(x='value')} * CAST(props->>'k' AS BIGINT))/100.0)
+             / sum(CAST(props->>'k' AS BIGINT)) AS wavg_value,
+           CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_weight
+    FROM events GROUP BY 1
+    """,
+)
+def q05_wavg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAVG(value, k) — weighted mean Σvw/Σw with the JSON prop k as weight
+    (reference expr/avg.go:17–37)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        ((F.sum(cents("value") * k) / F.lit(100.0)) / F.sum(k)).alias("wavg_value"),
+        F.sum(k).alias("sum_weight"),
+    )
+
+
+@query(
+    "q06_having",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum({C.format(x='l_extendedprice')})/100.0 AS sum_price
+    FROM lineitem GROUP BY 1, 2
+    HAVING sum(l_quantity) > 1000 AND count(*) > 10
+    """,
+)
+def q06_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING on aggregates, including one (count) not in the SELECT list —
+    the synthetic `_having` column trick (reference planner/having.go:11–68)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("sum_price"),
+            F.count(F.lit(1)).alias("_having_n"),
+        )
+        .filter((F.col("sum_qty") > 1000) & (F.col("_having_n") > 10))
+        .drop("_having_n")
+    )
+
+
+@query(
+    "q07_topk",
+    """
+    SELECT user_id, count(*) AS n_purchases
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1 ORDER BY n_purchases DESC, user_id LIMIT 5
+    """,
+)
+def q07_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT top-k (reference core/sort.go, core/limit.go) —
+    compiles to TakeOrderedAndProject (per-partition top-k, no global sort).
+    Tie-broken by user_id for a deterministic result set."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases")
+    )
+    return topk(agg, [F.col("n_purchases").desc(), F.col("user_id")], 5)
+
+
+@query(
+    "q08_group_by_time_only",
+    f"""
+    SELECT {BUCKET.format(p=86400)} AS bucket,
+           count(*) AS n_points,
+           sum({C.format(x='value')})/100.0 AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def q08_group_by_time_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY _ — a single global time series, no dims (reference
+    sql/sql.go:586–596, zenodb_test.go:415–420)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(timeops.bucket_epoch("ts", 86400).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.sum(cents("value")) / F.lit(100.0)).alias("sum_value"),
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q09_crosstab",
+    "SELECT "
+    + f"{BUCKET.format(p=86400)} AS bucket, "
+    + ", ".join(
+        f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}_n" for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY 1",
+)
+def q09_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSSTAB(event_type): pivot distinct values into column groups
+    (reference core/group.go:185–246). Spark pivot does the same two-pass
+    distinct-value discovery the reference does by buffering."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", timeops.bucket_epoch("ts", 86400)
+    )
+    out = crosstab(ev, ["bucket"], "event_type", {"n": F.count(F.lit(1))})
+    return out.na.fill(0, [f"{t}_n" for t in _EVENT_TYPES])
+
+
+@query(
+    "q10_crosstabt",
+    "SELECT "
+    + f"{BUCKET.format(p=86400)} AS bucket, "
+    + ", ".join(
+        f"count(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}_n" for t in _EVENT_TYPES
+    )
+    + ", count(*) AS total_n FROM events GROUP BY 1",
+)
+def q10_crosstabt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSSTABT — crosstab plus total_* columns (reference sql/sql.go:108–123)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "bucket", timeops.bucket_epoch("ts", 86400)
+    )
+    out = crosstab(ev, ["bucket"], "event_type", {"n": F.count(F.lit(1))}, totals=True)
+    return out.na.fill(0, [f"{t}_n" for t in _EVENT_TYPES])
+
+
+@query(
+    "q11_shift",
+    f"""
+    WITH d AS (
+      SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.bucket, d.n,
+           coalesce(prev.n, 0.0) AS n_1d,
+           d.n - coalesce(prev.n, 0.0) AS delta_1d
+    FROM d LEFT JOIN d prev
+      ON prev.event_type = d.event_type AND prev.bucket + 86400 = d.bucket
+    """,
+)
+def q11_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHIFT(n, '1d') — prior-day value aligned into the current bucket via a
+    co-partitioned self-join on (dims, bucket − 1d); correct on sparse bucket
+    axes (reference expr/shift.go:16–92)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", timeops.bucket_epoch("ts", 86400).alias("bucket")).agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    out = timeops.shift_join(d, ["event_type"], "bucket", ["n"], 86400, "_1d")
+    return out.withColumn("delta_1d", F.col("n") - F.col("n_1d"))
+
+
+@query(
+    "q12_stride",
+    f"""
+    SELECT event_type,
+           CAST(floor(epoch(ts)/21600)*21600 AS BIGINT) AS bucket,
+           count(*) AS n_points,
+           sum({C.format(x='value')})/100.0 AS sum_value
+    FROM events
+    WHERE CAST(floor(epoch(ts)) AS BIGINT) % 21600 < 3600
+    GROUP BY 1, 2
+    """,
+)
+def q12_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRIDE(6h) over 1h resolution — sample the first hour of every 6-hour
+    stride (reference planner/local.go:144–150, encoding/seq.go:309–316)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = timeops.stride_filter(ev, "ts", 21600, 3600)
+    return ev.groupBy(
+        "event_type", timeops.bucket_epoch("ts", 21600).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        (F.sum(cents("value")) / F.lit(100.0)).alias("sum_value"),
+    )
+
+
+@query(
+    "q13_percentile",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.95) AS p95,
+           quantile_cont(value, 0.99) AS p99,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def q13_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (the query-time form of the reference's
+    PERCENTILE — expr/percentile.go; Spark `percentile` ≡ quantile_cont)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        percentile_exact("value", 0.5).alias("p50"),
+        percentile_exact("value", 0.95).alias("p95"),
+        percentile_exact("value", 0.99).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q14_percentile_sketch",
+    """
+    WITH b AS (
+      SELECT event_type, least(CAST(floor(value*10+0.5) AS BIGINT), 1000) AS bin
+      FROM events WHERE value >= 0 AND value <= 100
+    ), c AS (
+      SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2
+    ), d AS (
+      SELECT event_type, bin,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM c
+    )
+    SELECT event_type,
+           min(CASE WHEN cum >= CAST(ceil(tot*50/100.0) AS BIGINT) THEN bin END)/10.0 AS p50_sketch,
+           min(CASE WHEN cum >= CAST(ceil(tot*95/100.0) AS BIGINT) THEN bin END)/10.0 AS p95_sketch,
+           min(CASE WHEN cum >= CAST(ceil(tot*99/100.0) AS BIGINT) THEN bin END)/10.0 AS p99_sketch
+    FROM d GROUP BY 1
+    """,
+)
+def q14_percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERCENTILE(value, p, 0, 100, 1) — the mergeable bounded-histogram
+    sketch (reference expr/percentile.go:31–173): state = array<long> of bin
+    counts, merge = element-wise add, read = first-bin-at-cumulative-target.
+    Deterministic integer math; DuckDB oracle replays the same logic."""
+    ev = load_table(spark, sf_dir, "events")
+    h = hist_agg(ev, ["event_type"], "value", 0.0, 100.0, 1, "hist")
+    return h.select(
+        "event_type",
+        hist_quantile("hist", 50, 0.0, 1).alias("p50_sketch"),
+        hist_quantile("hist", 95, 0.0, 1).alias("p95_sketch"),
+        hist_quantile("hist", 99, 0.0, 1).alias("p99_sketch"),
+    )
+
+
+@query(
+    "q15_in_subquery",
+    """
+    SELECT event_type, count(*) AS n
+    FROM events
+    WHERE user_id IN (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' AND value > 90
+    )
+    GROUP BY 1
+    """,
+)
+def q15_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHERE dim IN (SELECT …) — uncorrelated subquery as a broadcast
+    left-semi join (reference planner/subquery.go:13–100)."""
+    ev = load_table(spark, sf_dir, "events")
+    sub = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("value") > 90))
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        ev.join(F.broadcast(sub), "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q16_from_subquery",
+    f"""
+    SELECT event_type,
+           sum(n) / count(n) AS avg_daily, max(n) AS max_daily
+    FROM (
+      SELECT event_type, {BUCKET.format(p=86400)} AS bucket, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ) GROUP BY 1
+    """,
+)
+def q16_from_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FROM (SELECT …) — table-valued nesting: outer aggregation re-groups
+    the inner aggregation (reference sql/sql.go:463–484)."""
+    ev = load_table(spark, sf_dir, "events")
+    inner = ev.groupBy(
+        "event_type", timeops.bucket_epoch("ts", 86400).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return inner.groupBy("event_type").agg(
+        (F.sum("n") / F.count("n")).alias("avg_daily"),
+        F.max("n").alias("max_daily"),
+    )
+
+
+@query(
+    "q17_asof_until",
+    f"""
+    SELECT event_type, count(*) AS n, sum({C.format(x='value')})/100.0 AS sum_value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00' AND ts < TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q17_asof_until(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF '…' UNTIL '…' — half-open time range pushed into the parquet scan
+    (reference planner/local.go:110–135)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = timeops.time_range(ev, "ts", "2024-01-10 00:00:00", "2024-01-20 00:00:00")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(cents("value")) / F.lit(100.0)).alias("sum_value"),
+    )
+
+
+@query(
+    "q18_dim_functions",
+    """
+    SELECT concat_ws('-', lang, str_split(source, 'src')[2]) AS nm,
+           CASE lang WHEN 'en' THEN 'english' WHEN 'es' THEN 'spanish'
+                     WHEN 'de' THEN 'german' WHEN 'fr' THEN 'french'
+                     ELSE 'other' END AS lang_label,
+           len(regexp_replace(source, '[0-9]', '#', 'g')) AS src_len,
+           substr(source, 1, 3) AS src_prefix,
+           count(*) AS n
+    FROM documents GROUP BY 1, 2, 3, 4
+    """,
+)
+def q18_dim_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension expression functions: CONCAT/SPLIT/SUBSTR/REPLACEALL/LEN/
+    DECODE (reference goexpr surface, sql/sql.go:76–123)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        CONCAT("-", F.col("lang"), SPLIT("source", "src", 1)).alias("nm"),
+        DECODE(
+            "lang", "en", "english", "es", "spanish", "de", "german", "fr", "french", "other"
+        ).alias("lang_label"),
+        LEN(REPLACEALL("source", "[0-9]", "#")).alias("src_len"),
+        SUBSTR("source", 1, 3).alias("src_prefix"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q19_calc_divzero",
+    f"""
+    SELECT event_type,
+           count(CASE WHEN value > 200 THEN 1 END) AS a,
+           count(CASE WHEN value < -1 THEN 1 END) AS b,
+           CASE WHEN count(CASE WHEN value < -1 THEN 1 END) <> 0
+                THEN count(CASE WHEN value > 200 THEN 1 END) / count(CASE WHEN value < -1 THEN 1 END)
+                WHEN count(CASE WHEN value > 200 THEN 1 END) = 0 THEN 0.0
+                ELSE 1.7976931348623157e308 END AS zero_over_zero,
+           CASE WHEN count(CASE WHEN value < -1 THEN 1 END) <> 0
+                THEN count(*) / count(CASE WHEN value < -1 THEN 1 END)
+                WHEN count(*) = 0 THEN 0.0
+                ELSE 1.7976931348623157e308 END AS n_over_zero
+    FROM events GROUP BY 1
+    """,
+)
+def q19_calc_divzero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived arithmetic with the reference's div-by-zero convention:
+    0/0 → 0, x/0 → MaxFloat64 (reference expr/calcs.go:20–28)."""
+    ev = load_table(spark, sf_dir, "events")
+    a = F.count(IF(F.col("value") > 200, F.lit(1)))
+    b = F.count(IF(F.col("value") < -1, F.lit(1)))
+    n = F.count(F.lit(1))
+    return ev.groupBy("event_type").agg(
+        a.alias("a"),
+        b.alias("b"),
+        safe_div(a, b).alias("zero_over_zero"),
+        safe_div(n, b).alias("n_over_zero"),
+    )
+
+
+@query(
+    "q20_log_functions",
+    """
+    SELECT event_type, count(*) AS n,
+           ln(count(*)) AS ln_n,
+           ln(count(*)) / ln(2.0) AS log2_n,
+           ln(count(*)) / ln(10.0) AS log10_n
+    FROM events GROUP BY 1
+    """,
+)
+def q20_log_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation LN/LOG2/LOG10 (reference expr/math.go:12–16).
+
+    log2/log10 are expressed as ln(x)/ln(k) in both engines: the native
+    log2/log10 builtins differ in the last ulp between JVM and libm, while
+    ln is bit-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    return ev.groupBy("event_type").agg(
+        n.alias("n"),
+        F.log(n).alias("ln_n"),
+        (F.log(n) / F.log(F.lit(2.0))).alias("log2_n"),
+        (F.log(n) / F.log(F.lit(10.0))).alias("log10_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star-schema analytics (scale-shaped aggregation + joins)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q21_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           sum({C.format(x='l_extendedprice')})/100.0 AS sum_base_price,
+           sum(CAST(floor(l_extendedprice*(1-l_discount)*100+0.5) AS BIGINT))/100.0 AS sum_disc_price,
+           sum(l_quantity) / count(*) AS avg_qty,
+           (sum({C.format(x='l_extendedprice')})/100.0) / count(*) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q21_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: one wide map-side-combined hash
+    aggregate over the fact table — the canonical 100 TB scan shape."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("sum_base_price"),
+        (F.sum(disc_cents) / F.lit(100.0)).alias("sum_disc_price"),
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+        ((F.sum(cents("l_extendedprice")) / F.lit(100.0)) / F.count(F.lit(1))).alias(
+            "avg_price"
+        ),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q22_join_enrich",
+    f"""
+    SELECT n.n_name AS nation, count(*) AS n_orders,
+           sum({C.format(x='o_totalprice')})/100.0 AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q22_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-enrichment joins (the Spark-native replacement for the
+    reference's Redis/geo per-row lookups): fact table joined to broadcast
+    customer/nation dims — no shuffle of the fact side for nation."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (BASELINE.json north star)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q23_dedup_exact",
+    f"""
+    SELECT md5({NORM.format(x='text')}) AS fingerprint,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def q23_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deduplication: hash-groupBy on the normalized content digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id")
+
+
+_SHINGLE_SQL = """
+      SELECT doc, shingle FROM (
+        SELECT doc_id AS doc, unnest(list_distinct(
+          [array_to_string(t[i+1:i+3], ' ') for i in range(greatest(len(t)-2, 1))]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split({norm}, ' ') AS t FROM documents)
+      ) WHERE len(shingle) > 0
+""".format(norm=NORM.format(x="text"))
+
+_JACCARD_SQL = f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc = doc_a
+    JOIN sizes sb ON sb.doc = doc_b
+    WHERE i / (sa.sz + sb.sz - i) >= {{thr}}
+"""
+
+
+@query("q24_ngram_jaccard", _JACCARD_SQL.format(thr=0.2))
+def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-gram-shingle Jaccard ≥ 0.2 via an inverted
+    shingle index (explode → equi-join) — no cross join at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=10**9
+    )
+
+
+@query("q25_minhash_lsh", _JACCARD_SQL.format(thr=0.5))
+def q25_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + 16-band LSH candidates, exact-Jaccard verified at 0.5 —
+    the oracle is the semantic spec (all true pairs ≥ 0.5); LSH is the
+    pruning mechanism. P(miss) ≤ (1−J²)^16 ≈ 1% at J=0.5, →0 above."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, num_hashes=32, bands=16
+    )
+
+
+def _simhash_oracle() -> str:
+    votes = ", ".join(
+        "sum(CASE WHEN substr(md5(tok), {j1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v{j}".format(
+            j1=j + 1, j=j
+        )
+        for j in range(16)
+    )
+    fp = " + ".join(f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest(string_split({NORM.format(x='text')}, ' ')) AS tok
+      FROM documents
+    ), votes AS (
+      SELECT doc, {votes} FROM toks WHERE len(tok) > 0 GROUP BY 1
+    )
+    SELECT doc, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+@query("q26_simhash", _simhash_oracle())
+def q26_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprints from md5 nibble majority votes —
+    deterministic in any engine with md5."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(docs, "text", "doc_id", bits=16)
+
+
+@query(
+    "q27_ann_cosine",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM q JOIN c ON query_id <> neighbor_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def q27_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for query vectors (vec_id < 10):
+    broadcast query side, single streaming pass over the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+    )
+
+
+@query(
+    "q28_text_quality",
+    """
+    WITH f AS (
+      SELECT lang,
+             len(string_split_regex(trim(text), '\\s+')) AS n_words,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+      FROM documents
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS sum_words,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           sum(n_punct) / sum(n_tokens) AS punct_ratio,
+           sum(CASE WHEN n_words >= 20 THEN 1 ELSE 0 END) / count(*) AS frac_long
+    FROM f GROUP BY 1
+    """,
+)
+def q28_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring features: token/word/punct counts + corpus-level
+    ratios (ratios of exact integer sums)."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "lang",
+        textstats.word_count(F.trim(F.col("text"))).alias("n_words"),
+        textstats.token_count("text").alias("n_tokens"),
+        textstats.punct_count("text").alias("n_punct"),
+    )
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("sum_words"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        (F.sum("n_punct") / F.sum("n_tokens")).alias("punct_ratio"),
+        (
+            F.sum(F.when(F.col("n_words") >= 20, F.lit(1)).otherwise(F.lit(0)))
+            / F.count(F.lit(1))
+        ).alias("frac_long"),
+    )
+
+
+def _langid_oracle() -> str:
+    def cnt(w: str) -> str:
+        doubled = f"regexp_replace(' ' || lower(text) || ' ', ' ', '  ', 'g')"
+        needle = f"  {w}  ".replace(" ", "  ")
+        # needle with doubled spaces: '  w  '
+        n = f"  {w}  "
+        return f"CAST((len({doubled}) - len(replace({doubled}, '{n}', ''))) / {len(n)} AS BIGINT)"
+
+    langs = sorted(textstats.STOPWORDS)
+    scores = {
+        lang: " + ".join(cnt(w) for w in textstats.STOPWORDS[lang]) for lang in langs
+    }
+    score_cols = ", ".join(f"({scores[lang]}) AS s_{lang}" for lang in langs)
+    best = f"greatest({', '.join('s_' + lang for lang in langs)})"
+    pred = "CASE "
+    for lang in langs:
+        pred += f"WHEN {best} > 0 AND s_{lang} = {best} THEN '{lang}' "
+    pred += "ELSE 'und' END"
+    return f"""
+    WITH s AS (SELECT lang, {score_cols} FROM documents),
+    p AS (SELECT lang, {pred} AS pred_lang FROM s)
+    SELECT lang, count(*) AS n,
+           count(CASE WHEN pred_lang = lang THEN 1 END) AS n_correct,
+           count(CASE WHEN pred_lang = lang THEN 1 END) / count(*) AS accuracy
+    FROM p GROUP BY 1
+    """
+
+
+@query("q29_langid", _langid_oracle())
+def q29_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit argmax) evaluated against the
+    labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = textstats.langid(docs, "text")
+    return p.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(IF(F.col("pred_lang") == F.col("lang"), F.lit(1))).alias("n_correct"),
+        (
+            F.count(IF(F.col("pred_lang") == F.col("lang"), F.lit(1))) / F.count(F.lit(1))
+        ).alias("accuracy"),
+    )
+
+
+@query(
+    "q30_fingerprint",
+    f"""
+    SELECT substr(md5({NORM.format(x='text')}), 1, 2) AS shard,
+           count(*) AS n, min(doc_id) AS min_doc
+    FROM documents GROUP BY 1
+    """,
+)
+def q30_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting + shard assignment (md5 of normalized text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = textstats.fingerprint(docs, "text", "doc_id")
+    return fp.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc")
+    )
+
+
+@query(
+    "q31_binary_meta",
+    """
+    SELECT count(*) AS n_media,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           count(DISTINCT md5(text)) AS n_distinct
+    FROM documents
+    """,
+)
+def q31_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payloads + metadata processed via
+    Arrow-batched mapInPandas (decode stubbed — no media libs here); the
+    digest equals DuckDB's md5-of-blob, proving the byte path end-to-end."""
+    from zenodb_spark.operators.multimodal import attach_media, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs, "text", "doc_id")
+    feats = extract_features(media)
+    return feats.agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.countDistinct("digest").alias("n_distinct"),
+    )
