@@ -1,0 +1,697 @@
+"""DB facade: schema registry, tables as materialized aggregates, batch
+ingest, and SQL queries over stored state.
+
+Mirrors the reference's lifecycle (SURVEY.md §3) Spark-first:
+
+- ``DB.apply_schema`` — YAML/dict of table definitions, dependency-ordered
+  creation of views (reference schema.go:72–128). Re-applying updates
+  definitions (the reference live-alters; we re-register — new state shape
+  applies to subsequent ingests; documented deviation).
+- ``DB.insert`` — points go to a *stream*; every table/view subscribed to
+  that stream folds them into its own (dims…, bucket) state rows
+  (reference insert.go:67–268). Ingest appends *partial* state parts —
+  the memstore-flush model: queries merge parts on read, ``compact()``
+  folds them down (LSM-ish, exactly how the reference's filestore merges
+  memstore flushes).
+- ``DB.query`` — the ZenoDB SQL dialect over stored tables: state merge to
+  query resolution, derived expressions, HAVING, crosstab, SHIFT,
+  IN-subqueries, FROM-subqueries, ORDER/LIMIT (reference planner/local.go).
+
+Scale notes: state parts are plain DataFrames (parquet-backed when a
+workdir is given); part-append is embarrassingly parallel, merge-on-read is
+one hash aggregate keyed (dims, bucket) with map-side combine. Retention is
+a bucket-range filter → partition pruning on the bucket column.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import re
+from dataclasses import dataclass, field as dfield
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from zenodb_spark.ir import (
+    DimConst,
+    DimExpr,
+    DimIn,
+    DimInSubquery,
+    DimLogical,
+    GroupDim,
+    MAgg,
+    MBin,
+    MCrosshift,
+    MExpr,
+    MFieldRef,
+    MIf,
+    MPercentile,
+    MPresence,
+    MShift,
+    Query,
+    SelectField,
+)
+from zenodb_spark.plans import compiler as C
+from zenodb_spark.plans.compiler import (
+    BUCKET_COL,
+    StateRegistry,
+    agg_key,
+    aggregate_raw,
+    collect_agg_leaves,
+    compile_dim,
+    dim_truth,
+    finalize_expr,
+    merge_states,
+)
+from zenodb_spark.sqlparser.durations import format_duration, parse_duration
+from zenodb_spark.sqlparser.parser import parse
+
+TIME_COL = "_time"
+
+
+def resolve_time(s: str, now: float) -> float:
+    """ASOF/UNTIL values: RFC3339 timestamps or signed durations relative to
+    now (reference sql/sql.go:1220–1227)."""
+    s = s.strip()
+    try:
+        return now + parse_duration(s)
+    except ValueError:
+        pass
+    iso = s.replace("Z", "+00:00")
+    d = dt.datetime.fromisoformat(iso)
+    if d.tzinfo is None:
+        d = d.replace(tzinfo=dt.timezone.utc)
+    return d.timestamp()
+
+
+def _explode_array_vals(df: DataFrame) -> DataFrame:
+    """Array-valued measures fan out into one point per element carrying only
+    that measure (reference insert.go:213–252)."""
+    array_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)]
+    if not array_cols:
+        return df
+    base = df
+    for c in array_cols:
+        base = base.withColumn(c, F.lit(None).cast("double"))
+    parts = [base]
+    for c in array_cols:
+        part = df
+        for other in array_cols:
+            if other != c:
+                part = part.withColumn(other, F.lit(None).cast("double"))
+        part = part.withColumn(c, F.explode(F.col(c))).withColumn(
+            c, F.col(c).cast("double")
+        )
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@dataclass
+class TableDef:
+    name: str
+    sql: str
+    retention: float | None = None
+    backfill: float | None = None
+    partition_by: list[str] = dfield(default_factory=list)
+    virtual: bool = False
+    view: bool = False
+
+
+class Table:
+    def __init__(self, db: "DB", tdef: TableDef, q: Query, fields: list[SelectField]):
+        self.db = db
+        self.tdef = tdef
+        self.query_ir = q
+        self.fields = fields  # effective fields (views: resolved vs parent)
+        self.stream = q.from_table
+        self.resolution = q.resolution or 1.0
+        self.where = q.where
+        self.group_by = list(q.group_by)
+        self.group_by_all = q.group_by_all
+        self.dims: list[str] | None = [g.name for g in self.group_by] if not q.group_by_all else None
+        self.registry: StateRegistry | None = None
+        self._parts: list[DataFrame] = []
+
+    # -- ingest -------------------------------------------------------------
+    def ingest(self, points: DataFrame, ts_col: str = "ts") -> None:
+        df = _explode_array_vals(points)
+        if self.where is not None:
+            resolve = lambda n: F.col(n) if n in df.columns else F.lit(None)
+            df = df.filter(dim_truth(compile_dim(self.where, resolve)))
+        if self.dims is None:
+            # GROUP BY *: every non-ts, non-numeric-measure column is a dim
+            val_names = self._val_names()
+            self.dims = [
+                f.name
+                for f in points.schema.fields
+                if f.name != ts_col
+                and f.name not in val_names
+                and not isinstance(f.dataType, (T.ArrayType,))
+            ]
+        group_dims = self._group_dim_cols(df)
+        registry = StateRegistry()
+        state, registry = aggregate_raw(
+            df, self.fields, group_dims, self.resolution, ts_col, registry
+        )
+        if self.registry is None:
+            self.registry = registry
+        self._parts.append(state)
+
+    def _val_names(self) -> set[str]:
+        out: set[str] = set()
+
+        def walk(e: MExpr):
+            if isinstance(e, MFieldRef):
+                out.add(e.name)
+            elif isinstance(e, MAgg):
+                walk(e.arg)
+                if e.weight:
+                    walk(e.weight)
+            elif isinstance(e, (MIf,)):
+                walk(e.inner)
+            elif isinstance(e, MPercentile):
+                walk(e.inner)
+            elif isinstance(e, MBin):
+                walk(e.left)
+                walk(e.right)
+            elif hasattr(e, "inner"):
+                walk(e.inner)
+
+        for f in self.fields:
+            walk(f.expr)
+        return out
+
+    def _group_dim_cols(self, df: DataFrame):
+        resolve = lambda n: F.col(n) if n in df.columns else F.lit(None)
+        if self.group_by:
+            return [(g.name, compile_dim(g.expr, resolve)) for g in self.group_by]
+        return [(d, resolve(d)) for d in self.dims or []]
+
+    # -- state access ---------------------------------------------------------
+    def state_df(self) -> DataFrame:
+        if not self._parts:
+            raise ValueError(f"table {self.tdef.name} has no data")
+        out = self._parts[0]
+        for p in self._parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        if self.tdef.retention is not None:
+            cutoff = self.db.now() - self.tdef.retention
+            out = out.filter(F.col(BUCKET_COL) >= F.lit(int(cutoff // self.resolution * self.resolution)))
+        return out
+
+    def compact(self) -> None:
+        """Fold appended partial-state parts into one canonical part (the
+        reference's flush-merge, row_store.go:351–508)."""
+        if len(self._parts) <= 1 or self.registry is None:
+            return
+        merged = merge_states(
+            self.state_df(),
+            self.registry,
+            [(d, F.col(d)) for d in self.dims or []],
+            self.resolution,
+            self.resolution,
+        )
+        if self.db.workdir:
+            path = f"{self.db.workdir}/{self.tdef.name}"
+            merged.write.mode("overwrite").parquet(path)
+            merged = self.db.spark.read.parquet(path)
+        self._parts = [merged]
+
+
+class DB:
+    def __init__(self, spark: SparkSession, workdir: str | None = None, now=None):
+        self.spark = spark
+        self.workdir = workdir
+        self.tables: dict[str, Table] = {}
+        self.virtual_defs: dict[str, tuple[Query, list[SelectField]]] = {}
+        self._now = now  # virtual clock (reference zenodb.go:81–83)
+
+    def now(self) -> float:
+        if self._now is not None:
+            return self._now() if callable(self._now) else float(self._now)
+        return dt.datetime.now(dt.timezone.utc).timestamp()
+
+    # -- schema -------------------------------------------------------------
+    def apply_schema(self, schema: dict) -> None:
+        """Create/replace tables from a schema mapping (YAML-shaped:
+        name → {sql, retentionperiod, virtual, view, partitionby…})."""
+        defs: dict[str, TableDef] = {}
+        for name, opts in schema.items():
+            defs[name.lower()] = TableDef(
+                name=name.lower(),
+                sql=opts["sql"],
+                retention=parse_duration(opts["retentionperiod"])
+                if opts.get("retentionperiod")
+                else None,
+                backfill=parse_duration(opts["backfill"]) if opts.get("backfill") else None,
+                partition_by=[p.lower() for p in opts.get("partitionby", [])],
+                virtual=bool(opts.get("virtual")),
+                view=bool(opts.get("view")),
+            )
+        # dependency order: plain tables & virtuals first, then views (by depth)
+        remaining = dict(defs)
+        progress = True
+        while remaining and progress:
+            progress = False
+            for name in list(remaining):
+                tdef = remaining[name]
+                q = parse(tdef.sql)
+                parent = q.from_table
+                if tdef.view and parent not in self.tables and parent not in self.virtual_defs:
+                    continue  # wait for parent
+                self._create(tdef, q)
+                del remaining[name]
+                progress = True
+        if remaining:
+            raise ValueError(f"unresolvable view dependencies: {sorted(remaining)}")
+
+    def apply_schema_yaml(self, text: str) -> None:
+        self.apply_schema(_parse_simple_yaml(text))
+
+    def _create(self, tdef: TableDef, q: Query) -> None:
+        fields = list(q.fields)
+        if tdef.view:
+            parent_name = q.from_table
+            if parent_name in self.tables:
+                parent = self.tables[parent_name]
+                parent_q, parent_fields = parent.query_ir, parent.fields
+            else:
+                parent_q, parent_fields = self.virtual_defs[parent_name]
+            # view re-consumes the parent's stream with inherited/merged spec
+            # (reference table.go:194–250)
+            eff = Query()
+            eff.from_table = parent_q.from_table
+            eff.resolution = q.resolution or parent_q.resolution
+            if q.group_by or q.group_by_none:
+                eff.group_by = q.group_by
+                eff.group_by_all = False
+            else:
+                eff.group_by = list(parent_q.group_by)
+                eff.group_by_all = parent_q.group_by_all
+            if parent_q.where is not None and q.where is not None:
+                eff.where = DimLogical("AND", parent_q.where, q.where)
+            else:
+                eff.where = q.where or parent_q.where
+            by_name = {
+                f.name: MAgg("SUM", f.expr, None) if isinstance(f.expr, MFieldRef) else f.expr
+                for f in parent_fields
+            }
+            if q.select_star or not fields:
+                fields = list(parent_fields)
+            else:
+                fields = [
+                    SelectField(f.name, _substitute_refs(f.expr, by_name)) for f in fields
+                ]
+            q = eff
+        if tdef.virtual:
+            self.virtual_defs[tdef.name] = (q, fields)
+            return
+        self.tables[tdef.name] = Table(self, tdef, q, fields)
+
+    # -- ingest -------------------------------------------------------------
+    def insert(self, stream: str, points: DataFrame, ts_col: str = "ts") -> None:
+        stream = stream.lower()
+        for t in self.tables.values():
+            if t.stream == stream:
+                t.ingest(points, ts_col)
+
+    def insert_rows(self, stream: str, rows: list[dict]) -> None:
+        self.insert(stream, self.spark.createDataFrame(rows))
+
+    # -- query --------------------------------------------------------------
+    def query(self, sql: str) -> DataFrame:
+        return self.plan(parse(sql))
+
+    def plan(self, q: Query) -> DataFrame:
+        if q.from_subquery is not None:
+            inner = self.plan(q.from_subquery)
+            return self._aggregate_flat(q, inner, self._flat_fields(q.from_subquery))
+        name = q.from_table
+        if name in self.virtual_defs:
+            raise ValueError(f"table {name} is virtual and cannot be queried")
+        if name not in self.tables:
+            raise ValueError(f"unknown table {name}")
+        return self._plan_over_table(q, self.tables[name])
+
+    # -- query over a stored table ------------------------------------------
+    def _plan_over_table(self, q: Query, table: Table) -> DataFrame:
+        state = table.state_df()
+        registry = table.registry
+        if registry is None:
+            raise ValueError(f"table {table.tdef.name} has no data")
+        res_out = q.resolution or table.resolution
+        now = self.now()
+
+        # ASOF / UNTIL (rounded down to resolution; reference planner/local.go:110–135)
+        if q.asof:
+            asof = resolve_time(q.asof, now) // res_out * res_out
+            state = state.filter(F.col(BUCKET_COL) >= F.lit(int(asof)))
+        if q.until:
+            until = resolve_time(q.until, now) // res_out * res_out
+            state = state.filter(F.col(BUCKET_COL) < F.lit(int(until)))
+
+        # WHERE over stored dims (IN-subqueries pre-executed, reference planner/subquery.go)
+        where = self._resolve_in_subqueries(q.where)
+        if where is not None:
+            state = state.filter(dim_truth(compile_dim(where)))
+
+        # STRIDE: keep only the first table-resolution slice of each stride
+        if q.stride:
+            if round(q.stride) % round(table.resolution) != 0:
+                raise ValueError("stride must be a multiple of the table resolution")
+            state = state.filter(
+                (F.col(BUCKET_COL) % F.lit(int(q.stride))) < F.lit(int(table.resolution))
+            )
+            res_out = max(res_out, q.stride)
+
+        # output dims
+        if q.group_by_none:
+            out_dims: list[tuple[str, object]] = []
+        elif q.group_by_all or not q.group_by:
+            out_dims = [(d, F.col(d)) for d in (table.dims or [])]
+        else:
+            out_dims = [(g.name, compile_dim(g.expr)) for g in q.group_by]
+
+        # fields (SELECT * expands to all table fields + _points)
+        fields = list(q.fields)
+        if q.select_star or not fields:
+            star = [SelectField(POINTS := "_points", MFieldRef("_points"))] + [
+                SelectField(f.name, MFieldRef(f.name)) for f in table.fields
+            ]
+            seen = {f.name for f in fields}
+            fields = fields + [f for f in star if f.name not in seen]
+
+        # SELECT aliases are referenceable from HAVING/ORDER BY (reference
+        # sql_test.go: HAVING Rate > 15 with rate defined in the SELECT)
+        query_aliases = {
+            f.name: f.expr for f in fields if not isinstance(f.expr, MFieldRef)
+        }
+
+        def field_lookup(n: str) -> MExpr:
+            if n in query_aliases:
+                return query_aliases[n]
+            if n == "_points":
+                return MAgg("SUM", MFieldRef("_point"), None)
+            e = next((f.expr for f in table.fields if f.name == n), None)
+            if e is None:
+                raise ValueError(f"unknown field {n} on table {table.tdef.name}")
+            if isinstance(e, MFieldRef):
+                return MAgg("SUM", e, None)
+            return e
+
+        # a SELECTed name that is an output dim is a dim passthrough (the
+        # reference's IN-subqueries SELECT the dim they feed — sql/sql.go:1054)
+        dim_names = {n for n, _ in out_dims}
+        fields = [
+            f
+            for f in fields
+            if not (isinstance(f.expr, MFieldRef) and f.expr.name in dim_names)
+        ]
+
+        # rewrite fields; find required leaves (possibly IF-gated at query time)
+        rewritten: list[SelectField] = []
+        leaves: list[MExpr] = []
+        for f in fields:
+            rewritten.append(SelectField(f.name, collect_agg_leaves(f.expr, field_lookup, leaves)))
+        having_expr = None
+        if q.having is not None:
+            having_expr = collect_agg_leaves(q.having, field_lookup, leaves)
+
+        # map query leaves onto stored states; build gates + a merged registry
+        qreg = StateRegistry()
+        gates: dict[str, object] = {}
+        rename: dict[str, str] = {}  # stored col -> merged col
+        points_key = agg_key(MAgg("SUM", MFieldRef("_point"), None))
+        for leaf in leaves:
+            k = agg_key(leaf)
+            if k in qreg.specs:
+                continue
+            # progressively strip query-time IF gates until the remaining
+            # expression matches a stored state (a table-def IF is part of
+            # the stored key; a query-time IF becomes a merge gate)
+            gate_cond = None
+            inner = leaf
+            while agg_key(inner) not in registry.specs and isinstance(inner, MIf):
+                c = compile_dim(inner.cond)
+                gate_cond = c if gate_cond is None else gate_cond & c
+                inner = inner.inner
+            if isinstance(inner, MPresence):
+                ik = points_key
+            else:
+                ik = agg_key(inner)
+            if ik not in registry.specs:
+                raise ValueError(
+                    f"query aggregate {inner!r} does not match any stored field of "
+                    f"{table.tdef.name} (stored aggregates cannot be re-aggregated "
+                    f"with a different function)"
+                )
+            stored = registry.specs[ik]
+            qspecs = []
+            for s_i, s in enumerate(stored):
+                col = s.col if gate_cond is None else f"_g{len(qreg.specs)}_{s_i}__{s.merge}"
+                qspecs.append(C.StateSpec(k, col, s.merge, s.hist_meta))
+            qreg.specs[k] = qspecs
+            qreg._agg_exprs[k] = leaf
+            if gate_cond is not None:
+                for s, qs in zip(stored, qspecs):
+                    state = state.withColumn(qs.col, F.when(dim_truth(gate_cond), F.col(s.col)))
+
+        merged = merge_states(
+            state,
+            qreg,
+            [(n, c) for n, c in out_dims],
+            table.resolution,
+            res_out if not q.stride else max(res_out, q.stride),
+        )
+
+        def q_lookup(n: str) -> MExpr:
+            return collect_agg_leaves(field_lookup(n), field_lookup, [])
+
+        # crosstab: re-plan with the crosstab expr as an extra dim, then pivot
+        if q.crosstab:
+            return self._crosstab(
+                q, table, state, qreg, out_dims, res_out, rewritten, having_expr, q_lookup
+            )
+
+        flat = self._finalize_flat(
+            merged, qreg, rewritten, out_dims, q_lookup, res_out, having=having_expr
+        )
+        if having_expr is not None:
+            flat = flat.filter(F.col("_having") > 0).drop("_having")
+        return self._order_limit(flat, q)
+
+    def _finalize_flat(
+        self, merged, qreg, fields, out_dims, q_lookup, res_out, having=None
+    ) -> DataFrame:
+        dims = [n for n, _ in out_dims]
+        cols: list = [F.timestamp_seconds(F.col(BUCKET_COL)).alias(TIME_COL)] + [
+            F.col(d) for d in dims
+        ]
+        if having is not None:
+            cols.append(finalize_expr(having, qreg, q_lookup).alias("_having"))
+        shift_plans: list[tuple[str, float, MExpr]] = []
+        for f in fields:
+            e = f.expr
+            if isinstance(e, MShift):
+                shift_plans.append((f.name, e.dur, e.inner))
+                cols.append(finalize_expr(e.inner, qreg, q_lookup).alias(f.name))
+            elif isinstance(e, MCrosshift):
+                base = finalize_expr(e.inner, qreg, q_lookup)
+                cols.append(base.alias(f.name))
+                off = e.interval
+                while off <= e.cutoff:
+                    shift_plans.append((f"{f.name}_{format_duration(off)}", off, e.inner))
+                    cols.append(base.alias(f"{f.name}_{format_duration(off)}"))
+                    off += e.interval
+            else:
+                cols.append(finalize_expr(e, qreg, q_lookup).alias(f.name))
+        flat = merged.select(*cols, F.col(BUCKET_COL))
+        # SHIFT: self-join on (dims, bucket − dur) — sparse-axis correct
+        for out_name, dur, inner in shift_plans:
+            n = int(dur // res_out * res_out)
+            shifted = flat.select(
+                *dims,
+                (F.col(BUCKET_COL) + F.lit(n)).alias(BUCKET_COL),
+                F.col(out_name).alias(f"__shift_{out_name}"),
+            )
+            flat = flat.drop(out_name).join(shifted, on=[*dims, BUCKET_COL], how="left")
+            flat = flat.withColumn(out_name, F.coalesce(F.col(f"__shift_{out_name}"), F.lit(0.0))).drop(
+                f"__shift_{out_name}"
+            )
+        return flat.drop(BUCKET_COL)
+
+    def _crosstab(self, q, table, state, qreg, out_dims, res_out, fields, having_expr, q_lookup):
+        ct_col = F.concat_ws("_", *[compile_dim(e).cast("string") for e in q.crosstab])
+        dims_ct = list(out_dims) + [("__ct", ct_col)]
+        merged_ct = merge_states(state, qreg, dims_ct, table.resolution, res_out)
+        flat_ct = self._finalize_flat(merged_ct, qreg, fields, dims_ct, q_lookup, res_out)
+        values = sorted(
+            r["__ct"] for r in flat_ct.select("__ct").distinct().collect() if r["__ct"] is not None
+        )
+        dims = [n for n, _ in out_dims]
+        pivoted = (
+            flat_ct.groupBy(TIME_COL, *dims)
+            .pivot("__ct", values)
+            .agg(*[F.first(f.name).alias(f.name) for f in fields])
+        )
+        if len(fields) == 1:
+            for v in values:
+                if v in pivoted.columns:
+                    pivoted = pivoted.withColumnRenamed(v, f"{v}_{fields[0].name}")
+        # totals + HAVING computed on the un-pivoted (dims, bucket) grain
+        merged_tot = merge_states(state, qreg, out_dims, table.resolution, res_out)
+        tot_fields = [SelectField(f"total_{f.name}", f.expr) for f in fields]
+        flat_tot = self._finalize_flat(
+            merged_tot, qreg, tot_fields, out_dims, q_lookup, res_out, having=having_expr
+        )
+        if having_expr is not None:
+            flat_tot = flat_tot.filter(F.col("_having") > 0).drop("_having")
+        join_cols = [TIME_COL, *dims]
+        if q.crosstab_totals:
+            out = pivoted.join(flat_tot, on=join_cols, how="inner")
+        else:
+            out = pivoted.join(flat_tot.select(*join_cols), on=join_cols, how="inner")
+        return self._order_limit(out, q)
+
+    # -- query over a flat (subquery) source ---------------------------------
+    def _flat_fields(self, inner_q: Query) -> list[str]:
+        return [f.name for f in inner_q.fields]
+
+    def _aggregate_flat(self, q: Query, inner: DataFrame, inner_fields: list[str]) -> DataFrame:
+        """Outer query over a FROM-subquery: the inner flat rows act as raw
+        points (ts = inner _time, dims = inner dims, vals = inner fields) —
+        the reference's Unflatten→Group path (core/unflatten.go)."""
+        inner_dims = [c for c in inner.columns if c not in inner_fields and c != TIME_COL]
+        fields = list(q.fields)
+        if q.select_star or not fields:
+            seen = {f.name for f in fields}
+            fields += [SelectField(n, MFieldRef(n)) for n in inner_fields if n not in seen]
+        where = self._resolve_in_subqueries(q.where)
+        df = inner
+        if where is not None:
+            resolve = lambda n: F.col(n) if n in df.columns else F.lit(None)
+            df = df.filter(dim_truth(compile_dim(where, resolve)))
+        if q.group_by_none:
+            group_dims: list[tuple[str, object]] = []
+        elif q.group_by_all or not q.group_by:
+            group_dims = [(d, F.col(d)) for d in inner_dims]
+        else:
+            resolve = lambda n: F.col(n) if n in df.columns else F.lit(None)
+            group_dims = [(g.name, compile_dim(g.expr, resolve)) for g in q.group_by]
+        res = q.resolution or 1.0
+        state, registry = aggregate_raw(df, fields, group_dims, res, TIME_COL)
+
+        def f_lookup(n: str) -> MExpr:
+            for f in fields:
+                if f.name == n and not isinstance(f.expr, MFieldRef):
+                    return f.expr
+            return MAgg("SUM", MFieldRef(n), None)
+
+        rewritten = [
+            SelectField(f.name, collect_agg_leaves(f.expr, f_lookup, [])) for f in fields
+        ]
+        flat = self._finalize_flat(state, registry, rewritten, group_dims, f_lookup, res)
+        if q.having is not None:
+            h = collect_agg_leaves(q.having, f_lookup, [])
+            flat = flat.withColumn("_having", finalize_expr(h, registry, f_lookup))
+            flat = flat.filter(F.col("_having") > 0).drop("_having")
+        return self._order_limit(flat, q)
+
+    # -- shared tail ----------------------------------------------------------
+    def _resolve_in_subqueries(self, e: DimExpr | None) -> DimExpr | None:
+        """Pre-execute uncorrelated IN-subqueries and splice their value lists
+        into the predicate (reference planner/subquery.go:13–100). The
+        subquery must select exactly one dim."""
+        if e is None:
+            return None
+        if isinstance(e, DimInSubquery):
+            sub = e.subquery
+            if len(sub.fields) != 1 and not sub.group_by:
+                raise ValueError("IN-subquery must select exactly one dimension")
+            sub_df = self.plan(sub)
+            dim_name = (
+                sub.group_by[0].name
+                if sub.group_by
+                else sub.fields[0].name
+            )
+            values = [r[dim_name] for r in sub_df.select(dim_name).distinct().collect()]
+            return DimIn(e.inner, tuple(v for v in values if v is not None) or (None,))
+        if isinstance(e, DimLogical):
+            return DimLogical(
+                e.op, self._resolve_in_subqueries(e.left), self._resolve_in_subqueries(e.right)
+            )
+        return e
+
+    def _order_limit(self, df: DataFrame, q: Query) -> DataFrame:
+        if q.order_by:
+            cols = []
+            for name, desc in q.order_by:
+                c = F.col(TIME_COL) if name == "_time" else F.col(name)
+                cols.append(c.desc() if desc else c.asc())
+            df = df.orderBy(*cols)
+        if q.offset:
+            df = df.offset(q.offset)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
+
+
+def _substitute_refs(e: MExpr, by_name: dict[str, MExpr]) -> MExpr:
+    """Inline parent field definitions into a view's expressions (reference
+    table.go:194–250: views derive from the parent's field exprs)."""
+    if isinstance(e, MFieldRef):
+        return by_name.get(e.name, e)
+    if isinstance(e, MBin):
+        return MBin(e.op, _substitute_refs(e.left, by_name), _substitute_refs(e.right, by_name))
+    if isinstance(e, MIf):
+        return MIf(e.cond, _substitute_refs(e.inner, by_name))
+    if isinstance(e, MShift):
+        return MShift(_substitute_refs(e.inner, by_name), e.dur)
+    if isinstance(e, MCrosshift):
+        return MCrosshift(_substitute_refs(e.inner, by_name), e.cutoff, e.interval)
+    return e
+
+
+def _parse_simple_yaml(text: str) -> dict:
+    """Minimal YAML subset parser for schema files (no external deps):
+    two-level mapping with scalar values, `>`/`|` block strings, and simple
+    inline lists."""
+    out: dict[str, dict] = {}
+    cur: dict | None = None
+    block_key: str | None = None
+    block_lines: list[str] = []
+    block_indent = 0
+    for raw in text.splitlines():
+        line = raw.rstrip("\n")
+        if block_key is not None:
+            if not line.strip() or (len(line) - len(line.lstrip())) >= block_indent:
+                block_lines.append(line.strip())
+                continue
+            cur[block_key] = " ".join(l for l in block_lines if l)
+            block_key = None
+        if not line.strip() or line.lstrip().startswith("#"):
+            continue
+        indent = len(line) - len(line.lstrip())
+        key, _, val = line.strip().partition(":")
+        val = val.strip()
+        if indent == 0:
+            cur = {}
+            out[key] = cur
+        else:
+            if val in (">", "|"):
+                block_key = key
+                block_lines = []
+                block_indent = indent + 1
+            elif val.startswith("["):
+                cur[key] = [v.strip() for v in val.strip("[]").split(",") if v.strip()]
+            elif val.lower() in ("true", "false"):
+                cur[key] = val.lower() == "true"
+            else:
+                cur[key] = val
+    if block_key is not None and cur is not None:
+        cur[block_key] = " ".join(l for l in block_lines if l)
+    return out

@@ -1,0 +1,650 @@
+"""IR → DataFrame compiler.
+
+Two lowering paths share one expression walker:
+
+1. **raw aggregation** (`aggregate_raw`) — a table definition (or the outer
+   query of a FROM-subquery) aggregating raw points into *mergeable state
+   columns*: SUM/COUNT/MIN/MAX keep their value, AVG keeps (sum,count),
+   WAVG keeps (Σvw, Σw), PERCENTILE keeps a bounded-histogram array.
+   This is the reference's ingest path (insert.go:175–268 +
+   bytetree update) expressed as one Spark hash aggregate.
+
+2. **state merge** (`merge_states`) — a query over a stored table re-groups
+   state columns to coarser buckets / fewer dims by *merging* states
+   (sum+sum, min∧min, histogram ⊕) — the reference's SubMerge
+   (expr/aggregate.go:97–109, encoding/seq.go:243–320). Spark's partial
+   aggregation does exactly this for the scalar states; histograms merge
+   with an element-wise array fold.
+
+`finalize` then turns merged states into flat field values (AVG = sum/count,
+percentile = quantile read, arithmetic, comparisons, divide-by-zero
+convention) — the reference's Flatten + expr Get (core/flatten.go,
+expr/avg.go:101–114).
+
+Scale notes: every path is a plain groupBy over (dims, bucket) — map-side
+combined, AQE-coalesced. No Python UDFs anywhere; histogram states are
+arrays of longs handled by built-in higher-order functions.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from zenodb_spark.functions.dims import DIM_FUNCTIONS
+from zenodb_spark.functions.measures import MAX_FLOAT64
+from zenodb_spark.ir import (
+    DimCompare,
+    DimConst,
+    DimExpr,
+    DimFunc,
+    DimIn,
+    DimInSubquery,
+    DimIsNull,
+    DimLike,
+    DimLogical,
+    DimNot,
+    DimRef,
+    MAgg,
+    MBin,
+    MBounded,
+    MConst,
+    MCrosshift,
+    MExpr,
+    MFieldRef,
+    MIf,
+    MLog,
+    MPercentile,
+    MPresence,
+    MShift,
+    Query,
+    SelectField,
+)
+
+BUCKET_COL = "_bucket"
+POINTS_FIELD = "_points"
+
+
+# --------------------------------------------------------------------------
+# dimension expression compilation
+# --------------------------------------------------------------------------
+
+
+def compile_dim(e: DimExpr, resolve=None) -> Column:
+    """Compile a dimension expression to a Column. `resolve` maps a dim name
+    to a Column (defaults to F.col); missing dims resolve to NULL via the
+    caller's resolver (schemaless streams: unknown dim = nil)."""
+    r = resolve or (lambda name: F.col(name))
+    if isinstance(e, DimRef):
+        return r(e.name)
+    if isinstance(e, DimConst):
+        return F.lit(e.value)
+    if isinstance(e, DimFunc):
+        fn = DIM_FUNCTIONS.get(e.name)
+        if fn is None:
+            raise ValueError(f"unknown dimension function {e.name} (register it)")
+        args = [_dim_fn_arg(a, r) for a in e.args]
+        return fn(*args)
+    if isinstance(e, DimCompare):
+        left, right = compile_dim(e.left, r), compile_dim(e.right, r)
+        return {
+            "=": left == right,
+            "<>": left != right,
+            "<": left < right,
+            "<=": left <= right,
+            ">": left > right,
+            ">=": left >= right,
+        }[e.op]
+    if isinstance(e, DimLogical):
+        left, right = compile_dim(e.left, r), compile_dim(e.right, r)
+        return (left & right) if e.op == "AND" else (left | right)
+    if isinstance(e, DimNot):
+        return ~compile_dim(e.inner, r)
+    if isinstance(e, DimIsNull):
+        c = compile_dim(e.inner, r)
+        return c.isNotNull() if e.negated else c.isNull()
+    if isinstance(e, DimLike):
+        c = compile_dim(e.inner, r)
+        # reference LIKE is substring-match (goexpr Like wraps regex contains)
+        like = c.contains(e.pattern.replace("%", ""))
+        return ~like if e.negated else like
+    if isinstance(e, DimIn):
+        return compile_dim(e.inner, r).isin(*e.values)
+    if isinstance(e, DimInSubquery):
+        raise ValueError("IN-subquery must be rewritten to a semi-join by the planner")
+    raise TypeError(f"unhandled dim expr {e!r}")
+
+
+def _dim_fn_arg(a, r):
+    """Dim-function args: constants pass through as Python values (SPLIT's
+    separator/index, SUBSTR's start/len, DECODE's pairs), expressions
+    compile to Columns."""
+    if isinstance(a, DimConst):
+        return a.value
+    return compile_dim(a, r)
+
+
+def dim_truth(col: Column) -> Column:
+    """Boolean with null → false (reference treats nil dims as non-matching)."""
+    return F.coalesce(col, F.lit(False))
+
+
+# --------------------------------------------------------------------------
+# state model
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class StateSpec:
+    """One mergeable accumulator: where it lives and how it merges."""
+
+    key: str  # canonical key of the aggregate sub-expression
+    col: str  # physical column name
+    merge: str  # sum | min | max | hist
+    hist_meta: tuple | None = None  # (lo, hi, precision)
+
+
+def agg_key(e: MExpr) -> str:
+    return repr(e)
+
+
+def _state_name(idx: int, suffix: str) -> str:
+    return f"_s{idx}__{suffix}"
+
+
+class StateRegistry:
+    """Collects the distinct aggregate leaves of a set of field expressions
+    and assigns state columns (dedup'd: `ii` and `COUNT(ii)` appearing in two
+    fields share state)."""
+
+    def __init__(self):
+        self.specs: dict[str, list[StateSpec]] = {}
+        self._agg_exprs: dict[str, MExpr] = {}
+
+    def require(self, e: MExpr) -> list[StateSpec]:
+        k = agg_key(e)
+        if k not in self.specs:
+            idx = len(self.specs)
+            kind = _leaf_kind(e)
+            if kind in ("SUM", "COUNT"):
+                cols = [StateSpec(k, _state_name(idx, kind.lower()), "sum")]
+            elif kind == "MIN":
+                cols = [StateSpec(k, _state_name(idx, "min"), "min")]
+            elif kind == "MAX":
+                cols = [StateSpec(k, _state_name(idx, "max"), "max")]
+            elif kind == "AVG":
+                cols = [
+                    StateSpec(k, _state_name(idx, "sum"), "sum"),
+                    StateSpec(k, _state_name(idx, "count"), "sum"),
+                ]
+            elif kind == "WAVG":
+                cols = [
+                    StateSpec(k, _state_name(idx, "wsum"), "sum"),
+                    StateSpec(k, _state_name(idx, "wwt"), "sum"),
+                ]
+            elif kind == "PERCENTILE":
+                leaf = _find_leaf(e)
+                meta = (leaf.lo, leaf.hi, leaf.precision)
+                cols = [StateSpec(k, _state_name(idx, "hist"), "hist", meta)]
+            elif kind == "POINTS":
+                cols = [StateSpec(k, _state_name(idx, "points"), "sum")]
+            else:
+                raise ValueError(f"cannot make state for {e!r}")
+            self.specs[k] = cols
+            self._agg_exprs[k] = e
+        return self.specs[k]
+
+    def all_specs(self) -> list[StateSpec]:
+        return [s for specs in self.specs.values() for s in specs]
+
+    def expr_for(self, key: str) -> MExpr:
+        return self._agg_exprs[key]
+
+
+def _find_leaf(e: MExpr):
+    """Unwrap IF gating to the aggregate/percentile leaf."""
+    while isinstance(e, MIf):
+        e = e.inner
+    return e
+
+
+def _leaf_kind(e: MExpr) -> str:
+    leaf = _find_leaf(e)
+    if isinstance(leaf, MAgg):
+        return leaf.kind
+    if isinstance(leaf, MPercentile):
+        return "PERCENTILE"
+    if isinstance(leaf, MPresence):
+        return "POINTS"
+    raise ValueError(f"not an aggregate leaf: {e!r}")
+
+
+def collect_agg_leaves(e: MExpr, field_lookup, out: list[MExpr]) -> MExpr:
+    """Rewrite a field expression so every aggregate leaf is requested from
+    the registry; bare field refs resolve through `field_lookup` (reference
+    default-to-SUM + field-reuse rules, sql/sql.go:727–737). Returns the
+    rewritten expression (MFieldRefs replaced by their definitions)."""
+    if isinstance(e, (MConst,)):
+        return e
+    if isinstance(e, MPresence):
+        out.append(e)
+        return e
+    if isinstance(e, MFieldRef):
+        resolved = field_lookup(e.name)
+        return collect_agg_leaves(resolved, field_lookup, out)
+    if isinstance(e, MAgg):
+        # normalize the arg (resolve field refs inside the aggregate)
+        arg = _resolve_refs_shallow(e.arg, field_lookup)
+        weight = _resolve_refs_shallow(e.weight, field_lookup) if e.weight else None
+        norm = MAgg(e.kind, arg, weight)
+        out.append(norm)
+        return norm
+    if isinstance(e, MPercentile):
+        if e.precision is None:
+            # 2-arg re-read: resolve target field, must be a percentile
+            target = field_lookup(e.inner.name) if isinstance(e.inner, MFieldRef) else e.inner
+            leaf = _find_leaf(target)
+            if not (isinstance(leaf, MPercentile) and leaf.precision is not None):
+                raise ValueError("2-arg PERCENTILE must wrap an existing percentile field")
+            out.append(target)
+            return MPercentile(target, e.p)
+        norm = MPercentile(
+            _resolve_refs_shallow(e.inner, field_lookup), e.p, e.lo, e.hi, e.precision
+        )
+        out.append(norm)
+        return norm
+    if isinstance(e, MIf):
+        inner_out: list[MExpr] = []
+        inner = collect_agg_leaves(e.inner, field_lookup, inner_out)
+        gated = MIf(e.cond, inner)
+        if inner_out and len(inner_out) == 1 and agg_key(inner_out[0]) == agg_key(inner):
+            # simple IF(cond, AGG) — gate the state itself
+            out.append(gated)
+            return gated
+        out.extend(inner_out)
+        return gated
+    if isinstance(e, MBounded):
+        return MBounded(collect_agg_leaves(e.inner, field_lookup, out), e.lo, e.hi)
+    if isinstance(e, MBin):
+        return MBin(
+            e.op,
+            collect_agg_leaves(e.left, field_lookup, out),
+            collect_agg_leaves(e.right, field_lookup, out),
+        )
+    if isinstance(e, MLog):
+        return MLog(e.kind, collect_agg_leaves(e.inner, field_lookup, out))
+    if isinstance(e, MShift):
+        return MShift(collect_agg_leaves(e.inner, field_lookup, out), e.dur)
+    if isinstance(e, MCrosshift):
+        return MCrosshift(collect_agg_leaves(e.inner, field_lookup, out), e.cutoff, e.interval)
+    raise TypeError(f"unhandled measure expr {e!r}")
+
+
+def _resolve_refs_shallow(e: MExpr, field_lookup) -> MExpr:
+    """Inside an aggregate arg, field refs stay raw column refs (they are
+    val names), but BOUNDED/arith wrappers recurse."""
+    if e is None or isinstance(e, (MFieldRef, MConst, MPresence)):
+        return e
+    if isinstance(e, MBounded):
+        return MBounded(_resolve_refs_shallow(e.inner, field_lookup), e.lo, e.hi)
+    if isinstance(e, MBin):
+        return MBin(
+            e.op,
+            _resolve_refs_shallow(e.left, field_lookup),
+            _resolve_refs_shallow(e.right, field_lookup),
+        )
+    return e
+
+
+# --------------------------------------------------------------------------
+# raw-mode value compilation (inside an aggregate, over raw point columns)
+# --------------------------------------------------------------------------
+
+
+def _raw_value(e: MExpr, has_col) -> Column:
+    if isinstance(e, MFieldRef):
+        return F.col(e.name).cast("double") if has_col(e.name) else F.lit(None).cast("double")
+    if isinstance(e, MConst):
+        return F.lit(e.value)
+    if isinstance(e, MBounded):
+        v = _raw_value(e.inner, has_col)
+        return F.when((v >= e.lo) & (v <= e.hi), v)
+    if isinstance(e, MBin):
+        left, right = _raw_value(e.left, has_col), _raw_value(e.right, has_col)
+        return _arith(e.op, left, right)
+    raise ValueError(f"unsupported expression inside aggregate: {e!r}")
+
+
+def _arith(op: str, left: Column, right: Column) -> Column:
+    if op == "+":
+        return left + right
+    if op == "-":
+        return left - right
+    if op == "*":
+        return left * right
+    if op == "/":
+        return (
+            F.when(right != 0, left / right)
+            .when(left == 0, F.lit(0.0))
+            .otherwise(F.lit(MAX_FLOAT64))
+        )
+    # comparisons / logical over measures → 0/1 doubles (reference expr/conds.go)
+    truthy = {
+        "<": left < right,
+        "<=": left <= right,
+        ">": left > right,
+        ">=": left >= right,
+        "=": left == right,
+        "<>": left != right,
+        "AND": (left > 0) & (right > 0),
+        "OR": (left > 0) | (right > 0),
+    }[op]
+    return F.when(truthy, F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def _hist_bin_expr(v: Column, lo: float, hi: float, precision: int) -> Column:
+    scale = float(10**precision)
+    nbins = int(round((hi - lo) * scale)) + 1
+    idx = F.floor((v - F.lit(lo)) * scale + F.lit(0.5)).cast("long")
+    return F.when((v >= lo) & (v <= hi), F.least(idx, F.lit(nbins - 1)))
+
+
+def hist_nbins(meta: tuple) -> int:
+    lo, hi, precision = meta
+    return int(round((hi - lo) * float(10**precision))) + 1
+
+
+def _raw_state_agg(e: MExpr, spec: StateSpec, has_col, dim_resolve) -> list[Column]:
+    """Aggregate Columns producing this leaf's state from raw points."""
+    gate = None
+    leaf = e
+    while isinstance(leaf, MIf):
+        gate = (
+            compile_dim(leaf.cond, dim_resolve)
+            if gate is None
+            else gate & compile_dim(leaf.cond, dim_resolve)
+        )
+        leaf = leaf.inner
+
+    def gated(v: Column) -> Column:
+        return F.when(dim_truth(gate), v) if gate is not None else v
+
+    if isinstance(leaf, MPresence):
+        return [F.count(gated(F.lit(1))).cast("double").alias(spec.col)]
+    if isinstance(leaf, MPercentile):
+        raise AssertionError("percentile states are built by hist join, not here")
+    assert isinstance(leaf, MAgg)
+    v = gated(_raw_value(leaf.arg, has_col))
+    if leaf.kind == "SUM":
+        return [F.coalesce(F.sum(v), F.lit(0.0)).alias(spec.col)]
+    if leaf.kind == "COUNT":
+        return [F.count(v).cast("double").alias(spec.col)]
+    if leaf.kind == "MIN":
+        return [F.min(v).alias(spec.col)]
+    if leaf.kind == "MAX":
+        return [F.max(v).alias(spec.col)]
+    raise AssertionError(spec)
+
+
+# --------------------------------------------------------------------------
+# public lowering entry points
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class TableMeta:
+    """Compiled shape of a stored table: dims, resolution, field IR and the
+    state registry mapping aggregate leaves → state columns."""
+
+    name: str
+    dims: list[str]
+    resolution: float
+    fields: list[SelectField]
+    registry: StateRegistry
+
+    def field_expr(self, name: str) -> MExpr | None:
+        for f in self.fields:
+            if f.name == name:
+                return f.expr
+        return None
+
+
+def aggregate_raw(
+    df: DataFrame,
+    fields: list[SelectField],
+    group_dims: list[tuple[str, Column]],
+    resolution: float,
+    ts_col: str = "ts",
+    registry: StateRegistry | None = None,
+) -> tuple[DataFrame, StateRegistry]:
+    """Aggregate raw points to one state row per (dims…, bucket).
+
+    Fields' aggregate leaves become state columns; percentile leaves are
+    computed by a parallel two-level histogram aggregation joined back on
+    the group key (co-partitioned join).
+    """
+    registry = registry or StateRegistry()
+    cols = set(df.columns)
+    has_col = lambda n: n in cols
+
+    # resolve bare refs: at raw level a bare name is SUM(name)
+    def field_lookup(name: str) -> MExpr:
+        for f in fields:
+            if f.name == name and not isinstance(f.expr, MFieldRef):
+                return f.expr
+        return MAgg("SUM", MFieldRef(name), None)
+
+    leaves: list[MExpr] = []
+    for f in fields:
+        collect_agg_leaves(f.expr, field_lookup, leaves)
+    leaves.append(MAgg("SUM", MFieldRef("_point"), None))  # _points
+    for leaf in leaves:
+        registry.require(leaf)
+
+    bucket = (
+        F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col(ts_col)) % F.lit(int(resolution))
+    ).cast("long")
+    keyed = df.withColumn(BUCKET_COL, bucket)
+    if "_point" not in cols:
+        keyed = keyed.withColumn("_point", F.lit(1.0))
+        has_col = lambda n: n in cols or n == "_point"
+
+    group_cols = [c.alias(n) for n, c in group_dims] + [F.col(BUCKET_COL)]
+    dim_resolve = lambda name: F.col(name) if name in keyed.columns else F.lit(None)
+
+    scalar_aggs: list[Column] = []
+    hist_specs: list[tuple[MExpr, StateSpec]] = []
+    for key, specs in registry.specs.items():
+        e = registry.expr_for(key)
+        if specs[0].merge == "hist":
+            hist_specs.append((e, specs[0]))
+            continue
+        if _leaf_kind(e) == "AVG":
+            leaf = _find_leaf(e)
+            sum_spec, cnt_spec = specs
+            sum_e = MAgg("SUM", leaf.arg, None)
+            cnt_e = MAgg("COUNT", leaf.arg, None)
+            sum_e, cnt_e = _regate(e, sum_e), _regate(e, cnt_e)
+            scalar_aggs += _raw_state_agg(sum_e, sum_spec, has_col, dim_resolve)
+            scalar_aggs += _raw_state_agg(cnt_e, cnt_spec, has_col, dim_resolve)
+        elif _leaf_kind(e) == "WAVG":
+            leaf = _find_leaf(e)
+            wsum_spec, wwt_spec = specs
+            vw = MBin("*", leaf.arg, leaf.weight)
+            scalar_aggs += _raw_state_agg(_regate(e, MAgg("SUM", vw, None)), wsum_spec, has_col, dim_resolve)
+            scalar_aggs += _raw_state_agg(_regate(e, MAgg("SUM", leaf.weight, None)), wwt_spec, has_col, dim_resolve)
+        else:
+            scalar_aggs += _raw_state_agg(e, specs[0], has_col, dim_resolve)
+
+    out = keyed.groupBy(*group_cols).agg(*scalar_aggs)
+
+    for e, spec in hist_specs:
+        leaf = _find_leaf(e)
+        lo, hi, precision = spec.hist_meta
+        gate = None
+        g = e
+        while isinstance(g, MIf):
+            c = compile_dim(g.cond, dim_resolve)
+            gate = c if gate is None else gate & c
+            g = g.inner
+        v = _raw_value(leaf.inner, has_col)
+        if gate is not None:
+            v = F.when(dim_truth(gate), v)
+        binned = keyed.withColumn("__bin", _hist_bin_expr(v, lo, hi, precision)).filter(
+            F.col("__bin").isNotNull()
+        )
+        nbins = hist_nbins(spec.hist_meta)
+        per_bin = binned.groupBy(
+            *[c.alias(n) for n, c in group_dims], F.col(BUCKET_COL), F.col("__bin")
+        ).agg(F.count(F.lit(1)).alias("__c"))
+        assembled = per_bin.groupBy(*[F.col(n) for n, _ in group_dims], F.col(BUCKET_COL)).agg(
+            F.map_from_entries(F.collect_list(F.struct("__bin", "__c"))).alias("__m")
+        )
+        dense = F.transform(
+            F.sequence(F.lit(0), F.lit(nbins - 1)),
+            lambda i: F.coalesce(F.element_at(F.col("__m"), i.cast("long")), F.lit(0).cast("long")),
+        )
+        hist_df = assembled.withColumn(spec.col, dense).drop("__m")
+        out = out.join(hist_df, on=[n for n, _ in group_dims] + [BUCKET_COL], how="left")
+
+    return out, registry
+
+
+def _regate(original: MExpr, new_leaf: MExpr) -> MExpr:
+    """Re-wrap a substituted leaf in the IF gates of the original."""
+    gates = []
+    e = original
+    while isinstance(e, MIf):
+        gates.append(e.cond)
+        e = e.inner
+    for cond in reversed(gates):
+        new_leaf = MIf(cond, new_leaf)
+    return new_leaf
+
+
+def merge_states(
+    state_df: DataFrame,
+    registry: StateRegistry,
+    out_dims: list[tuple[str, Column]],
+    resolution_in: float,
+    resolution_out: float,
+    gates: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Re-aggregate stored state rows to coarser buckets / different dims by
+    merging accumulator states (reference SubMerge)."""
+    ratio = resolution_out / resolution_in
+    if resolution_out < resolution_in or abs(ratio - round(ratio)) > 1e-9:
+        raise ValueError(
+            f"query resolution {resolution_out}s must be a multiple of table resolution {resolution_in}s"
+        )
+    bucket = (F.col(BUCKET_COL) - F.col(BUCKET_COL) % F.lit(int(resolution_out))).cast("long")
+    keyed = state_df.withColumn("__qbucket", bucket)
+    aggs: list[Column] = []
+    for spec in registry.all_specs():
+        src = F.col(spec.col)
+        if gates and spec.key in gates:
+            src = F.when(gates[spec.key], src)
+        if spec.merge == "sum":
+            aggs.append(F.sum(src).alias(spec.col))
+        elif spec.merge == "min":
+            aggs.append(F.min(src).alias(spec.col))
+        elif spec.merge == "max":
+            aggs.append(F.max(src).alias(spec.col))
+        elif spec.merge == "hist":
+            nbins = hist_nbins(spec.hist_meta)
+            empty = F.array_repeat(F.lit(0).cast("long"), nbins)
+            aggs.append(
+                F.aggregate(
+                    F.collect_list(src),
+                    empty,
+                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                ).alias(spec.col)
+            )
+        else:
+            raise AssertionError(spec)
+    group_cols = [c.alias(n) for n, c in out_dims] + [F.col("__qbucket").alias(BUCKET_COL)]
+    return keyed.groupBy(*group_cols).agg(*aggs)
+
+
+def finalize_expr(e: MExpr, registry: StateRegistry, field_lookup) -> Column:
+    """Compile a (rewritten) field expression over merged state columns."""
+    if isinstance(e, MConst):
+        return F.lit(e.value)
+    if isinstance(e, MFieldRef):
+        return finalize_expr(field_lookup(e.name), registry, field_lookup)
+    if isinstance(e, MPresence):
+        k = agg_key(e)
+        if k in registry.specs:
+            c = F.col(registry.specs[k][0].col)
+            return F.when(F.coalesce(c, F.lit(0.0)) > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        return F.lit(1.0)
+    if isinstance(e, (MAgg, MIf)) or (isinstance(e, MPercentile) and e.precision is not None):
+        kind = _leaf_kind(e)
+        specs = registry.specs.get(agg_key(e))
+        if specs is None:
+            raise ValueError(f"no state for {e!r}")
+        if kind == "POINTS":
+            # `_` presence magic: 1 when any (gated) point present
+            c = F.coalesce(F.col(specs[0].col), F.lit(0.0))
+            return F.when(c > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+        if kind == "SUM":
+            return F.coalesce(F.col(specs[0].col), F.lit(0.0))
+        if kind == "COUNT":
+            return F.coalesce(F.col(specs[0].col), F.lit(0.0))
+        if kind in ("MIN", "MAX"):
+            return F.col(specs[0].col)
+        if kind == "AVG":
+            # try_divide: AVG of an empty/unset group reads as null under
+            # ANSI mode too (the reference reads unset as NaN-ish 0)
+            return F.try_divide(F.col(specs[0].col), F.col(specs[1].col))
+        if kind == "WAVG":
+            return F.try_divide(F.col(specs[0].col), F.col(specs[1].col))
+        if kind == "PERCENTILE":
+            leaf = _find_leaf(e)
+            lo, hi, precision = specs[0].hist_meta
+            return _hist_quantile_col(F.col(specs[0].col), leaf.p, lo, precision)
+        raise AssertionError(kind)
+    if isinstance(e, MPercentile):  # 2-arg re-read over a stored percentile
+        specs = registry.specs.get(agg_key(e.inner))
+        if specs is None:
+            raise ValueError(f"2-arg PERCENTILE: no stored percentile for {e.inner!r}")
+        lo, hi, precision = specs[0].hist_meta
+        return _hist_quantile_col(F.col(specs[0].col), e.p, lo, precision)
+    if isinstance(e, MBounded):
+        v = finalize_expr(e.inner, registry, field_lookup)
+        return F.when((v >= e.lo) & (v <= e.hi), v)
+    if isinstance(e, MBin):
+        return _arith(
+            e.op,
+            finalize_expr(e.left, registry, field_lookup),
+            finalize_expr(e.right, registry, field_lookup),
+        )
+    if isinstance(e, MLog):
+        v = finalize_expr(e.inner, registry, field_lookup)
+        return {"LN": F.log(v), "LOG2": F.log2(v), "LOG10": F.log(10.0, v)}[e.kind]
+    if isinstance(e, (MShift, MCrosshift)):
+        raise ValueError("SHIFT/CROSSHIFT are planned as joins, not inline expressions")
+    raise TypeError(f"unhandled finalize expr {e!r}")
+
+
+def _hist_quantile_col(state: Column, p: float, lo: float, precision: int) -> Column:
+    scale = float(10**precision)
+    total = F.aggregate(state, F.lit(0).cast("long"), lambda a, x: a + x)
+    target = F.ceil(total * F.lit(p) / F.lit(100.0)).cast("long")
+    folded = F.aggregate(
+        F.zip_with(
+            state,
+            F.sequence(F.lit(0), F.size(state) - 1),
+            lambda c, i: F.struct(c.alias("c"), i.alias("i")),
+        ),
+        F.struct(F.lit(0).cast("long").alias("cum"), F.lit(-1).cast("long").alias("ans")),
+        lambda acc, x: F.struct(
+            (acc["cum"] + x["c"]).alias("cum"),
+            F.when((acc["ans"] < 0) & (acc["cum"] + x["c"] >= target), x["i"].cast("long"))
+            .otherwise(acc["ans"])
+            .alias("ans"),
+        ),
+    )
+    return F.when(folded["ans"] >= 0, folded["ans"] / F.lit(scale) + F.lit(lo))
