@@ -1,0 +1,118 @@
+"""Streaming ingest tests: the reference runs every golden suite twice —
+memstore-only and flushed (zenodb_test.go:404–409); our analog is batch
+ingest vs streaming ingest producing identical query results."""
+
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from zenodb_spark.engine import DB
+from zenodb_spark.streaming.ingest import start_table_stream, windowed_rollup_stream
+
+EPOCH = dt.datetime(2015, 1, 1, tzinfo=dt.timezone.utc)
+E = EPOCH.timestamp()
+
+
+def ts(off: float) -> dt.datetime:
+    return dt.datetime.fromtimestamp(E + off, dt.timezone.utc)
+
+
+SCHEMA = {
+    "combined": {
+        "retentionperiod": "1h",
+        "sql": "SELECT requests, AVG(load_avg) AS load_avg FROM inbound GROUP BY *, period('5m')",
+    }
+}
+
+POINTS = [
+    Row(ts=ts(0), server="a", path="/x", requests=10.0, load_avg=0.5),
+    Row(ts=ts(30), server="a", path="/x", requests=5.0, load_avg=1.5),
+    Row(ts=ts(400), server="b", path="/y", requests=7.0, load_avg=0.25),
+]
+
+
+@pytest.fixture()
+def tmpdir():
+    d = tempfile.mkdtemp(prefix="zspark_stream_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_matches_batch(spark, tmpdir):
+    # batch reference result
+    db_batch = DB(spark, now=E + 600)
+    db_batch.apply_schema(SCHEMA)
+    db_batch.insert("inbound", spark.createDataFrame(POINTS))
+    expected = sorted(
+        (r["server"], r["requests"], r["load_avg"], r["_points"])
+        for r in db_batch.query("SELECT requests, load_avg, _points FROM combined GROUP BY server").collect()
+    )
+
+    # streaming ingest from a file source fed incrementally (→ several micro-batches)
+    src = f"{tmpdir}/src"
+    spark.createDataFrame(POINTS[:2]).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+
+    db_s = DB(spark, now=E + 600, workdir=f"{tmpdir}/store")
+    db_s.apply_schema(SCHEMA)
+    q = start_table_stream(
+        db_s, "combined", stream, checkpoint_dir=f"{tmpdir}/ckpt"
+    )
+    q.awaitTermination(120)
+
+    # late/extra data arrives → second incremental run picks it up
+    spark.createDataFrame(POINTS[2:]).write.mode("append").parquet(src)
+    q2 = start_table_stream(
+        db_s, "combined", spark.readStream.schema(schema).parquet(src),
+        checkpoint_dir=f"{tmpdir}/ckpt",
+    )
+    q2.awaitTermination(120)
+
+    got = sorted(
+        (r["server"], r["requests"], r["load_avg"], r["_points"])
+        for r in db_s.query("SELECT requests, load_avg, _points FROM combined GROUP BY server").collect()
+    )
+    assert got == expected
+    assert len(db_s.tables["combined"]._parts) >= 2  # true partial parts
+
+    # compaction preserves results (flush-merge equivalence)
+    db_s.tables["combined"].compact()
+    got2 = sorted(
+        (r["server"], r["requests"], r["load_avg"], r["_points"])
+        for r in db_s.query("SELECT requests, load_avg, _points FROM combined GROUP BY server").collect()
+    )
+    assert got2 == expected
+
+
+def test_windowed_rollup_stream(spark, tmpdir):
+    src = f"{tmpdir}/src2"
+    spark.createDataFrame(POINTS).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    rolled = windowed_rollup_stream(
+        stream,
+        ["server"],
+        {"requests": F.sum("requests"), "n": F.count(F.lit(1))},
+        300,
+    )
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rollup_out")
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmpdir}/ckpt2")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["server"], r["_time"].isoformat()): (r["requests"], r["n"])
+        for r in spark.sql("SELECT * FROM rollup_out").collect()
+    }
+    assert rows[("a", "2015-01-01T00:00:00")] == (15.0, 2)
+    assert rows[("b", "2015-01-01T00:05:00")] == (7.0, 1)
