@@ -55,11 +55,12 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     toks = F.split(normalize_text(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    return (
-        df.select(F.col(id_col).alias("doc"), F.explode(F.array_distinct(sh)).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
-    )
+    # array_distinct dedups within the doc BEFORE exploding, so no extra
+    # shuffle-distinct is needed — explode output is already (doc, shingle)
+    # unique
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(F.array_distinct(sh)).alias("shingle")
+    ).filter(F.length("shingle") > 0)
 
 
 def ngram_jaccard_pairs(
@@ -77,9 +78,14 @@ def ngram_jaccard_pairs(
     Only pairs sharing ≥1 (non-ubiquitous) shingle are ever materialized.
     """
     sh = shingles(df, text_col, id_col, n).cache()
+    # per-doc set sizes and per-shingle document frequency are tiny relative
+    # to the corpus → broadcast them; the only big shuffle left is the
+    # inverted-index self-join keyed by shingle
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    rare = sh.join(freq.filter(F.col("df_") <= max_doc_freq), "shingle")
+    rare = sh.join(F.broadcast(freq.filter(F.col("df_") <= max_doc_freq)), "shingle").select(
+        "doc", "shingle"
+    )
     inter = (
         rare.alias("a")
         .join(rare.alias("b"), "shingle")
@@ -88,8 +94,14 @@ def ngram_jaccard_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
-        inter.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        inter.join(
+            F.broadcast(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a")),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b")),
+            "doc_b",
+        )
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -149,8 +161,14 @@ def minhash_lsh_pairs(
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
-        shared.join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-        .join(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        shared.join(
+            F.broadcast(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a")),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b")),
+            "doc_b",
+        )
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

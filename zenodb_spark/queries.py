@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from zenodb_spark.catalog import load_table
+from zenodb_spark.engine import DB
 from zenodb_spark.functions.measures import IF, BOUNDED, MAX_FLOAT64, cents, safe_div
 from zenodb_spark.functions.dims import CONCAT, DECODE, LEN, REPLACEALL, SPLIT, SUBSTR
 from zenodb_spark.operators import dedup, similarity, textstats, timeops
@@ -849,3 +850,156 @@ def q31_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.countDistinct("digest").alias("n_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Engine-level entries: the full SQL-dialect engine (schema → ingest →
+# dialect query) validated against the DuckDB oracle. Only order-independent
+# aggregates (COUNT/MIN/MAX/histogram-sketch) are used so values are exact.
+# ---------------------------------------------------------------------------
+
+_ENGINE_CACHE: dict[str, DB] = {}
+
+_ENGINE_SCHEMA = {
+    "ev_hourly": {
+        "sql": (
+            "SELECT COUNT(value) AS cnt, MIN(value) AS mn, MAX(value) AS mx, "
+            "IF(event_type = 'error', COUNT(value)) AS errors, "
+            "PERCENTILE(value, 50, 0, 100, 1) AS med "
+            "FROM events GROUP BY event_type, period('1h')"
+        ),
+    },
+    "ev_daily": {
+        "view": True,
+        "sql": "SELECT cnt FROM ev_hourly GROUP BY event_type, period('1d')",
+    },
+}
+
+
+def _engine_db(spark: SparkSession, sf_dir: str) -> DB:
+    db = _ENGINE_CACHE.get(sf_dir)
+    if db is None:
+        db = DB(spark)
+        db.apply_schema(_ENGINE_SCHEMA)
+        db.insert("events", load_table(spark, sf_dir, "events"))
+        for t in db.tables.values():
+            t.compact()
+        _ENGINE_CACHE[sf_dir] = db
+    return db
+
+
+def _as_bucket(df: DataFrame) -> DataFrame:
+    return df.withColumn("bucket", F.unix_timestamp("_time").cast("long")).drop("_time")
+
+
+_P128D = 128 * 86400
+
+_HIST_REPLAY = """
+    WITH b AS (
+      SELECT event_type, {bucket} AS bucket,
+             least(CAST(floor(value*10+0.5) AS BIGINT), 1000) AS bin
+      FROM events WHERE value >= 0 AND value <= 100
+    ), c AS (
+      SELECT event_type, bucket, bin, count(*) AS n FROM b GROUP BY 1, 2, 3
+    ), d AS (
+      SELECT event_type, bucket, bin,
+             sum(n) OVER (PARTITION BY event_type, bucket ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY event_type, bucket) AS tot
+      FROM c
+    )
+    SELECT event_type, bucket,
+           min(CASE WHEN cum >= CAST(ceil(tot*{p}/100.0) AS BIGINT) THEN bin END)/10.0 AS {name}
+    FROM d GROUP BY 1, 2
+"""
+
+
+@query(
+    "z01_engine_rollup_sketch",
+    f"""
+    WITH base AS (
+      SELECT event_type, {BUCKET.format(p=_P128D)} AS bucket,
+             CAST(count(value) AS DOUBLE) AS cnt,
+             min(value) AS mn, max(value) AS mx,
+             CAST(count(CASE WHEN event_type = 'error' THEN value END) AS DOUBLE) AS errors
+      FROM events GROUP BY 1, 2
+    ),
+    med AS ({_HIST_REPLAY.format(bucket=BUCKET.format(p=_P128D), p=50, name="med")}),
+    p95 AS ({_HIST_REPLAY.format(bucket=BUCKET.format(p=_P128D), p=95, name="med_p95")})
+    SELECT base.*, med.med, p95.med_p95
+    FROM base JOIN med USING (event_type, bucket) JOIN p95 USING (event_type, bucket)
+    """,
+)
+def z01_engine_rollup_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: hourly pre-aggregated table (COUNT/MIN/MAX + IF-gated
+    COUNT + mergeable percentile sketch) re-aggregated by the dialect to
+    128-day buckets, with a 2-arg percentile re-read — the reference's
+    core store-coarse-merge-read loop (SURVEY §1.4)."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT cnt, mn, mx, errors, med, PERCENTILE(med, 95) AS med_p95 "
+        "FROM ev_hourly GROUP BY event_type, period('128d')"
+    )
+    return _as_bucket(out)
+
+
+@query(
+    "z02_engine_shift",
+    f"""
+    WITH d AS (
+      SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+             CAST(count(value) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.bucket, d.cnt,
+           coalesce(prev.cnt, 0.0) AS cnt_1d
+    FROM d LEFT JOIN d prev
+      ON prev.event_type = d.event_type AND prev.bucket + 86400 = d.bucket
+    """,
+)
+def z02_engine_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: SHIFT through the dialect — prior-day value aligned via
+    the co-partitioned self-join plan (reference expr/shift.go)."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT cnt, SHIFT(cnt, '1d') AS cnt_1d FROM ev_hourly "
+        "GROUP BY event_type, period('1d')"
+    )
+    return _as_bucket(out)
+
+
+@query(
+    "z03_engine_where_having",
+    f"""
+    SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+           CAST(count(value) AS DOUBLE) AS cnt
+    FROM events
+    WHERE event_type IN ('click', 'error') OR event_type LIKE '%sign%'
+    GROUP BY 1, 2
+    HAVING CAST(count(value) AS DOUBLE) > 50
+    """,
+)
+def z03_engine_where_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: WHERE with IN-list + LIKE (substring semantics) over
+    stored dims, HAVING over the merged aggregate."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT cnt FROM ev_hourly "
+        "WHERE event_type IN ('click', 'error') OR event_type LIKE 'sign' "
+        "GROUP BY event_type, period('1d') HAVING cnt > 50"
+    )
+    return _as_bucket(out)
+
+
+@query(
+    "z04_engine_view",
+    f"""
+    SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+           CAST(count(value) AS DOUBLE) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def z04_engine_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: a view (ev_daily) derived from ev_hourly's definition —
+    field inheritance + independent storage (reference table.go:194–250)."""
+    db = _engine_db(spark, sf_dir)
+    return _as_bucket(db.query("SELECT cnt FROM ev_daily GROUP BY event_type, period('1d')"))
