@@ -1,0 +1,91 @@
+"""Tests for the extension surface: pluggable lookups, alias macros,
+custom dim functions, and the zenotool-equivalent maintenance ops."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from zenodb_spark.engine import DB
+from zenodb_spark.functions.dims import DIM_FUNCTIONS, register_dim_function, register_lookup
+from zenodb_spark.sources.maintenance import check, file_info, filter_and_merge
+from zenodb_spark.sqlparser.parser import parse, register_alias
+
+EPOCH = dt.datetime(2015, 1, 1, tzinfo=dt.timezone.utc)
+E = EPOCH.timestamp()
+
+
+def ts(off):
+    return dt.datetime.fromtimestamp(E + off, dt.timezone.utc)
+
+
+SCHEMA = {
+    "reqs": {
+        "sql": "SELECT requests FROM inbound GROUP BY *, period('1m')",
+    }
+}
+
+POINTS = [
+    Row(ts=ts(0), ip="1.1.1.1", status=200, requests=10.0),
+    Row(ts=ts(5), ip="2.2.2.2", status=500, requests=3.0),
+    Row(ts=ts(70), ip="1.1.1.1", status=200, requests=5.0),
+]
+
+
+@pytest.fixture(scope="module")
+def db(spark):
+    db = DB(spark, now=E + 600)
+    db.apply_schema(SCHEMA)
+    db.insert("inbound", spark.createDataFrame(POINTS))
+    return db
+
+
+def test_registered_lookup_in_group_by(db):
+    register_lookup("CITY", {"1.1.1.1": "sydney", "2.2.2.2": "paris"}, default="unknown")
+    out = db.query("SELECT requests FROM reqs GROUP BY CITY(ip) AS city, period('1h')")
+    rows = {r["city"]: r["requests"] for r in out.collect()}
+    assert rows == {"sydney": 15.0, "paris": 3.0}
+
+
+def test_unregistered_lookup_raises(db):
+    with pytest.raises(ValueError, match="registered lookup"):
+        db.query("SELECT requests FROM reqs GROUP BY ISP(ip) AS isp").collect()
+
+
+def test_alias_macro(db):
+    register_alias("IS_SUCCESS", "%v = 200")
+    out = db.query(
+        "SELECT IF(IS_SUCCESS(status), requests) AS ok FROM reqs GROUP BY ip, period('1h')"
+    )
+    rows = {r["ip"]: r["ok"] for r in out.collect()}
+    assert rows == {"1.1.1.1": 15.0, "2.2.2.2": 0.0}
+
+
+def test_custom_dim_function(db):
+    register_dim_function("FIRST_OCTET", lambda c: F.split(c, r"\.").getItem(0))
+    out = db.query("SELECT requests FROM reqs GROUP BY FIRST_OCTET(ip) AS octet, period('1h')")
+    rows = {r["octet"]: r["requests"] for r in out.collect()}
+    assert rows == {"1": 15.0, "2": 3.0}
+
+
+def test_maintenance_info_check_merge(db, spark):
+    t = db.tables["reqs"]
+    info = file_info(t)
+    assert info["rows"] == 3 and info["resolution_sec"] == 60.0
+    assert check(t) == []
+    # merge with a time filter drops the later bucket
+    db2 = DB(spark, now=E + 600)
+    db2.apply_schema(SCHEMA)
+    db2.insert("inbound", spark.createDataFrame(POINTS))
+    filter_and_merge(db2.tables["reqs"], until_epoch=int(E + 60))
+    out = db2.query("SELECT requests FROM reqs GROUP BY ip")
+    rows = {r["ip"]: r["requests"] for r in out.collect()}
+    assert rows == {"1.1.1.1": 10.0, "2.2.2.2": 3.0}
+    assert len(db2.tables["reqs"]._parts) == 1
+
+
+def test_parser_force_fresh_comment():
+    q = parse("SELECT -- force_fresh\n x FROM t")
+    assert q.force_fresh

@@ -135,6 +135,37 @@ class Table:
         self.dims: list[str] | None = [g.name for g in self.group_by] if not q.group_by_all else None
         self.registry: StateRegistry | None = None
         self._parts: list[DataFrame] = []
+        self._load_persisted()
+
+    def _load_persisted(self) -> None:
+        """Re-open a persisted store (workdir/{table}) without replaying
+        data: the registry is rebuilt deterministically from the table
+        definition; GROUP BY * dims are recovered from the stored schema."""
+        if not self.db.workdir:
+            return
+        import os
+
+        path = f"{self.db.workdir}/{self.tdef.name}"
+        if not os.path.isdir(path):
+            return
+        from zenodb_spark.plans.compiler import build_registry
+
+        parts = []
+        main = path if any(f.endswith(".parquet") for f in os.listdir(path)) else None
+        if main:
+            parts.append(self.db.spark.read.parquet(main))
+        for sub in sorted(os.listdir(path)):
+            if sub.startswith("stream_part="):
+                parts.append(self.db.spark.read.parquet(f"{path}/{sub}"))
+        if not parts:
+            return
+        self.registry = build_registry(self.fields)
+        state_cols = {s.col for s in self.registry.all_specs()}
+        if self.dims is None:
+            self.dims = [
+                c for c in parts[0].columns if c != BUCKET_COL and c not in state_cols
+            ]
+        self._parts = parts
 
     # -- ingest -------------------------------------------------------------
     def ingest(self, points: DataFrame, ts_col: str = "ts") -> None:

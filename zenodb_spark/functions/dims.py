@@ -102,3 +102,40 @@ DIM_FUNCTIONS: dict[str, Callable] = {
 def register_dim_function(name: str, fn: Callable) -> None:
     """RegisterUnaryDIMFunction-equivalent extension point (reference sql/sql.go:125–133)."""
     DIM_FUNCTIONS[name.upper()] = fn
+
+
+def register_lookup(name: str, mapping: dict, default=None) -> None:
+    """Register an enrichment function backed by a small lookup snapshot —
+    the pluggable stand-in for the reference's per-row MaxMind/Redis calls
+    (CITY/ISP/HGET…, reference sql/sql.go:81–106, zenodb.go:256–276).
+
+    The mapping becomes a broadcast map literal, evaluated JVM-side. For
+    lookups too large to inline (>~100k entries), enrich with
+    ``lookup()``'s broadcast join before aggregation instead.
+    """
+    entries: list[Column] = []
+    for k, v in mapping.items():
+        entries += [F.lit(k), F.lit(v)]
+    map_lit = F.create_map(*entries) if entries else F.create_map()
+
+    def fn(key: Column | str) -> Column:
+        key = F.col(key) if isinstance(key, str) else key
+        got = F.element_at(map_lit, key.cast("string"))
+        return F.coalesce(got, F.lit(default)) if default is not None else got
+
+    DIM_FUNCTIONS[name.upper()] = fn
+
+
+def _unregistered(name: str) -> Callable:
+    def fn(*_args):
+        raise ValueError(
+            f"{name} requires a registered lookup snapshot: call "
+            f"register_lookup({name!r}, mapping) with e.g. a MaxMind/Redis export"
+        )
+
+    return fn
+
+
+# Enrichment functions from the reference's goexpr surface: pluggable here.
+for _n in ("CITY", "REGION", "REGION_CITY", "COUNTRY_CODE", "ISP", "ORG", "ASN", "ASNAME", "HGET", "SISMEMBER", "LUA"):
+    DIM_FUNCTIONS.setdefault(_n, _unregistered(_n))

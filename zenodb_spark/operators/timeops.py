@@ -53,11 +53,31 @@ def bucket_ts(ts: Column | str, period: str | int) -> Column:
 
 
 def time_range(df: DataFrame, ts_col: str, asof: str | None, until: str | None) -> DataFrame:
-    """ASOF '…' UNTIL '…' → half-open [asof, until) filter, pushdown-friendly."""
+    """ASOF '…' UNTIL '…' → half-open [asof, until) filter.
+
+    When the frame still carries the raw int64-nanos column (``ts_ns``, see
+    catalog.load_table), an equivalent conjunct on it is added as well: the
+    derived µs timestamp is a computed column Catalyst cannot push into the
+    parquet scan, but the raw-long range predicate reaches row-group stats —
+    at 100 TB that is the difference between scanning a slice and scanning
+    everything."""
+    import datetime as _dt
+
+    def _epoch(s: str) -> float:
+        d = _dt.datetime.fromisoformat(s.replace("Z", "+00:00"))
+        if d.tzinfo is None:
+            d = d.replace(tzinfo=_dt.timezone.utc)
+        return d.timestamp()
+
+    has_ns = "ts_ns" in df.columns
     if asof is not None:
         df = df.filter(F.col(ts_col) >= F.lit(asof).cast("timestamp"))
+        if has_ns:
+            df = df.filter(F.col("ts_ns") >= F.lit(int(_epoch(asof) * 1e9)))
     if until is not None:
         df = df.filter(F.col(ts_col) < F.lit(until).cast("timestamp"))
+        if has_ns:
+            df = df.filter(F.col("ts_ns") < F.lit(int(_epoch(until) * 1e9)))
     return df
 
 

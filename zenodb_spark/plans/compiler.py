@@ -411,6 +411,35 @@ class TableMeta:
         return None
 
 
+def raw_field_lookup(fields: list[SelectField]):
+    """Bare-name resolution at raw level: a field's own non-trivial
+    definition wins, else default-to-SUM of the raw column."""
+
+    def field_lookup(name: str) -> MExpr:
+        for f in fields:
+            if f.name == name and not isinstance(f.expr, MFieldRef):
+                return f.expr
+        return MAgg("SUM", MFieldRef(name), None)
+
+    return field_lookup
+
+
+def build_registry(fields: list[SelectField], registry: StateRegistry | None = None) -> StateRegistry:
+    """Deterministically derive a table's state registry from its field
+    definitions (state column names depend only on require order, so a
+    registry rebuilt from the schema matches one built at ingest — used to
+    re-open persisted stores without replaying data)."""
+    registry = registry if registry is not None else StateRegistry()
+    field_lookup = raw_field_lookup(fields)
+    leaves: list[MExpr] = []
+    for f in fields:
+        collect_agg_leaves(f.expr, field_lookup, leaves)
+    leaves.append(MAgg("SUM", MFieldRef("_point"), None))  # _points
+    for leaf in leaves:
+        registry.require(leaf)
+    return registry
+
+
 def aggregate_raw(
     df: DataFrame,
     fields: list[SelectField],
@@ -425,23 +454,10 @@ def aggregate_raw(
     computed by a parallel two-level histogram aggregation joined back on
     the group key (co-partitioned join).
     """
-    registry = registry or StateRegistry()
+    registry = build_registry(fields, registry)
     cols = set(df.columns)
     has_col = lambda n: n in cols
-
-    # resolve bare refs: at raw level a bare name is SUM(name)
-    def field_lookup(name: str) -> MExpr:
-        for f in fields:
-            if f.name == name and not isinstance(f.expr, MFieldRef):
-                return f.expr
-        return MAgg("SUM", MFieldRef(name), None)
-
-    leaves: list[MExpr] = []
-    for f in fields:
-        collect_agg_leaves(f.expr, field_lookup, leaves)
-    leaves.append(MAgg("SUM", MFieldRef("_point"), None))  # _points
-    for leaf in leaves:
-        registry.require(leaf)
+    field_lookup = raw_field_lookup(fields)
 
     bucket = (
         F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.col(ts_col)) % F.lit(int(resolution))

@@ -525,7 +525,91 @@ class Parser:
         return DimRef(name)
 
 
+# --------------------------------------------------------------------------
+# alias macros (reference sql/sql.go:135–139, zenodb.go:351–373: a props
+# file of templates like `IS_SUCCESS = %v = 200`, spliced before parsing)
+# --------------------------------------------------------------------------
+
+_ALIASES: dict[str, str] = {}
+
+
+def register_alias(name: str, template: str) -> None:
+    """Register a macro template; %v placeholders are substituted
+    positionally with the call's arguments at parse time."""
+    _ALIASES[name.lower()] = template
+
+
+def load_aliases(props_text: str) -> None:
+    """Load a reference-style aliases props file (`NAME = template` lines)."""
+    for line in props_text.splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        name, _, template = line.partition("=")
+        if template:
+            register_alias(name.strip(), template.strip())
+
+
+def _expand_aliases(sql: str) -> str:
+    """Splice macro calls NAME(arg, …) textually (like the reference does
+    before handing the SQL to the parser). Handles nested parens in args."""
+    if not _ALIASES:
+        return sql
+    out = sql
+    changed = True
+    guard = 0
+    while changed and guard < 20:
+        changed = False
+        guard += 1
+        lower = out.lower()
+        for name, template in _ALIASES.items():
+            start = 0
+            while True:
+                i = lower.find(name + "(", start)
+                if i < 0:
+                    break
+                if i > 0 and (lower[i - 1].isalnum() or lower[i - 1] == "_"):
+                    start = i + 1
+                    continue
+                j = i + len(name) + 1
+                depth = 1
+                args: list[str] = []
+                cur = ""
+                while j < len(out) and depth > 0:
+                    ch = out[j]
+                    if ch == "(":
+                        depth += 1
+                        cur += ch
+                    elif ch == ")":
+                        depth -= 1
+                        if depth > 0:
+                            cur += ch
+                    elif ch == "," and depth == 1:
+                        args.append(cur.strip())
+                        cur = ""
+                    else:
+                        cur += ch
+                    j += 1
+                if cur.strip():
+                    args.append(cur.strip())
+                expansion = template
+                for a in args:
+                    expansion = expansion.replace("%v", a, 1)
+                out = out[:i] + "(" + expansion + ")" + out[j:]
+                lower = out.lower()
+                changed = True
+                start = i + 1
+        if changed:
+            continue
+    return out
+
+
 def parse(sql: str) -> Query:
+    sql = _expand_aliases(sql)
+    return _parse_expanded(sql)
+
+
+def _parse_expanded(sql: str) -> Query:
     toks, force_fresh = tokenize(sql)
     p = Parser(toks)
     q = p.parse_query()
