@@ -73,6 +73,69 @@ def cosine_topk(
     )
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    blocks: int = 8,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: every unordered pair
+    (a, b) with cosine(a, b) ≥ threshold, as (doc_a < doc_b, cosine).
+
+    Distribution strategy is **triangle-blocked all-pairs**: rows are hashed
+    into `blocks` blocks; each row is replicated to every block-pair it
+    participates in (side A to pairs ``(its_block, j≥its_block)``, side B to
+    pairs ``(i≤its_block, its_block)``) and the two sides meet in an
+    **equi-join on the block-pair key** — a plain shuffle hash join, no
+    broadcast, no cross join, no driver collect. Shuffle volume is N·blocks
+    rows; comparison work N²/2 spread evenly over block-pairs, so wall-clock
+    scales with cores at any corpus size. The approximate scale path (when
+    N² itself is too much) is ``lsh_cosine_topk``'s bucketing.
+
+    Exactness note: this is the dedup family's cosine member (reference has
+    no equivalent; extension per BASELINE.json) — candidates are not pruned,
+    so the result is the full true pair set at any threshold.
+    """
+    ids = F.col(id_col)
+    blk = F.pmod(F.xxhash64(ids), F.lit(blocks)).cast("int")
+    base = corpus.select(ids.alias("_id"), F.col(vec_col).alias("_v"), blk.alias("_b"))
+    pair_ids = F.sequence(F.lit(0), F.lit(blocks - 1))
+    left = base.select(
+        "_id",
+        "_v",
+        "_b",
+        F.explode(F.filter(pair_ids, lambda j: j >= F.col("_b"))).alias("_j"),
+    ).select(
+        F.col("_id").alias("id_a"),
+        F.col("_v").alias("va"),
+        F.col("_b").alias("pk_i"),
+        F.col("_j").alias("pk_j"),
+    )
+    right = base.select(
+        "_id",
+        "_v",
+        "_b",
+        F.explode(F.filter(pair_ids, lambda i: i <= F.col("_b"))).alias("_i"),
+    ).select(
+        F.col("_id").alias("id_b"),
+        F.col("_v").alias("vb"),
+        F.col("_i").alias("pk_i"),
+        F.col("_b").alias("pk_j"),
+    )
+    pairs = left.join(right, on=["pk_i", "pk_j"]).filter(
+        # same-block pairs meet at key (i,i) with both orders + self-pairs:
+        # keep one order; cross-block pairs meet exactly once, any id order.
+        (F.col("pk_i") != F.col("pk_j")) | (F.col("id_a") < F.col("id_b"))
+    )
+    scored = pairs.withColumn("cosine", dot("va", "vb") / (norm("va") * norm("vb")))
+    return scored.filter(F.col("cosine") >= F.lit(threshold)).select(
+        F.least("id_a", "id_b").alias("doc_a"),
+        F.greatest("id_a", "id_b").alias("doc_b"),
+        "cosine",
+    )
+
+
 def _planes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]

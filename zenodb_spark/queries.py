@@ -1003,3 +1003,159 @@ def z04_engine_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     field inheritance + independent storage (reference table.go:194–250)."""
     db = _engine_db(spark, sf_dir)
     return _as_bucket(db.query("SELECT cnt FROM ev_daily GROUP BY event_type, period('1d')"))
+
+# ---------------------------------------------------------------------------
+# Extensions round 2: embedding near-dup, LSH-bucketed ANN, token stats,
+# engine-level CROSSHIFT and CROSSTABT
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q32_embed_neardup",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT doc_a, doc_b, cosine FROM p WHERE cosine >= 0.4
+    """,
+)
+def q32_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= 0.4), exact, via the
+    triangle-blocked all-pairs equi-join (no cross join / broadcast of the
+    corpus; shuffle N*blocks rows) -- the dedup family's cosine member."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4, blocks=8)
+
+
+def _ann_lsh_oracle(bits: int = 8, dim: int = 64, seed: int = 42, k: int = 5) -> str:
+    from zenodb_spark.operators.similarity import _planes
+
+    planes = _planes(dim, bits, seed)
+    lits = ["[" + ", ".join(repr(x) for x in p) + "]" for p in planes]
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {lits[j]}) >= 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    probes = ", ".join(["qb"] + [f"xor(qb, {1 << j})" for j in range(bits)])
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    fp AS (SELECT vec_id, v, CAST({bucket} AS BIGINT) AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM fp WHERE vec_id < 10),
+    probes AS (SELECT query_id, qv, unnest([{probes}]) AS bucket FROM q),
+    cand AS (
+      SELECT query_id, qv, c.vec_id AS neighbor_id, c.v AS cv
+      FROM probes JOIN fp c USING (bucket) WHERE query_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM cand
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("q33_ann_lsh", _ann_lsh_oracle())
+def q33_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 cosine (the 100 TB ANN path): 8-bit
+    random-hyperplane fingerprints, multi-probe over hamming-1 buckets,
+    exact re-rank within candidates. The oracle replays the identical
+    bucketing (plane literals inlined), so the comparison verifies the LSH
+    plumbing itself, not just the exact fallback."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding",
+        k=5, bits=8, dim=64, seed=42,
+    )
+
+
+@query(
+    "q34_token_stats",
+    """
+    WITH f AS (
+      SELECT source,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+           quantile_cont(n_tokens, 0.5) AS med_tokens
+    FROM f GROUP BY 1
+    """,
+)
+def q34_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token budget accounting (BPE-ish regex tokenizer): doc
+    counts, total/max tokens, exact median tokens per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select("source", textstats.token_count("text").alias("n_tokens"))
+    return f.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        percentile_exact(F.col("n_tokens").cast("double"), 0.5).alias("med_tokens"),
+    )
+
+
+@query(
+    "z05_engine_crosshift",
+    f"""
+    WITH d AS (
+      SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+             CAST(count(value) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.bucket, d.cnt AS cs,
+           coalesce(p1.cnt, 0.0) AS cs_1d,
+           coalesce(p2.cnt, 0.0) AS cs_2d
+    FROM d
+    LEFT JOIN d p1 ON p1.event_type = d.event_type AND p1.bucket + 86400 = d.bucket
+    LEFT JOIN d p2 ON p2.event_type = d.event_type AND p2.bucket + 172800 = d.bucket
+    """,
+)
+def z05_engine_crosshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: CROSSHIFT(cnt, '2d', '1d') -- the macro family of SHIFT
+    columns (cs, cs_1d, cs_2d), each a co-partitioned self-join on the
+    bucket axis (reference sql/sql.go:363-422 addCrosshiftExpr)."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT CROSSHIFT(cnt, '2d', '1d') AS cs FROM ev_hourly "
+        "GROUP BY event_type, period('1d')"
+    )
+    return _as_bucket(out)
+
+
+_CT_TYPES = ["click", "error", "purchase", "signup", "view"]
+_CT_COLS = ",\n           ".join(
+    f"CAST(nullif(count(CASE WHEN event_type = '{t}' THEN value END), 0) AS DOUBLE) AS {t}_cnt"
+    for t in _CT_TYPES
+)
+
+
+@query(
+    "z06_engine_crosstab",
+    f"""
+    SELECT {BUCKET.format(p=10 * 86400)} AS bucket,
+           {_CT_COLS},
+           CAST(count(value) AS DOUBLE) AS total_cnt
+    FROM events GROUP BY 1
+    """,
+)
+def z06_engine_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: CROSSTABT(event_type) pivot with totals over a global
+    (GROUP BY _) 10-day series -- distinct crosstab values become column
+    groups {val}_cnt plus total_cnt (reference core/group.go:185-246)."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT cnt FROM ev_hourly GROUP BY _, CROSSTABT(event_type), period('10d')"
+    )
+    return _as_bucket(out)
