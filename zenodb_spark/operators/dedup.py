@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 __all__ = ["normalize_text", "exact_dedup", "shingles", "ngram_jaccard_pairs", "minhash_signatures", "minhash_lsh_pairs", "simhash", "simhash_pairs"]
 
@@ -46,12 +47,25 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition only when the input is under-partitioned relative to the
+    cluster (e.g. a single unsplittable file): the shingle explode is
+    CPU-bound, and Catalyst will not add parallelism below a narrow chain.
+    When the input already has ≥ cores partitions (any real corpus), this is
+    a no-op — no shuffle is added at scale."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Tokenizes on whitespace and joins n consecutive tokens with a space.
     Built entirely from array functions (split/transform/slice) → codegen.
     """
+    df = _spread(df)
     toks = F.split(normalize_text(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
@@ -73,40 +87,33 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard similarity join on n-gram shingle sets.
 
-    Plan shape: explode shingles → filter hot shingles (df cap) → self-join
-    on shingle → count intersections per pair → jaccard from set sizes.
+    Plan shape: explode shingles → window-attach per-doc set size (shuffle
+    by doc) and per-shingle document frequency (shuffle by shingle) →
+    self-join on shingle (both sides reuse the shingle-partitioned exchange)
+    → count intersections per pair (shuffle by pair). Three shuffles total,
+    no broadcasts, no caching — sizes ride along as columns instead of being
+    re-joined, which at 100 TB removes two joins over the full posting list.
     Only pairs sharing ≥1 (non-ubiquitous) shingle are ever materialized.
     """
-    sh = shingles(df, text_col, id_col, n).cache()
-    # per-doc set sizes and per-shingle document frequency are tiny relative
-    # to the corpus → broadcast them; the only big shuffle left is the
-    # inverted-index self-join keyed by shingle
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-    rare = sh.join(F.broadcast(freq.filter(F.col("df_") <= max_doc_freq)), "shingle").select(
-        "doc", "shingle"
-    )
-    inter = (
-        rare.alias("a")
-        .join(rare.alias("b"), "shingle")
-        .filter(F.col("a.doc") < F.col("b.doc"))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    out = (
-        inter.join(
-            F.broadcast(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a")),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b")),
-            "doc_b",
+    sh = shingles(df, text_col, id_col, n)
+    sh = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    sh = sh.withColumn("df_", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+    rare = sh.filter(F.col("df_") <= max_doc_freq)
+    a = rare.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle")
+    b = rare.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
         )
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return out
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
@@ -137,43 +144,53 @@ def minhash_lsh_pairs(
     near-identical docs); final exact verification touches only candidates.
     """
     rows_per_band = num_hashes // bands
-    sh = shingles(df, text_col, id_col, n).cache()
-    sig = minhash_signatures(sh, num_hashes)
+    # the posting list feeds three plan branches (signatures + both sides of
+    # the verification join); persist it once — memory-and-disk so it spills
+    # rather than recomputing the explode 3× at scale
+    from pyspark import StorageLevel
+
+    sh = shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    # per-doc set size rides along through the signature aggregation — no
+    # separate sizes relation, no broadcast joins at the end
+    shw = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ] + [F.first("sz").alias("sz")]
+    sig = shw.groupBy("doc").agg(*aggs)
     band_cols = [
         F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
         for b in range(bands)
     ]
-    buckets = sig.select("doc", F.explode(F.array(*band_cols)).alias("bucket"))
+    buckets = sig.select("doc", "sz", F.explode(F.array(*band_cols)).alias("bucket"))
     cands = (
         buckets.alias("a")
         .join(buckets.alias("b"), "bucket")
         .filter(F.col("a.doc") < F.col("b.doc"))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .distinct()
     )
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     # count shared shingles via join on shingle, restricted to candidate pairs
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), F.col("shingle").alias("shingle"))
-    shared = (
-        cands.join(a, "doc_a").join(b, ["doc_b", "shingle"])
+    return (
+        cands.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    out = (
-        shared.join(
-            F.broadcast(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sz_a")),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(sizes.withColumnRenamed("doc", "doc_b").withColumnRenamed("sz", "sz_b")),
-            "doc_b",
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
         )
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return out
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFrame:
