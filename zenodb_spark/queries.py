@@ -1159,3 +1159,96 @@ def z06_engine_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT cnt FROM ev_hourly GROUP BY _, CROSSTABT(event_type), period('10d')"
     )
     return _as_bucket(out)
+
+
+@query(
+    "z07_engine_in_subquery",
+    f"""
+    SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+           CAST(count(value) AS DOUBLE) AS cnt
+    FROM events
+    WHERE event_type IN (
+      SELECT event_type FROM events GROUP BY 1 HAVING count(value) > 2000
+    )
+    GROUP BY 1, 2
+    """,
+)
+def z07_engine_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: WHERE dim IN (SELECT ...) -- the uncorrelated subquery is
+    pre-executed and its single selected dim spliced in as a value list
+    (reference planner/subquery.go:13-100, sql/sql.go:1028-1069)."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT cnt FROM ev_hourly "
+        "WHERE event_type IN (SELECT cnt FROM ev_hourly "
+        "GROUP BY event_type, period('128d') HAVING cnt > 2000) "
+        "GROUP BY event_type, period('1d')"
+    )
+    return _as_bucket(out)
+
+
+@query(
+    "z08_engine_from_subquery",
+    f"""
+    WITH d AS (
+      SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+             CAST(count(value) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(floor(bucket/864000)*864000 AS BIGINT) AS bucket,
+           CAST(sum(cnt) AS DOUBLE) AS cnt
+    FROM d GROUP BY 1
+    """,
+)
+def z08_engine_from_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: FROM-subquery nesting -- inner daily flat rows re-grouped
+    by the outer query to a global 10-day series (reference
+    sql/sql.go:463-484, core/unflatten.go: the Unflatten->Group path).
+    SUM-of-counts is exact (integer-valued doubles)."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT cnt FROM (SELECT cnt FROM ev_hourly GROUP BY event_type, period('1d')) "
+        "GROUP BY _, period('10d')"
+    )
+    return _as_bucket(out)
+
+
+@query(
+    "z09_engine_stride",
+    f"""
+    SELECT event_type, {BUCKET.format(p=172800)} AS bucket,
+           CAST(count(value) AS DOUBLE) AS cnt
+    FROM events
+    WHERE CAST(floor(epoch(ts)) AS BIGINT) % 172800 < 3600
+    GROUP BY 1, 2
+    """,
+)
+def z09_engine_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: STRIDE('2d') -- sample the first table-resolution (1h)
+    slice of every 2-day stride (reference sql/sql.go:551-560,
+    encoding/seq.go:309-316 StrideSlice)."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query("SELECT cnt FROM ev_hourly GROUP BY event_type, STRIDE('2d')")
+    return _as_bucket(out)
+
+
+@query(
+    "z10_engine_order_limit",
+    f"""
+    WITH d AS (
+      SELECT {BUCKET.format(p=86400)} AS bucket,
+             CAST(count(value) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1
+    )
+    SELECT bucket, cnt FROM d ORDER BY bucket DESC LIMIT 5 OFFSET 2
+    """,
+)
+def z10_engine_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: ORDER BY _time DESC + 'LIMIT offset, n' applied post-sort
+    (reference sql/sql.go:630-661, core/limit.go, core/offset.go); the time
+    axis gives a total order so the selected row set is deterministic."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT cnt FROM ev_daily GROUP BY _, period('1d') ORDER BY _time DESC LIMIT 2, 5"
+    )
+    return _as_bucket(out)
