@@ -135,6 +135,7 @@ class Table:
         self.dims: list[str] | None = [g.name for g in self.group_by] if not q.group_by_all else None
         self.registry: StateRegistry | None = None
         self._parts: list[DataFrame] = []
+        self._materialized = False
         self._load_persisted()
 
     def _load_persisted(self) -> None:
@@ -166,6 +167,7 @@ class Table:
                 c for c in parts[0].columns if c != BUCKET_COL and c not in state_cols
             ]
         self._parts = parts
+        self._materialized = len(parts) == 1  # parquet-backed; >1 still needs a fold
 
     # -- ingest -------------------------------------------------------------
     def ingest(self, points: DataFrame, ts_col: str = "ts") -> None:
@@ -191,6 +193,7 @@ class Table:
         if self.registry is None:
             self.registry = registry
         self._parts.append(state)
+        self._materialized = False
 
     def _val_names(self) -> set[str]:
         out: set[str] = set()
@@ -235,22 +238,38 @@ class Table:
         return out
 
     def compact(self) -> None:
-        """Fold appended partial-state parts into one canonical part (the
-        reference's flush-merge, row_store.go:351–508)."""
-        if len(self._parts) <= 1 or self.registry is None:
+        """Fold appended partial-state parts into one canonical, MATERIALIZED
+        part (the reference's flush-merge, row_store.go:351–508).
+
+        Materialization matters as much as the fold: a table is a stored
+        aggregate, so queries — including both sides of a SHIFT self-join —
+        must read the (small) state, not re-aggregate the raw stream per
+        query. With a workdir the state becomes parquet; without one it is
+        persisted memory-and-disk."""
+        if self.registry is None or not self._parts:
             return
-        merged = merge_states(
-            self.state_df(),
-            self.registry,
-            [(d, F.col(d)) for d in self.dims or []],
-            self.resolution,
-            self.resolution,
-        )
+        if len(self._parts) == 1 and self._materialized:
+            return
+        if len(self._parts) > 1:
+            merged = merge_states(
+                self.state_df(),
+                self.registry,
+                [(d, F.col(d)) for d in self.dims or []],
+                self.resolution,
+                self.resolution,
+            )
+        else:
+            merged = self._parts[0]
         if self.db.workdir:
             path = f"{self.db.workdir}/{self.tdef.name}"
             merged.write.mode("overwrite").parquet(path)
             merged = self.db.spark.read.parquet(path)
+        else:
+            from pyspark import StorageLevel
+
+            merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
         self._parts = [merged]
+        self._materialized = True
 
 
 class DB:
