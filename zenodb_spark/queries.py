@@ -865,7 +865,8 @@ _ENGINE_SCHEMA = {
         "sql": (
             "SELECT COUNT(value) AS cnt, MIN(value) AS mn, MAX(value) AS mx, "
             "IF(event_type = 'error', COUNT(value)) AS errors, "
-            "PERCENTILE(value, 50, 0, 100, 1) AS med "
+            "PERCENTILE(value, 50, 0, 100, 1) AS med, "
+            "MIN(BOUNDED(value, 10, 90)) AS bmn "
             "FROM events GROUP BY event_type, period('1h')"
         ),
     },
@@ -1250,5 +1251,28 @@ def z10_engine_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     db = _engine_db(spark, sf_dir)
     out = db.query(
         "SELECT cnt FROM ev_daily GROUP BY _, period('1d') ORDER BY _time DESC LIMIT 2, 5"
+    )
+    return _as_bucket(out)
+
+
+@query(
+    "z11_engine_asof_bounded",
+    f"""
+    SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+           min(value) AS mn, max(value) AS mx,
+           min(CASE WHEN value >= 10 AND value <= 90 THEN value END) AS bmn
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    GROUP BY 1, 2
+    """,
+)
+def z11_engine_asof_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: ASOF/UNTIL time-range over stored buckets (reference
+    sql/sql.go:497-523, planner/local.go:110-135) + BOUNDED values gated at
+    ingest into the accumulator (reference expr/bounded.go:14-68)."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT mn, mx, bmn FROM ev_hourly "
+        "ASOF '2024-01-10' UNTIL '2024-01-20' GROUP BY event_type, period('1d')"
     )
     return _as_bucket(out)
