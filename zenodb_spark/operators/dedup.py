@@ -29,6 +29,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from zenodb_spark.operators.util import spread
+
 __all__ = ["normalize_text", "exact_dedup", "shingles", "ngram_jaccard_pairs", "minhash_signatures", "minhash_lsh_pairs", "simhash", "simhash_pairs"]
 
 
@@ -47,25 +49,13 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Repartition only when the input is under-partitioned relative to the
-    cluster (e.g. a single unsplittable file): the shingle explode is
-    CPU-bound, and Catalyst will not add parallelism below a narrow chain.
-    When the input already has ≥ cores partitions (any real corpus), this is
-    a no-op — no shuffle is added at scale."""
-    sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
-        return df.repartition(sc.defaultParallelism)
-    return df
-
-
 def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
     Tokenizes on whitespace and joins n consecutive tokens with a space.
     Built entirely from array functions (split/transform/slice) → codegen.
     """
-    df = _spread(df)
+    df = spread(df)
     toks = F.split(normalize_text(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))

@@ -24,8 +24,16 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from zenodb_spark.operators.util import spread
 
-def dot(a: Column | str, b: Column | str) -> Column:
+
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    """Sequential-order dot product (bit-identical to DuckDB's
+    list_dot_product). zip_with + aggregate, NOT an unrolled sum: unrolling
+    64-dim dots into 64-term expressions looks codegen-friendly but blows
+    Janino compile time up by tens of seconds per plan (measured); the
+    higher-order-function path is a tight interpreted loop and wins. `dim`
+    is accepted for API stability and ignored."""
     a = F.col(a) if isinstance(a, str) else a
     b = F.col(b) if isinstance(b, str) else b
     return F.aggregate(
@@ -35,15 +43,15 @@ def dot(a: Column | str, b: Column | str) -> Column:
     )
 
 
-def norm(a: Column | str) -> Column:
+def norm(a: Column | str, dim: int | None = None) -> Column:
     a = F.col(a) if isinstance(a, str) else a
     return F.sqrt(
         F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
     )
 
 
-def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def cosine_topk(
@@ -52,6 +60,7 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for every query vector.
 
@@ -59,11 +68,21 @@ def cosine_topk(
     (small) q×N candidate set, tie-broken by neighbor id for determinism.
     Self-matches are excluded.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # norms are computed once per VECTOR before the join (not once per pair):
+    # per-pair work drops to a single unrolled dot product
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        norm(vec_col, dim).alias("nq"),
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(vec_col, dim).alias("nc"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", dot("qv", "cv") / (norm("qv") * norm("cv")))
+        .withColumn("cosine", dot("qv", "cv", dim) / (F.col("nq") * F.col("nc")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -79,60 +98,98 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.9,
     blocks: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs: every unordered pair
     (a, b) with cosine(a, b) ≥ threshold, as (doc_a < doc_b, cosine).
 
     Distribution strategy is **triangle-blocked all-pairs**: rows are hashed
-    into `blocks` blocks; each row is replicated to every block-pair it
-    participates in (side A to pairs ``(its_block, j≥its_block)``, side B to
-    pairs ``(i≤its_block, its_block)``) and the two sides meet in an
-    **equi-join on the block-pair key** — a plain shuffle hash join, no
-    broadcast, no cross join, no driver collect. Shuffle volume is N·blocks
-    rows; comparison work N²/2 spread evenly over block-pairs, so wall-clock
-    scales with cores at any corpus size. The approximate scale path (when
-    N² itself is too much) is ``lsh_cosine_topk``'s bucketing.
+    into `blocks` blocks; each row is shipped to every block-pair it
+    participates in (side 'a' for pairs ``(its_block, j≥its_block)``, side
+    'b' for ``(i≤its_block, its_block)``) and each block-pair group scores
+    its own (N/blocks)² pair matrix with numpy inside ``applyInPandas``.
+    Shuffle volume is N·(blocks+2) VECTORS — each vector crosses the wire
+    once per group it joins, never once per pair (a pair-level join would
+    Arrow-serialize the duplicated vectors: measured 25× slower). Comparison
+    work N²/2 spreads evenly over block-pairs, so wall-clock scales with
+    cores at any corpus size; pick blocks ≈ N/2000 so a group's score
+    matrix stays ~32 MB. The approximate scale path (when N² itself is too
+    much) is ``lsh_cosine_topk``'s bucketing.
 
-    Exactness note: this is the dedup family's cosine member (reference has
-    no equivalent; extension per BASELINE.json) — candidates are not pruned,
-    so the result is the full true pair set at any threshold.
+    Bit-exactness: norms are computed Spark-side (zip_with, once per
+    vector); the numpy scorer accumulates the pair matrix
+    dimension-sequentially (``C += outer(A[:,d], B[:,d])`` for d = 0…dim-1)
+    — the identical left-to-right double addition order as DuckDB's
+    list_dot_product, so thresholds compare identical doubles. This is the
+    dedup family's cosine member (reference has no equivalent; extension
+    per BASELINE.json); candidates are not pruned, the result is the full
+    true pair set at any threshold.
     """
     ids = F.col(id_col)
     blk = F.pmod(F.xxhash64(ids), F.lit(blocks)).cast("int")
-    base = corpus.select(ids.alias("_id"), F.col(vec_col).alias("_v"), blk.alias("_b"))
+    base = spread(corpus).select(
+        ids.alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(vec_col, dim).alias("_n"),  # once per vector, not per pair
+        blk.alias("_b"),
+    )
     pair_ids = F.sequence(F.lit(0), F.lit(blocks - 1))
-    left = base.select(
+    side_a = base.select(
         "_id",
         "_v",
-        "_b",
-        F.explode(F.filter(pair_ids, lambda j: j >= F.col("_b"))).alias("_j"),
-    ).select(
-        F.col("_id").alias("id_a"),
-        F.col("_v").alias("va"),
+        "_n",
+        F.lit("a").alias("side"),
         F.col("_b").alias("pk_i"),
-        F.col("_j").alias("pk_j"),
+        F.explode(F.filter(pair_ids, lambda j: j >= F.col("_b"))).alias("pk_j"),
     )
-    right = base.select(
+    side_b = base.select(
         "_id",
         "_v",
-        "_b",
-        F.explode(F.filter(pair_ids, lambda i: i <= F.col("_b"))).alias("_i"),
-    ).select(
-        F.col("_id").alias("id_b"),
-        F.col("_v").alias("vb"),
-        F.col("_i").alias("pk_i"),
+        "_n",
+        F.lit("b").alias("side"),
+        F.explode(F.filter(pair_ids, lambda i: i <= F.col("_b"))).alias("pk_i"),
         F.col("_b").alias("pk_j"),
-    )
-    pairs = left.join(right, on=["pk_i", "pk_j"]).filter(
-        # same-block pairs meet at key (i,i) with both orders + self-pairs:
-        # keep one order; cross-block pairs meet exactly once, any id order.
-        (F.col("pk_i") != F.col("pk_j")) | (F.col("id_a") < F.col("id_b"))
-    )
-    scored = pairs.withColumn("cosine", dot("va", "vb") / (norm("va") * norm("vb")))
-    return scored.filter(F.col("cosine") >= F.lit(threshold)).select(
-        F.least("id_a", "id_b").alias("doc_a"),
-        F.greatest("id_a", "id_b").alias("doc_b"),
-        "cosine",
+    ).select("_id", "_v", "_n", "side", "pk_i", "pk_j")
+    tagged = side_a.unionByName(side_b)
+
+    thr = float(threshold)
+
+    def score_group(pdf):
+        import numpy as np
+        import pandas as pd
+
+        same_block = pdf["pk_i"].iloc[0] == pdf["pk_j"].iloc[0]
+        a = pdf[pdf["side"] == "a"]
+        b = pdf[pdf["side"] == "b"]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "cosine": "float64"}
+            )
+        A = np.stack(a["_v"].to_numpy()).astype(np.float64)
+        B = np.stack(b["_v"].to_numpy()).astype(np.float64)
+        C = np.zeros((len(a), len(b)), dtype=np.float64)
+        for d in range(A.shape[1]):  # dimension-sequential: exact FP order
+            C += np.outer(A[:, d], B[:, d])
+        C /= np.outer(a["_n"].to_numpy(), b["_n"].to_numpy())
+        ia = a["_id"].to_numpy()
+        ib = b["_id"].to_numpy()
+        if same_block:
+            # both orders + self-pairs present: keep strict upper triangle
+            mask = (C >= thr) & (ia[:, None] < ib[None, :])
+        else:
+            mask = C >= thr
+        ra, rb = np.nonzero(mask)
+        pa, pb = ia[ra], ib[rb]
+        return pd.DataFrame(
+            {
+                "doc_a": np.minimum(pa, pb),
+                "doc_b": np.maximum(pa, pb),
+                "cosine": C[mask],
+            }
+        )
+
+    return tagged.groupBy("pk_i", "pk_j").applyInPandas(
+        score_group, "doc_a long, doc_b long, cosine double"
     )
 
 
@@ -169,26 +226,29 @@ def lsh_cosine_topk(
     """Approximate top-k: compare only within matching LSH buckets
     (multi-probe: exact bucket + all hamming-1 neighbor buckets)."""
     planes = _planes(dim, bits, seed)
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
+        norm(vec_col, dim).alias("nc"),
         lsh_fingerprint(vec_col, planes).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
+        norm(vec_col, dim).alias("nq"),
         lsh_fingerprint(vec_col, planes).alias("qb"),
     )
     probes = q.select(
         "query_id",
         "qv",
+        "nq",
         F.explode(
             F.array(F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << j)) for j in range(bits)])
         ).alias("bucket"),
     )
     scored = c.join(F.broadcast(probes), "bucket").filter(
         F.col("query_id") != F.col("neighbor_id")
-    ).withColumn("cosine", dot("qv", "cv") / (norm("qv") * norm("cv")))
+    ).withColumn("cosine", dot("qv", "cv", dim) / (F.col("nq") * F.col("nc")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -723,7 +723,7 @@ def q27_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast query side, single streaming pass over the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(
-        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5
+        emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5, dim=64
     )
 
 
@@ -1029,7 +1029,9 @@ def q32_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle-blocked all-pairs equi-join (no cross join / broadcast of the
     corpus; shuffle N*blocks rows) -- the dedup family's cosine member."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.4, blocks=8)
+    return similarity.cosine_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, blocks=8, dim=64
+    )
 
 
 def _ann_lsh_oracle(bits: int = 8, dim: int = 64, seed: int = 42, k: int = 5) -> str:
