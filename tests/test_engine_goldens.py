@@ -166,3 +166,29 @@ def test_compact_preserves_results(db, spark):
     after = db3.query("SELECT i, iv FROM test_a GROUP BY dim_u").collect()[0]
     assert before["i"] == after["i"] == 3.0
     assert abs(before["iv"] - after["iv"]) < 0.01 and abs(after["iv"] - 1.5) < 0.01
+
+
+def test_backfill_limit(spark):
+    """Backfill depth bounds historical replay from table creation
+    (reference table.go:50-52, 161-167)."""
+    db2 = DB(spark, now=E + 300)
+    db2.apply_schema(
+        {
+            "test_bf": {
+                "sql": "SELECT i FROM inbound GROUP BY dim_u, period('1s')",
+                "backfill": "100s",
+            }
+        }
+    )
+    db2.insert(
+        "inbound",
+        spark.createDataFrame(
+            [
+                Row(ts=ts(0.5), dim_r="A", dim_u=1, dim_b=True, dim_md="glub", i=1.0, ii=1.0, iv=1.0),
+                Row(ts=ts(250.0), dim_r="A", dim_u=1, dim_b=True, dim_md="glub", i=2.0, ii=2.0, iv=2.0),
+            ]
+        ),
+    )
+    rows = db2.query("SELECT i FROM test_bf GROUP BY dim_u, period('1s')").collect()
+    # creation at E+300, backfill 100s -> points older than E+200 dropped
+    assert len(rows) == 1 and rows[0]["i"] == 2.0

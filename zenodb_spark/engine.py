@@ -136,6 +136,7 @@ class Table:
         self.registry: StateRegistry | None = None
         self._parts: list[DataFrame] = []
         self._materialized = False
+        self.created_at = db.now()  # backfill depth anchors here
         self._load_persisted()
 
     def _load_persisted(self) -> None:
@@ -172,6 +173,12 @@ class Table:
     # -- ingest -------------------------------------------------------------
     def ingest(self, points: DataFrame, ts_col: str = "ts") -> None:
         df = _explode_array_vals(points)
+        if self.tdef.backfill is not None:
+            # Backfill limit: historical replay depth is bounded from table
+            # creation time; fresher points always flow (reference
+            # table.go:50-52, 161-167).
+            cutoff = self.created_at - self.tdef.backfill
+            df = df.filter(F.col(ts_col) >= F.timestamp_seconds(F.lit(cutoff)))
         if self.where is not None:
             resolve = lambda n: F.col(n) if n in df.columns else F.lit(None)
             df = df.filter(dim_truth(compile_dim(self.where, resolve)))
