@@ -37,6 +37,8 @@ HEADLINE = [
     "q28_text_quality",
     "q32_embed_neardup",
     "q33_ann_lsh",
+    "q35_shipping_priority",
+    "q36_revenue_by_nation",
     "z01_engine_rollup_sketch",
     "z02_engine_shift",
     "z06_engine_crosstab",

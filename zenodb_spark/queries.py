@@ -1278,3 +1278,80 @@ def z11_engine_asof_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ASOF '2024-01-10' UNTIL '2024-01-20' GROUP BY event_type, period('1d')"
     )
     return _as_bucket(out)
+
+
+@query(
+    "q35_shipping_priority",
+    f"""
+    SELECT l.l_orderkey AS orderkey,
+           sum({C.format(x='l.l_extendedprice * (1 - l.l_discount)')})/100.0 AS revenue,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY 1, 3
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q35_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact join -> top-k revenue.
+    Scale plan: customer (filtered) broadcasts into orders, the orders⋈
+    lineitem join shuffles on orderkey; integer-cents revenue keeps the
+    sum associative so the top-k is deterministic (ties broken by key)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    joined = l.join(
+        F.broadcast(o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey)),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return (
+        joined.groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.unix_timestamp("o_orderdate").alias("orderdate"),
+        )
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / F.lit(100.0)).alias("revenue")
+        )
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q36_revenue_by_nation",
+    f"""
+    SELECT n.n_name AS nation,
+           sum({C.format(x='l.l_extendedprice * (1 - l.l_discount)')})/100.0 AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+)
+def q36_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dims star join: supplier and nation broadcast (no fact
+    shuffle before aggregation; the only exchange is the final groupBy) --
+    the canonical 100 TB dimension-enrichment plan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))) / F.lit(100.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
