@@ -56,13 +56,20 @@ def start_table_stream(
         if batch_df.isEmpty():
             return
         table.ingest(batch_df, ts_col)
+        part = table._parts[-1]
         if db.workdir:
             # persist the just-appended part for durability (idempotent path
             # per batch-id → effective exactly-once on replay)
-            part = table._parts[-1]
             path = f"{db.workdir}/{table_name}/stream_part={batch_id}"
             part.write.mode("overwrite").parquet(path)
             table._parts[-1] = db.spark.read.parquet(path)
+        else:
+            # a micro-batch DataFrame is not re-computable after the batch
+            # ends — materialize the partial state eagerly
+            from pyspark import StorageLevel
+
+            table._parts[-1] = part.persist(StorageLevel.MEMORY_AND_DISK)
+            table._parts[-1].count()
 
     writer = stream_df.writeStream.foreachBatch(process_batch).outputMode("append")
     if checkpoint_dir:
