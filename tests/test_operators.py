@@ -152,3 +152,38 @@ def test_multimodal_plumbing(spark):
     got = {r["media_id"]: r["digest"] for r in feats}
     assert got["1"] == hashlib.md5(b"hello").hexdigest()
     assert all(r["n_bytes"] == 5 for r in feats)
+
+
+def test_multimodal_resize(spark):
+    from zenodb_spark.operators.multimodal import attach_media, resize
+
+    docs = spark.createDataFrame([("1", "hello world"), ("2", "spark")], ["doc_id", "text"])
+    media = attach_media(docs, "text", "doc_id")
+    out = resize(media, 64, 48).collect()
+    assert {r["media_id"] for r in out} == {"1", "2"}
+    for r in out:
+        assert r["meta_width"] == 64 and r["meta_height"] == 48
+        assert bytes(r["payload"]).startswith(b"RESIZED:64x48:")
+        assert r["meta_bytes"] == len(bytes(r["payload"]))
+    # deterministic: same input -> same payload bytes
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize(media, 64, 48).collect()}
+    assert {r["media_id"]: bytes(r["payload"]) for r in out} == again
+
+
+def test_multimodal_frame_sample(spark):
+    from zenodb_spark.operators.multimodal import attach_media, frame_sample
+
+    docs = spark.createDataFrame(
+        [("1", "x" * 100), ("2", "y" * 10)], ["doc_id", "text"]
+    )
+    media = attach_media(docs, "text", "doc_id")
+    out = frame_sample(media, every_k=2, frame_bytes=16).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    # doc 1: 100 bytes / 16 = 7 frames, every 2nd -> idx 0,2,4,6
+    assert sorted(r["frame_idx"] for r in by_id["1"]) == [0, 2, 4, 6]
+    assert all(r["n_frames"] == 7 for r in by_id["1"])
+    # doc 2: 10 bytes -> 1 frame
+    assert [r["frame_idx"] for r in by_id["2"]] == [0]
+    assert bytes(by_id["2"][0]["frame_payload"]) == b"y" * 10

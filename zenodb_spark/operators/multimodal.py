@@ -114,11 +114,90 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
-def resize_stub(df: DataFrame, width: int, height: int) -> DataFrame:
-    """Placeholder for image resize: raises unless a real decoder was
-    registered — the Spark plumbing (schema/partitioning) is what's tested."""
-    if "image" not in _DECODERS:
-        raise NotImplementedError(
-            "image decode requires a registered decoder (no image libs in this container)"
-        )
-    raise NotImplementedError("resize requires a registered decoder implementing resize")
+def resize(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize pipeline: payload → decoded image → resized payload, in Arrow
+    batches. The pixel transform is pluggable (``register_decoder("resize",
+    fn)`` with fn(payload, w, h) -> bytes); the default is a clearly-marked
+    DETERMINISTIC FAKE (no image libs in this container) so the Spark-side
+    plumbing — schema, batch shape, metadata update — is real and tested.
+    """
+    transform = _DECODERS.get("resize")
+    w, h = int(width), int(height)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        import pandas as _pd
+
+        def fake_resize(payload: bytes, w: int, h: int) -> bytes:
+            # deterministic fake: header + content digest, sized w*h//64
+            head = f"RESIZED:{w}x{h}:".encode()
+            digest = _hashlib.md5(payload).digest()
+            body = (digest * (max(w * h // 64, 1) // len(digest) + 1))[: max(w * h // 64, 1)]
+            return head + body
+
+        fn = transform or fake_resize
+        for pdf in batches:
+            out = [fn(bytes(p), w, h) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": out,
+                    "meta_width": w,
+                    "meta_height": h,
+                    "meta_bytes": [len(b) for b in out],
+                }
+            )
+
+    return df.select(
+        "media_id", "kind", "payload", "meta_width", "meta_height", "meta_bytes"
+    ).mapInPandas(run, MEDIA_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def frame_sample(df: DataFrame, every_k: int = 10, frame_bytes: int = 4096) -> DataFrame:
+    """Video frame sampling: one output row per k-th frame — a fan-out
+    mapInPandas (rows out ≫ rows in). Frame extraction is pluggable
+    (``register_decoder("frames", fn)`` with fn(payload) -> list[bytes]);
+    the default DETERMINISTIC FAKE treats the payload as fixed-size chunks,
+    standing in for ffmpeg keyframe decode."""
+    extract = _DECODERS.get("frames")
+    k = int(every_k)
+    fb = int(frame_bytes)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def fake_frames(payload: bytes) -> list:
+            return [payload[i : i + fb] for i in range(0, max(len(payload), 1), fb)]
+
+        fn = extract or fake_frames
+        for pdf in batches:
+            ids, idxs, totals, frames = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                fs = fn(bytes(p))
+                for i in range(0, len(fs), k):
+                    ids.append(mid)
+                    idxs.append(i)
+                    totals.append(len(fs))
+                    frames.append(fs[i])
+            yield _pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "n_frames": totals,
+                    "frame_payload": frames,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
