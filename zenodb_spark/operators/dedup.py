@@ -49,11 +49,16 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle).
+def shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, with_size: bool = False
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle[, sz]).
 
     Tokenizes on whitespace and joins n consecutive tokens with a space.
     Built entirely from array functions (split/transform/slice) → codegen.
+    With ``with_size`` the per-doc distinct-shingle count rides along from
+    the pre-explode array — no extra shuffle ever needed to recover set
+    sizes downstream.
     """
     df = spread(df)
     toks = F.split(normalize_text(text_col), " ")
@@ -62,9 +67,11 @@ def shingles(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame
     # array_distinct dedups within the doc BEFORE exploding, so no extra
     # shuffle-distinct is needed — explode output is already (doc, shingle)
     # unique
-    return df.select(
-        F.col(id_col).alias("doc"), F.explode(F.array_distinct(sh)).alias("shingle")
-    ).filter(F.length("shingle") > 0)
+    arr = F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
+    cols = [F.col(id_col).alias("doc"), F.explode(arr).alias("shingle")]
+    if with_size:
+        cols.append(F.size(arr).alias("sz"))
+    return df.select(*cols)
 
 
 def ngram_jaccard_pairs(
@@ -77,24 +84,36 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard similarity join on n-gram shingle sets.
 
-    Plan shape: explode shingles → window-attach per-doc set size (shuffle
-    by doc) and per-shingle document frequency (shuffle by shingle) →
-    self-join on shingle (both sides reuse the shingle-partitioned exchange)
-    → count intersections per pair (shuffle by pair). Three shuffles total,
-    no broadcasts, no caching — sizes ride along as columns instead of being
-    re-joined, which at 100 TB removes two joins over the full posting list.
-    Only pairs sharing ≥1 (non-ubiquitous) shingle are ever materialized.
+    Plan shape — TWO shuffles total, no joins, single pass over the corpus:
+    explode shingles (set size rides along from the pre-explode array) →
+    groupBy shingle collecting the (doc, sz) posting list (skipping lists
+    over the doc-frequency cap — the standard guard against quadratic hot
+    keys) → emit each list's sorted C(k,2) pair combinations inline →
+    groupBy pair counting intersections. A self-join formulation would
+    compute the posting subtree twice (Catalyst's static planner does not
+    reuse the exchange) and add a third shuffle.
     """
-    sh = shingles(df, text_col, id_col, n)
-    sh = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
-    sh = sh.withColumn("df_", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-    rare = sh.filter(F.col("df_") <= max_doc_freq)
-    a = rare.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"), "shingle")
-    b = rare.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"), "shingle")
+    sh = shingles(df, text_col, id_col, n, with_size=True)
+    arr = F.sort_array(F.collect_list(F.struct(F.col("doc"), F.col("sz"))))
+    posting = sh.groupBy("shingle").agg(arr.alias("docs"))
+    posting = posting.filter(F.size("docs").between(2, max_doc_freq))
+    combos = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    pairs = posting.select(F.explode(combos).alias("p")).select(
+        F.col("p.a.doc").alias("doc_a"),
+        F.col("p.b.doc").alias("doc_b"),
+        F.col("p.a.sz").alias("sz_a"),
+        F.col("p.b.sz").alias("sz_b"),
+    )
     return (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        pairs.groupBy("doc_a", "doc_b")
         .agg(
             F.count(F.lit(1)).alias("inter"),
             F.first("sz_a").alias("sz_a"),
@@ -136,18 +155,16 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # the posting list feeds three plan branches (signatures + both sides of
     # the verification join); persist it once — memory-and-disk so it spills
-    # rather than recomputing the explode 3× at scale
+    # rather than recomputing the explode 3× at scale. Set size rides along
+    # from the pre-explode array: no window, no separate sizes relation.
     from pyspark import StorageLevel
 
-    sh = shingles(df, text_col, id_col, n).persist(StorageLevel.MEMORY_AND_DISK)
-    # per-doc set size rides along through the signature aggregation — no
-    # separate sizes relation, no broadcast joins at the end
-    shw = sh.withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    sh = shingles(df, text_col, id_col, n, with_size=True).persist(StorageLevel.MEMORY_AND_DISK)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
         for i in range(num_hashes)
     ] + [F.first("sz").alias("sz")]
-    sig = shw.groupBy("doc").agg(*aggs)
+    sig = sh.groupBy("doc").agg(*aggs)
     band_cols = [
         F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
         for b in range(bands)

@@ -1,18 +1,25 @@
 """Similarity search over embedding columns (array<float>).
 
-Two tiers:
+Three operators:
 
-- ``cosine_topk``      — brute-force exact top-k. The query side is small
-  and **broadcast**, so the scan side streams once with no shuffle: the
-  correct baseline at any scale (k·|Q| driver memory only).
-- ``lsh_cosine_topk``  — random-hyperplane LSH bucketing: each vector gets a
-  b-bit sign fingerprint from deterministic pseudo-random planes; probing
-  compares only vectors sharing a bucket (multi-probe over hamming-1
-  neighbors to cut misses). Turns O(N·Q) into O(Q·bucket_size): the 100 TB
-  path.
+- ``cosine_topk``         — brute-force exact top-k. The query side is
+  small and **broadcast**, so the scan side streams once with no shuffle:
+  the correct baseline at any scale (k·|Q| driver memory only).
+- ``lsh_cosine_topk``     — random-hyperplane LSH bucketing: each vector
+  gets a b-bit sign fingerprint from deterministic pseudo-random planes;
+  probing compares only vectors sharing a bucket (multi-probe over
+  hamming-1 neighbors to cut misses). Turns O(N·Q) into O(Q·bucket_size):
+  the 100 TB ANN path.
+- ``cosine_neardup_pairs`` — EXACT threshold self-join (the dedup family's
+  cosine member): triangle-blocked all-pairs with numpy block-matrix
+  scoring inside ``applyInPandas``; vectors cross the shuffle once per
+  block-pair group, never once per pair.
 
-Dot products use ``zip_with`` + ``aggregate`` — sequential double-precision
-accumulation in index order, bit-identical to the DuckDB oracle.
+SQL-side dot products use ``zip_with`` + ``aggregate`` — sequential
+double-precision accumulation in index order, bit-identical to DuckDB's
+``list_dot_product``; the numpy scorer accumulates dimension-sequentially
+for the same reason. Norms are always computed once per vector BEFORE a
+join, never per pair.
 """
 
 from __future__ import annotations
