@@ -89,3 +89,25 @@ def test_maintenance_info_check_merge(db, spark):
 def test_parser_force_fresh_comment():
     q = parse("SELECT -- force_fresh\n x FROM t")
     assert q.force_fresh
+
+
+def test_cli_single_query(spark, tmp_path):
+    from zenodb_spark import cli
+
+    schema = tmp_path / "schema.yaml"
+    schema.write_text(
+        "ev_cli:\n"
+        "  sql: >\n"
+        "    SELECT COUNT(value) AS cnt FROM events GROUP BY event_type, period('1d')\n"
+    )
+    rc = cli.main(
+        [
+            "--schema",
+            str(schema),
+            "--insert",
+            "events=/root/testdata/sf0.001/events.parquet",
+            "--query",
+            "SELECT cnt FROM ev_cli GROUP BY event_type, period('10d') LIMIT 3",
+        ]
+    )
+    assert rc == 0

@@ -29,12 +29,22 @@ TABLES = (
 )
 
 
+def normalize_points(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize a points frame whose timestamp surfaced as int64 nanos
+    (``nanosAsLong``): convert to µs TimestampType, keeping the raw long as
+    ``{ts_col}_ns`` so range predicates still reach parquet row-group
+    stats."""
+    if dict(df.dtypes).get(ts_col) == "bigint":
+        df = df.withColumn(f"{ts_col}_ns", F.col(ts_col)).withColumn(
+            ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+        )
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts_ns", F.col("ts")).withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+    if name == "events":
+        df = normalize_points(df)
     return df
 
 
