@@ -192,3 +192,48 @@ def test_backfill_limit(spark):
     rows = db2.query("SELECT i FROM test_bf GROUP BY dim_u, period('1s')").collect()
     # creation at E+300, backfill 100s -> points older than E+200 dropped
     assert len(rows) == 1 and rows[0]["i"] == 2.0
+
+
+def test_kitchen_sink_aggregate_query(db):
+    """Mirror of the reference's aggregate e2e query (zenodb_test.go:669–758):
+    ASOF/UNTIL + IN-subquery + `_` presence + constants + LOG2/LOG10 +
+    ORDER BY dim DESC, over the scripted fixture."""
+    import math
+
+    asof = ts(0).strftime("%Y-%m-%dT%H:%M:%SZ")
+    until = ts(2).strftime("%Y-%m-%dT%H:%M:%SZ")
+    out = db.query(
+        # IF at query time gates on STORED dims only (dim_b), matching the
+        # reference: ingest-time IF saw raw dims, stored state has group dims
+        "SELECT IF(dim_b = true, _) AS present, 5 AS cval, "
+        "LOG2(ii) AS l2, LOG10(ii) AS l10, i, ii "
+        f"FROM test_a ASOF '{asof}' UNTIL '{until}' "
+        "WHERE dim_u IN (SELECT ii FROM test_a GROUP BY dim_u HAVING ii > 2) "
+        "GROUP BY dim_u, period('2s') ORDER BY dim_u DESC"
+    )
+    rows = out.collect()
+    assert [r["dim_u"] for r in rows] == [2, 1]
+    r2, r1 = rows
+    assert r2["i"] == 0.0 and r2["ii"] == 3.0 and r2["present"] == 0.0
+    assert r1["i"] == 112.0 and r1["ii"] == 224.0 and r1["present"] == 1.0
+    assert all(r["cval"] == 5.0 for r in rows)
+    assert abs(r1["l2"] - math.log2(224)) < 1e-9
+    assert abs(r1["l10"] - math.log10(224)) < 1e-9
+
+
+def test_crosstab_having_unselected_field(db):
+    """CROSSTAB pivot with HAVING on a field NOT in the SELECT list — the
+    synthetic `_having` trick through the pivot (zenodb_test.go:516–536;
+    HAVING evaluates on the un-pivoted grain, core/group.go:215–219)."""
+    out = db.query(
+        "SELECT ii FROM test_a GROUP BY _, CROSSTAB(dim_b), period('2s') HAVING i > 100"
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["true_ii"] == 224.0 and r["false_ii"] == 3.0
+    # HAVING threshold not met → empty
+    empty = db.query(
+        "SELECT ii FROM test_a GROUP BY _, CROSSTAB(dim_b), period('2s') HAVING i > 1000"
+    )
+    assert empty.collect() == []
