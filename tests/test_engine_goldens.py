@@ -237,3 +237,12 @@ def test_crosstab_having_unselected_field(db):
         "SELECT ii FROM test_a GROUP BY _, CROSSTAB(dim_b), period('2s') HAVING i > 1000"
     )
     assert empty.collect() == []
+
+
+def test_schema_reapply_idempotent(db):
+    """Re-applying an unchanged schema (the reference's 1s schema poll,
+    schema.go:16-55) keeps stored state; a changed definition rebuilds."""
+    before = db.query("SELECT ii FROM test_a GROUP BY dim_u").collect()
+    db.apply_schema(SCHEMA)  # unchanged → no-op, data preserved
+    after = db.query("SELECT ii FROM test_a GROUP BY dim_u").collect()
+    assert sorted(map(str, before)) == sorted(map(str, after))

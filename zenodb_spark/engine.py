@@ -316,6 +316,17 @@ class DB:
             progress = False
             for name in list(remaining):
                 tdef = remaining[name]
+                # idempotent re-apply (the reference polls its schema file
+                # every second, schema.go:16–55): an unchanged definition is
+                # a no-op and keeps stored state; a CHANGED definition
+                # rebuilds the table — live in-place ALTER is a documented
+                # deviation (stored state columns are derived from the field
+                # list; re-ingest after changing a definition)
+                existing = self.tables.get(name)
+                if existing is not None and existing.tdef == tdef:
+                    del remaining[name]
+                    progress = True
+                    continue
                 q = parse(tdef.sql)
                 parent = q.from_table
                 if tdef.view and parent not in self.tables and parent not in self.virtual_defs:
