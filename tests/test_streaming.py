@@ -116,3 +116,37 @@ def test_windowed_rollup_stream(spark, tmpdir):
     }
     assert rows[("a", "2015-01-01T00:00:00")] == (15.0, 2)
     assert rows[("b", "2015-01-01T00:05:00")] == (7.0, 1)
+
+
+def test_reopen_persisted_store(spark, tmpdir):
+    """A new DB over the same workdir recovers state WITHOUT replaying the
+    stream (reference: filestore reopen from WAL offsets in the header,
+    row_store.go:1033-1081)."""
+    src = f"{tmpdir}/src3"
+    spark.createDataFrame(POINTS).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    db1 = DB(spark, now=E + 600, workdir=f"{tmpdir}/store3")
+    db1.apply_schema(SCHEMA)
+    q = start_table_stream(
+        db1, "combined", spark.readStream.schema(schema).parquet(src),
+        checkpoint_dir=f"{tmpdir}/ckpt3",
+    )
+    q.awaitTermination(120)
+    expected = sorted(
+        (r["server"], r["requests"], r["load_avg"], r["_points"])
+        for r in db1.query(
+            "SELECT requests, load_avg, _points FROM combined GROUP BY server"
+        ).collect()
+    )
+
+    # fresh DB instance, same workdir: no insert, no stream — state reopens
+    db2 = DB(spark, now=E + 600, workdir=f"{tmpdir}/store3")
+    db2.apply_schema(SCHEMA)
+    got = sorted(
+        (r["server"], r["requests"], r["load_avg"], r["_points"])
+        for r in db2.query(
+            "SELECT requests, load_avg, _points FROM combined GROUP BY server"
+        ).collect()
+    )
+    assert got == expected
