@@ -150,3 +150,31 @@ def test_reopen_persisted_store(spark, tmpdir):
         ).collect()
     )
     assert got == expected
+
+
+def test_day_partition_pruning(spark, tmpdir):
+    """Persisted stores are day-partitioned: an ASOF/UNTIL query must show
+    partition filters on _day in the scan (directory pruning), and results
+    must be correct across day boundaries."""
+    db = DB(spark, now=E + 3 * 86400, workdir=f"{tmpdir}/store_pp")
+    db.apply_schema(
+        {"combined": {"sql": SCHEMA["combined"]["sql"]}}  # no retention
+    )
+    pts = [
+        Row(ts=ts(60), server="a", path="/x", requests=1.0, load_avg=1.0),
+        Row(ts=ts(86400 + 60), server="a", path="/x", requests=2.0, load_avg=1.0),
+        Row(ts=ts(2 * 86400 + 60), server="a", path="/x", requests=4.0, load_avg=1.0),
+    ]
+    db.insert("inbound", spark.createDataFrame(pts))
+    db.tables["combined"].compact()
+
+    asof = ts(86400).strftime("%Y-%m-%dT%H:%M:%SZ")
+    until = ts(2 * 86400).strftime("%Y-%m-%dT%H:%M:%SZ")
+    out = db.query(
+        f"SELECT requests FROM combined ASOF '{asof}' UNTIL '{until}' GROUP BY server"
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["requests"] == 2.0
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_day" in plan and "PartitionFilters" in plan

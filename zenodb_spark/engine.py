@@ -68,6 +68,8 @@ from zenodb_spark.sqlparser.durations import format_duration, parse_duration
 from zenodb_spark.sqlparser.parser import parse
 
 TIME_COL = "_time"
+DAY_COL = "_day"  # persisted-store partition directory key
+DAY_SEC = 86400
 
 
 def resolve_time(s: str, now: float) -> float:
@@ -153,9 +155,10 @@ class Table:
         from zenodb_spark.plans.compiler import build_registry
 
         parts = []
-        main = path if any(f.endswith(".parquet") for f in os.listdir(path)) else None
-        if main:
-            parts.append(self.db.spark.read.parquet(main))
+        if os.path.isdir(f"{path}/main"):
+            parts.append(self.db.spark.read.parquet(f"{path}/main"))
+        elif any(f.endswith(".parquet") for f in os.listdir(path)):
+            parts.append(self.db.spark.read.parquet(path))  # legacy flat layout
         for sub in sorted(os.listdir(path)):
             if sub.startswith("stream_part="):
                 parts.append(self.db.spark.read.parquet(f"{path}/{sub}"))
@@ -165,7 +168,9 @@ class Table:
         state_cols = {s.col for s in self.registry.all_specs()}
         if self.dims is None:
             self.dims = [
-                c for c in parts[0].columns if c != BUCKET_COL and c not in state_cols
+                c
+                for c in parts[0].columns
+                if c not in (BUCKET_COL, DAY_COL) and c not in state_cols
             ]
         self._parts = parts
         self._materialized = len(parts) == 1  # parquet-backed; >1 still needs a fold
@@ -233,16 +238,57 @@ class Table:
         return [(d, resolve(d)) for d in self.dims or []]
 
     # -- state access ---------------------------------------------------------
-    def state_df(self) -> DataFrame:
+    def state_df(self, asof: int | None = None, until: int | None = None) -> DataFrame:
+        """Stored state, optionally pre-filtered to [asof, until) bucket
+        epochs. Persisted parts are day-partitioned (``_day`` directory key):
+        time-range and retention predicates are applied to BOTH the
+        partition column (directory pruning — at 100 TB the difference
+        between listing a few day dirs and the whole store) and the bucket
+        column (row-group stats within a day)."""
         if not self._parts:
             raise ValueError(f"table {self.tdef.name} has no data")
-        out = self._parts[0]
-        for p in self._parts[1:]:
-            out = out.unionByName(p, allowMissingColumns=True)
+        cutoff: int | None = None
         if self.tdef.retention is not None:
-            cutoff = self.db.now() - self.tdef.retention
-            out = out.filter(F.col(BUCKET_COL) >= F.lit(int(cutoff // self.resolution * self.resolution)))
+            cutoff = int((self.db.now() - self.tdef.retention) // self.resolution * self.resolution)
+        parts = []
+        for p in self._parts:
+            if DAY_COL in p.columns:
+                if asof is not None:
+                    p = p.filter(F.col(DAY_COL) >= F.lit(asof // DAY_SEC))
+                if until is not None:
+                    p = p.filter(F.col(DAY_COL) <= F.lit(until // DAY_SEC))
+                if cutoff is not None:
+                    p = p.filter(F.col(DAY_COL) >= F.lit(cutoff // DAY_SEC))
+                p = p.drop(DAY_COL)
+            parts.append(p)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        if cutoff is not None:
+            out = out.filter(F.col(BUCKET_COL) >= F.lit(cutoff))
+        if asof is not None:
+            out = out.filter(F.col(BUCKET_COL) >= F.lit(asof))
+        if until is not None:
+            out = out.filter(F.col(BUCKET_COL) < F.lit(until))
         return out
+
+    def _write_store(self, df: DataFrame, path: str) -> DataFrame:
+        """Write a state part day-partitioned and reopen it (retention →
+        partition drop; ASOF/UNTIL → partition pruning).
+
+        Writes to a tmp dir then swaps: the plan being written may READ the
+        current store (compaction folds the existing parts), so an in-place
+        overwrite would delete its own input mid-job."""
+        import os
+        import shutil
+
+        out = df.withColumn(DAY_COL, F.floor(F.col(BUCKET_COL) / F.lit(DAY_SEC)).cast("long"))
+        tmp = f"{path}__tmp"
+        out.write.mode("overwrite").partitionBy(DAY_COL).parquet(tmp)
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        os.replace(tmp, path)
+        return self.db.spark.read.parquet(path)
 
     def compact(self) -> None:
         """Fold appended partial-state parts into one canonical, MATERIALIZED
@@ -268,9 +314,17 @@ class Table:
         else:
             merged = self._parts[0]
         if self.db.workdir:
-            path = f"{self.db.workdir}/{self.tdef.name}"
-            merged.write.mode("overwrite").parquet(path)
-            merged = self.db.spark.read.parquet(path)
+            # consolidated store lives under main/ — sibling stream_part=N
+            # dirs keep their own partition discovery separate
+            path = f"{self.db.workdir}/{self.tdef.name}/main"
+            merged = self._write_store(merged, path)
+            import os
+            import shutil
+
+            base = f"{self.db.workdir}/{self.tdef.name}"
+            for sub in os.listdir(base):
+                if sub.startswith("stream_part="):
+                    shutil.rmtree(f"{base}/{sub}", ignore_errors=True)
         else:
             from pyspark import StorageLevel
 
@@ -407,20 +461,18 @@ class DB:
 
     # -- query over a stored table ------------------------------------------
     def _plan_over_table(self, q: Query, table: Table) -> DataFrame:
-        state = table.state_df()
         registry = table.registry
         if registry is None:
             raise ValueError(f"table {table.tdef.name} has no data")
         res_out = q.resolution or table.resolution
         now = self.now()
 
-        # ASOF / UNTIL (rounded down to resolution; reference planner/local.go:110–135)
-        if q.asof:
-            asof = resolve_time(q.asof, now) // res_out * res_out
-            state = state.filter(F.col(BUCKET_COL) >= F.lit(int(asof)))
-        if q.until:
-            until = resolve_time(q.until, now) // res_out * res_out
-            state = state.filter(F.col(BUCKET_COL) < F.lit(int(until)))
+        # ASOF / UNTIL (rounded down to resolution; reference
+        # planner/local.go:110–135) — pushed into state_df so day-partition
+        # pruning and bucket row-group stats both apply
+        asof = int(resolve_time(q.asof, now) // res_out * res_out) if q.asof else None
+        until = int(resolve_time(q.until, now) // res_out * res_out) if q.until else None
+        state = table.state_df(asof, until)
 
         # WHERE over stored dims (IN-subqueries pre-executed, reference planner/subquery.go)
         where = self._resolve_in_subqueries(q.where)

@@ -47,9 +47,7 @@ def filter_and_merge(
         table.resolution,
     )
     if table.db.workdir:
-        path = f"{table.db.workdir}/{table.tdef.name}"
-        merged.write.mode("overwrite").parquet(path)
-        merged = table.db.spark.read.parquet(path)
+        merged = table._write_store(merged, f"{table.db.workdir}/{table.tdef.name}/main")
     table._parts = [merged]
 
 

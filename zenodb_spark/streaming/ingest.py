@@ -59,10 +59,10 @@ def start_table_stream(
         part = table._parts[-1]
         if db.workdir:
             # persist the just-appended part for durability (idempotent path
-            # per batch-id → effective exactly-once on replay)
+            # per batch-id → effective exactly-once on replay); day-partitioned
+            # like compacted stores
             path = f"{db.workdir}/{table_name}/stream_part={batch_id}"
-            part.write.mode("overwrite").parquet(path)
-            table._parts[-1] = db.spark.read.parquet(path)
+            table._parts[-1] = table._write_store(part, path)
         else:
             # a micro-batch DataFrame is not re-computable after the batch
             # ends — materialize the partial state eagerly
