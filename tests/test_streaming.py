@@ -178,3 +178,30 @@ def test_day_partition_pruning(spark, tmpdir):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "_day" in plan and "PartitionFilters" in plan
+
+
+def test_force_fresh_drains_stream(spark, tmpdir):
+    """`-- force_fresh` queries drain pending micro-batches first (the
+    reference's include-memstore flag, query.go:28-32); plain queries read
+    committed state only."""
+    src = f"{tmpdir}/src4"
+    spark.createDataFrame(POINTS[:2]).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    db = DB(spark, now=E + 600, workdir=f"{tmpdir}/store4")
+    db.apply_schema(SCHEMA)
+    q = start_table_stream(
+        db, "combined", spark.readStream.schema(schema).parquet(src),
+        checkpoint_dir=f"{tmpdir}/ckpt4",
+    )
+    q.awaitTermination(120)  # availableNow pass over the initial file
+
+    # new data arrives after the pass completed
+    spark.createDataFrame(POINTS[2:]).write.mode("append").parquet(src)
+
+    stale = {r["server"] for r in db.query(
+        "SELECT requests FROM combined GROUP BY server").collect()}
+    assert stale == {"a"}
+    fresh = {r["server"] for r in db.query(
+        "SELECT -- force_fresh\n requests FROM combined GROUP BY server").collect()}
+    assert fresh == {"a", "b"}

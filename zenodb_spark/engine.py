@@ -339,6 +339,7 @@ class DB:
         self.workdir = workdir
         self.tables: dict[str, Table] = {}
         self.virtual_defs: dict[str, tuple[Query, list[SelectField]]] = {}
+        self.streams: list = []  # active StreamingQuery handles (force_fresh)
         self._now = now  # virtual clock (reference zenodb.go:81–83)
 
     def now(self) -> float:
@@ -446,7 +447,13 @@ class DB:
 
     # -- query --------------------------------------------------------------
     def query(self, sql: str) -> DataFrame:
-        return self.plan(parse(sql))
+        q = parse(sql)
+        if q.force_fresh:
+            # `-- force_fresh`: drain pending stream micro-batches before
+            # reading, the reference's include-memstore flag (query.go:28–32)
+            for s in list(self.streams):
+                s.drain()
+        return self.plan(q)
 
     def plan(self, q: Query) -> DataFrame:
         if q.from_subquery is not None:

@@ -71,14 +71,44 @@ def start_table_stream(
             table._parts[-1] = part.persist(StorageLevel.MEMORY_AND_DISK)
             table._parts[-1].count()
 
-    writer = stream_df.writeStream.foreachBatch(process_batch).outputMode("append")
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if trigger_seconds:
-        writer = writer.trigger(processingTime=f"{int(trigger_seconds)} seconds")
-    else:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    def _start(available_now: bool) -> StreamingQuery:
+        writer = stream_df.writeStream.foreachBatch(process_batch).outputMode("append")
+        if checkpoint_dir:
+            writer = writer.option("checkpointLocation", checkpoint_dir)
+        if not available_now and trigger_seconds:
+            writer = writer.trigger(processingTime=f"{int(trigger_seconds)} seconds")
+        else:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    handle = _start(available_now=not trigger_seconds)
+    db.streams.append(_StreamSpec(handle, _start if checkpoint_dir else None))
+    return handle
+
+
+class _StreamSpec:
+    """Registered stream: lets `-- force_fresh` queries drain pending data
+    (the reference's include-memstore flag). An inactive checkpointed stream
+    is drained by a one-shot availableNow pass over the same checkpoint —
+    exactly-once, so this is literally 'flush the WAL tail now'. An ACTIVE
+    processingTime stream cannot be force-triggered off-schedule (Spark has
+    no API for it); its own next trigger picks the data up — documented
+    deviation."""
+
+    def __init__(self, handle: StreamingQuery, restart) -> None:
+        self.handle = handle
+        self._restart = restart
+
+    def drain(self, timeout_seconds: float = 300.0) -> None:
+        try:
+            active = self.handle.isActive
+        except Exception:
+            active = False
+        if active:
+            return  # see class docstring
+        if self._restart is not None:
+            one_shot = self._restart(available_now=True)
+            one_shot.awaitTermination(timeout_seconds)
 
 
 def windowed_rollup_stream(
