@@ -205,3 +205,24 @@ def test_force_fresh_drains_stream(spark, tmpdir):
     fresh = {r["server"] for r in db.query(
         "SELECT -- force_fresh\n requests FROM combined GROUP BY server").collect()}
     assert fresh == {"a", "b"}
+
+
+def test_partition_by_dims_store(spark, tmpdir):
+    """partitionby dims cluster the persisted store (reference
+    TableOpts.PartitionBy); results are unchanged."""
+    db = DB(spark, now=E + 600, workdir=f"{tmpdir}/store_pby")
+    db.apply_schema(
+        {
+            "combined": {
+                "sql": SCHEMA["combined"]["sql"],
+                "partitionby": ["server"],
+            }
+        }
+    )
+    db.insert("inbound", spark.createDataFrame(POINTS))
+    db.tables["combined"].compact()
+    rows = {
+        r["server"]: r["requests"]
+        for r in db.query("SELECT requests FROM combined GROUP BY server").collect()
+    }
+    assert rows == {"a": 15.0, "b": 7.0}

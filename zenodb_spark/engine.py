@@ -283,6 +283,15 @@ class Table:
         import shutil
 
         out = df.withColumn(DAY_COL, F.floor(F.col(BUCKET_COL) / F.lit(DAY_SEC)).cast("long"))
+        # partitionBy dims (reference TableOpts.PartitionBy — the follower
+        # distribution key, table.go:34–64): cluster files by those dims and
+        # sort rows by (dims…, bucket) so dim filters prune via parquet
+        # row-group stats and co-partitioned reads stay co-located
+        pby = [d for d in self.tdef.partition_by if d in df.columns]
+        if pby:
+            out = out.repartition(*[F.col(d) for d in pby]).sortWithinPartitions(
+                *[F.col(d) for d in pby], F.col(BUCKET_COL)
+            )
         tmp = f"{path}__tmp"
         out.write.mode("overwrite").partitionBy(DAY_COL).parquet(tmp)
         if os.path.exists(path):
