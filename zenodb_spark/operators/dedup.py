@@ -94,23 +94,24 @@ def ngram_jaccard_pairs(
     reuse the exchange) and add a third shuffle.
     """
     sh = shingles(df, text_col, id_col, n, with_size=True)
-    arr = F.sort_array(F.collect_list(F.struct(F.col("doc"), F.col("sz"))))
-    posting = sh.groupBy("shingle").agg(arr.alias("docs"))
-    posting = posting.filter(F.size("docs").between(2, max_doc_freq))
-    combos = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.size(F.col("docs"))),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
+    posting = sh.groupBy("shingle").agg(
+        F.collect_list(F.struct(F.col("doc"), F.col("sz"))).alias("docs")
     )
-    pairs = posting.select(F.explode(combos).alias("p")).select(
-        F.col("p.a.doc").alias("doc_a"),
-        F.col("p.b.doc").alias("doc_b"),
-        F.col("p.a.sz").alias("sz_a"),
-        F.col("p.b.sz").alias("sz_b"),
+    posting = posting.filter(F.size("docs").between(2, max_doc_freq))
+    # double explode (two codegen'd Generate operators) — NOT a nested
+    # transform+slice combinations expression, whose per-element array
+    # copies are interpreted and quadratic in allocation (measured 20×
+    # slower); the a.doc < b.doc filter keeps each unordered pair once
+    pairs = (
+        posting.select(F.explode("docs").alias("a"), F.col("docs"))
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
     )
     return (
         pairs.groupBy("doc_a", "doc_b")
