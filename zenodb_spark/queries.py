@@ -1355,3 +1355,50 @@ def q36_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+@query(
+    "q37_hash_sample",
+    """
+    WITH s AS (
+      SELECT source, doc_id FROM documents
+      WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 10 = 0
+    )
+    SELECT source, count(*) AS n_sampled, min(doc_id) AS min_doc
+    FROM s GROUP BY 1
+    """,
+)
+def q37_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% corpus sample: md5-of-id bucket (engine-independent,
+    reproducible across runs/engines — the sampling primitive a training
+    pipeline needs; F.rand() is not cross-engine verifiable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast("long")
+    return (
+        docs.filter(bucket % 10 == 0)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("min_doc"))
+    )
+
+
+@query(
+    "q38_stratified_topk",
+    """
+    WITH ranked AS (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars, rnk FROM ranked WHERE rnk <= 5
+    """,
+)
+def q38_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified per-group top-k (dataset curation: best docs per language)
+    via a partitioned window — ties broken by id for determinism."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("lang", "doc_id", "n_chars", "rnk")
+    )
