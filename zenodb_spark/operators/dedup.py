@@ -1,4 +1,6 @@
-"""Deduplication operators for large-scale document corpora.
+"""Deduplication operators for large-scale document corpora (extension
+beyond the reference per BASELINE.json's north star — getlantern/zenodb has
+no document/dedup surface; no file:line citations apply).
 
 Four tiers, all shuffle-bounded (no cross joins), designed for 100 TB:
 

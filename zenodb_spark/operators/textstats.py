@@ -1,4 +1,5 @@
-"""Text analysis operators for training-data pipelines: token counting,
+"""Text analysis (extension beyond the reference per BASELINE.json's north
+star — no reference equivalent exists, so no file:line citations apply): operators for training-data pipelines: token counting,
 quality scoring, language ID, document fingerprinting.
 
 All integer/ratio math from built-in regex/string functions — deterministic,
