@@ -75,3 +75,20 @@ def test_oracle_parity(spark, duck, name):
     d = _rows(dcols, drows)
     mismatches = [(a, b) for a, b in zip(s, d) if a != b]
     assert not mismatches, f"{name}: first mismatches {mismatches[:3]}"
+
+
+def test_partitioning_invariance(spark, duck):
+    """Results are identical under different shuffle partitioning — the
+    determinism design (integer-scaled sums) makes aggregation outcomes
+    independent of data distribution (SURVEY §5.5: the reference re-runs
+    goldens across cluster topologies; our analog is partition counts)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for n in ("3", "16"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            df = Q.QUERIES["q01_sum_period"](spark, SF_ORACLE)
+            results.append(_rows(df.columns, [tuple(r) for r in df.collect()]))
+        assert results[0] == results[1]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
