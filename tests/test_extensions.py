@@ -111,3 +111,50 @@ def test_cli_single_query(spark, tmp_path):
         ]
     )
     assert rc == 0
+
+
+def test_load_aliases_props():
+    """Reference-style aliases props file (quickstart_aliases.props,
+    zenodb.go:351-373)."""
+    from zenodb_spark.sqlparser.parser import load_aliases
+
+    load_aliases(
+        "# comment\n"
+        "IS_BIG = %v > 100\n"
+        "BOTH = %v = 'x' AND %v > 5\n"
+    )
+    q = parse("SELECT IF(IS_BIG(status), requests) AS big FROM t GROUP BY dim")
+    assert q.fields[0].name == "big"
+    q2 = parse("SELECT IF(BOTH(d, v), requests) AS r FROM t")
+    assert q2.fields[0].name == "r"
+
+
+def test_auto_correlation_shared_stream(spark):
+    """Heterogeneous point types inserted into ONE stream correlate on
+    shared dims when grouped — the reference's 'bye bye JOINs' model
+    (README.md:145-148): request-points and error-points land in the same
+    table; IF-gated fields read each type."""
+    sch = {
+        "traffic": {
+            "sql": (
+                "SELECT IF(kind = 'req', SUM(n)) AS requests, "
+                "IF(kind = 'err', SUM(n)) AS errors "
+                "FROM wire GROUP BY server, period('1m')"
+            )
+        }
+    }
+    db = DB(spark, now=E + 600)
+    db.apply_schema(sch)
+    rows = [
+        Row(ts=ts(1), kind="req", server="s1", n=10.0),
+        Row(ts=ts(2), kind="err", server="s1", n=2.0),
+        Row(ts=ts(3), kind="req", server="s2", n=5.0),
+    ]
+    db.insert("wire", spark.createDataFrame(rows))
+    out = db.query(
+        "SELECT requests, errors, errors / requests AS rate "
+        "FROM traffic GROUP BY server, period('1h')"
+    )
+    got = {r["server"]: (r["requests"], r["errors"], r["rate"]) for r in out.collect()}
+    assert got["s1"] == (10.0, 2.0, 0.2)
+    assert got["s2"][0] == 5.0 and got["s2"][1] == 0.0

@@ -29,6 +29,7 @@ def main(argv: list[str] | None = None) -> int:
         metavar="STREAM=PARQUET",
         help="ingest a parquet file of points into a stream (repeatable)",
     )
+    ap.add_argument("--aliases", default=None, help="aliases props file (NAME = template)")
     ap.add_argument("--query", default=None, help="single SQL statement; omit for REPL")
     ap.add_argument("--timeout", type=float, default=60.0, help="per-query timeout seconds (reference CLI default 1m)")
     ap.add_argument("--rows", type=int, default=100, help="max rows to display")
@@ -38,6 +39,11 @@ def main(argv: list[str] | None = None) -> int:
     from zenodb_spark.session import get_spark
 
     spark = get_spark("zenodb_spark_cli")
+    if args.aliases:
+        from zenodb_spark.sqlparser.parser import load_aliases
+
+        with open(args.aliases) as f:
+            load_aliases(f.read())
     db = DB(spark, workdir=args.workdir)
     with open(args.schema) as f:
         db.apply_schema_yaml(f.read())
