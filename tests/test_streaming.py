@@ -226,3 +226,40 @@ def test_partition_by_dims_store(spark, tmpdir):
         for r in db.query("SELECT requests FROM combined GROUP BY server").collect()
     }
     assert rows == {"a": 15.0, "b": 7.0}
+
+
+def test_late_data_restates_old_bucket(spark, tmpdir):
+    """A point far older than anything seen arrives in a later micro-batch:
+    the partial-state append model restates the old bucket with zero
+    streaming state (reference encoding/seq.go:178-241 grows sequences
+    backwards for late points within retention)."""
+    src = f"{tmpdir}/src_late"
+    spark.createDataFrame(POINTS[:2]).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    db = DB(spark, now=E + 3600, workdir=f"{tmpdir}/store_late")
+    db.apply_schema(SCHEMA)
+    q = start_table_stream(
+        db, "combined", spark.readStream.schema(schema).parquet(src),
+        checkpoint_dir=f"{tmpdir}/ckpt_late",
+    )
+    q.awaitTermination(120)
+    first = {r["server"]: r["requests"] for r in db.query(
+        "SELECT requests FROM combined GROUP BY server").collect()}
+    assert first == {"a": 15.0}
+
+    # a late point lands in the SAME bucket as the first two (ts within E+5m)
+    late = [Row(ts=ts(60), server="a", path="/x", requests=100.0, load_avg=9.0)]
+    spark.createDataFrame(late).write.mode("append").parquet(src)
+    q2 = start_table_stream(
+        db, "combined", spark.readStream.schema(schema).parquet(src),
+        checkpoint_dir=f"{tmpdir}/ckpt_late",
+    )
+    q2.awaitTermination(120)
+
+    out = db.query(
+        "SELECT requests, _points FROM combined GROUP BY server, period('5m')"
+    ).collect()
+    a_rows = [r for r in out if r["server"] == "a"]
+    assert len(a_rows) == 1  # one restated bucket, not a duplicate
+    assert a_rows[0]["requests"] == 115.0 and a_rows[0]["_points"] == 3.0
