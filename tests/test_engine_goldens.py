@@ -246,3 +246,10 @@ def test_schema_reapply_idempotent(db):
     db.apply_schema(SCHEMA)  # unchanged → no-op, data preserved
     after = db.query("SELECT ii FROM test_a GROUP BY dim_u").collect()
     assert sorted(map(str, before)) == sorted(map(str, after))
+
+
+def test_mismatched_aggregate_rejected(db):
+    """Querying SUM over a stored AVG field is an error — a field IS its
+    aggregation (reference README.md:239-249)."""
+    with pytest.raises(ValueError, match="does not match any stored field"):
+        db.query("SELECT SUM(iv) AS x FROM test_a GROUP BY dim_u").collect()

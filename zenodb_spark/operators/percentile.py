@@ -11,12 +11,15 @@ Spark-first mapping:
 - Direct queries → ``percentile(x, p)`` (exact, matches DuckDB
   quantile_cont bit-for-bit) or ``percentile_approx`` for cheap scans.
 - Stored/mergeable state → a **fixed-bin linear histogram** on the bounded
-  range, exactly the reference's bounded-HDR idea: state is an
-  array<long> of bin counts; merge = element-wise ``zip_with(+)``;
-  read = first bin where the cumulative count crosses ceil(p/100·total),
-  returned as the bin's lower bound (integer math → deterministic and
-  engine-independent). All built-ins — no UDAF, fully codegen'd, and the
-  state column aggregates with ordinary shuffle-combine at any scale.
+  range, exactly the reference's bounded-HDR idea: state is a SPARSE
+  ``map<bin,count>`` of occupied bins (the bounded range may span 10k bins;
+  paying for all of them per cell is the dense-array mistake — the
+  reference's HDR compacts its counts on export too); merge =
+  ``map_zip_with(+)``; read = first occupied bin (sorted) where the
+  cumulative count crosses ceil(p/100·total), returned as the bin's lower
+  bound (integer math → deterministic and engine-independent). All
+  built-ins — no UDAF, and the state column aggregates with ordinary
+  shuffle-combine at any scale.
 """
 
 from __future__ import annotations
@@ -49,15 +52,6 @@ def hist_bin(value: Column | str, lo: float, hi: float, precision: int) -> Colum
     return F.when((value >= lo) & (value <= hi), F.least(idx, F.lit(nbins - 1)))
 
 
-def hist_state(value: Column | str, lo: float, hi: float, precision: int) -> Column:
-    """Aggregate: histogram state as array<long> of bin counts.
-
-    Built from ``count per bin`` via a map aggregate — use inside
-    ``groupBy().agg(hist_state(...))`` wrapped by `hist_agg` below.
-    """
-    raise NotImplementedError("use hist_agg(df, group_cols, ...) which composes the two-level aggregate")
-
-
 def hist_agg(
     df: DataFrame,
     group_cols: list[str | Column],
@@ -67,29 +61,22 @@ def hist_agg(
     precision: int,
     state_col: str = "hist",
 ) -> DataFrame:
-    """Aggregate rows to one histogram state array per group.
-
-    Two-level: count per (group, bin) — map-side combinable — then assemble
-    the dense array per group. Both stages are plain hash aggregates.
+    """Aggregate rows to one sparse histogram state (map<bin,count>) per
+    group. Two-level: count per (group, bin) — map-side combinable — then
+    assemble the occupied-bins map per group. Both stages are plain hash
+    aggregates.
     """
-    scale = float(10**precision)
-    nbins = int(round((hi - lo) * scale)) + 1
     binned = df.withColumn("__bin", hist_bin(value, lo, hi, precision)).filter(
         F.col("__bin").isNotNull()
     )
     per_bin = binned.groupBy(*group_cols, "__bin").agg(F.count(F.lit(1)).alias("__c"))
-    assembled = per_bin.groupBy(*group_cols).agg(
-        F.map_from_entries(F.collect_list(F.struct("__bin", "__c"))).alias("__m")
+    return per_bin.groupBy(*group_cols).agg(
+        F.map_from_entries(F.collect_list(F.struct("__bin", "__c"))).alias(state_col)
     )
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(nbins - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("__m"), i.cast("long")), F.lit(0).cast("long")),
-    )
-    return assembled.withColumn(state_col, dense).drop("__m")
 
 
 def hist_merge(state: Column | str) -> Column:
-    """Merge histogram states across rows: element-wise sum of arrays.
+    """Merge histogram states across rows: key-wise sum of sparse maps.
 
     Usable in ``groupBy().agg(hist_merge("hist").alias("hist"))`` to
     re-aggregate stored sketches to coarser time buckets (the reference's
@@ -97,30 +84,33 @@ def hist_merge(state: Column | str) -> Column:
     state = F.col(state) if isinstance(state, str) else state
     return F.aggregate(
         F.collect_list(state),
-        F.expr("CAST(array() AS array<bigint>)"),
-        lambda acc, x: F.when(F.size(acc) == 0, x).otherwise(
-            F.zip_with(acc, x, lambda a, b: a + b)
+        F.expr("CAST(map() AS map<bigint,bigint>)"),
+        lambda acc, x: F.map_zip_with(
+            acc,
+            x,
+            lambda _k, v1, v2: F.coalesce(v1, F.lit(0).cast("long"))
+            + F.coalesce(v2, F.lit(0).cast("long")),
         ),
     )
 
 
 def hist_quantile(state: Column | str, p: float, lo: float, precision: int) -> Column:
-    """Read value-at-quantile from a histogram state (p in [0,100]).
+    """Read value-at-quantile from a sparse histogram state (p in [0,100]).
 
-    Deterministic integer scan: the lower bound of the first bin where the
-    cumulative count reaches ceil(p/100 · total).
+    Deterministic integer scan: the lower bound of the first occupied bin
+    (in key order) where the cumulative count reaches ceil(p/100 · total).
     """
     state = F.col(state) if isinstance(state, str) else state
     scale = float(10**precision)
-    total = F.aggregate(state, F.lit(0).cast("long"), lambda a, x: a + x)
+    entries = F.sort_array(F.map_entries(state))
+    total = F.aggregate(entries, F.lit(0).cast("long"), lambda a, x: a + x["value"])
     target = F.ceil(total * F.lit(p) / F.lit(100.0)).cast("long")
-    # positional scan via a (cum, answer) struct fold
     folded = F.aggregate(
-        F.zip_with(state, F.sequence(F.lit(0), F.size(state) - 1), lambda c, i: F.struct(c.alias("c"), i.alias("i"))),
+        entries,
         F.struct(F.lit(0).cast("long").alias("cum"), F.lit(-1).cast("long").alias("ans")),
         lambda acc, x: F.struct(
-            (acc["cum"] + x["c"]).alias("cum"),
-            F.when((acc["ans"] < 0) & (acc["cum"] + x["c"] >= target), x["i"].cast("long"))
+            (acc["cum"] + x["value"]).alias("cum"),
+            F.when((acc["ans"] < 0) & (acc["cum"] + x["value"] >= target), x["key"].cast("long"))
             .otherwise(acc["ans"])
             .alias("ans"),
         ),

@@ -511,19 +511,19 @@ def aggregate_raw(
         binned = keyed.withColumn("__bin", _hist_bin_expr(v, lo, hi, precision)).filter(
             F.col("__bin").isNotNull()
         )
-        nbins = hist_nbins(spec.hist_meta)
         per_bin = binned.groupBy(
             *[c.alias(n) for n, c in group_dims], F.col(BUCKET_COL), F.col("__bin")
         ).agg(F.count(F.lit(1)).alias("__c"))
+        # SPARSE state: map<bin,count> of occupied bins only. A dense
+        # array<long> of nbins (up to 10k elements, ~80 KB per cell at
+        # precision 1 over a 0..1000 range) made every cell and every merge
+        # pay for the full bounded range; occupied-bins-only matches the
+        # reference's HDR sparseness (expr/percentile.go counts array is
+        # compacted on export).
         assembled = per_bin.groupBy(*[F.col(n) for n, _ in group_dims], F.col(BUCKET_COL)).agg(
-            F.map_from_entries(F.collect_list(F.struct("__bin", "__c"))).alias("__m")
+            F.map_from_entries(F.collect_list(F.struct("__bin", "__c"))).alias(spec.col)
         )
-        dense = F.transform(
-            F.sequence(F.lit(0), F.lit(nbins - 1)),
-            lambda i: F.coalesce(F.element_at(F.col("__m"), i.cast("long")), F.lit(0).cast("long")),
-        )
-        hist_df = assembled.withColumn(spec.col, dense).drop("__m")
-        out = out.join(hist_df, on=[n for n, _ in group_dims] + [BUCKET_COL], how="left")
+        out = out.join(assembled, on=[n for n, _ in group_dims] + [BUCKET_COL], how="left")
 
     return out, registry
 
@@ -569,13 +569,17 @@ def merge_states(
         elif spec.merge == "max":
             aggs.append(F.max(src).alias(spec.col))
         elif spec.merge == "hist":
-            nbins = hist_nbins(spec.hist_meta)
-            empty = F.array_repeat(F.lit(0).cast("long"), nbins)
+            empty = F.expr("CAST(map() AS map<bigint,bigint>)")
             aggs.append(
                 F.aggregate(
                     F.collect_list(src),
                     empty,
-                    lambda acc, x: F.zip_with(acc, x, lambda a, b: a + b),
+                    lambda acc, x: F.map_zip_with(
+                        acc,
+                        x,
+                        lambda _k, v1, v2: F.coalesce(v1, F.lit(0).cast("long"))
+                        + F.coalesce(v2, F.lit(0).cast("long")),
+                    ),
                 ).alias(spec.col)
             )
         else:
@@ -646,19 +650,18 @@ def finalize_expr(e: MExpr, registry: StateRegistry, field_lookup) -> Column:
 
 
 def _hist_quantile_col(state: Column, p: float, lo: float, precision: int) -> Column:
+    """Value-at-quantile over the SPARSE map state: sort occupied bins,
+    cumulative-scan to the ceil(p% · total) target."""
     scale = float(10**precision)
-    total = F.aggregate(state, F.lit(0).cast("long"), lambda a, x: a + x)
+    entries = F.sort_array(F.map_entries(state))
+    total = F.aggregate(entries, F.lit(0).cast("long"), lambda a, x: a + x["value"])
     target = F.ceil(total * F.lit(p) / F.lit(100.0)).cast("long")
     folded = F.aggregate(
-        F.zip_with(
-            state,
-            F.sequence(F.lit(0), F.size(state) - 1),
-            lambda c, i: F.struct(c.alias("c"), i.alias("i")),
-        ),
+        entries,
         F.struct(F.lit(0).cast("long").alias("cum"), F.lit(-1).cast("long").alias("ans")),
         lambda acc, x: F.struct(
-            (acc["cum"] + x["c"]).alias("cum"),
-            F.when((acc["ans"] < 0) & (acc["cum"] + x["c"] >= target), x["i"].cast("long"))
+            (acc["cum"] + x["value"]).alias("cum"),
+            F.when((acc["ans"] < 0) & (acc["cum"] + x["value"] >= target), x["key"].cast("long"))
             .otherwise(acc["ans"])
             .alias("ans"),
         ),
