@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from zenodb_spark.operators.util import spread
 
-__all__ = ["normalize_text", "exact_dedup", "shingles", "ngram_jaccard_pairs", "minhash_signatures", "minhash_lsh_pairs", "simhash", "simhash_pairs"]
+__all__ = ["normalize_text", "exact_dedup", "dedup_apply", "shingles", "ngram_jaccard_pairs", "minhash_signatures", "minhash_lsh_pairs", "simhash", "simhash_pairs"]
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -265,3 +265,15 @@ def simhash_pairs(fp: DataFrame, max_hamming: int = 2, bits: int = 16) -> DataFr
         .select("doc_a", "doc_b", "hamming")
     )
     return pairs
+
+
+def dedup_apply(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Materialize the deduplicated corpus: keep the lowest-id row per
+    normalized-content fingerprint. One window over the fingerprint
+    shuffle — the apply step downstream of `exact_dedup`'s report."""
+    w = Window.partitionBy(F.md5(normalize_text(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

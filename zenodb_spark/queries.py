@@ -1436,3 +1436,27 @@ def q39_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "q40_dedup_apply",
+    f"""
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY md5({NORM.format(x='text')}) ORDER BY doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source, count(*) AS n_kept, min(doc_id) AS min_doc
+    FROM r WHERE rn = 1 GROUP BY 1
+    """,
+)
+def q40_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup APPLY: the corpus with exact duplicates removed (keep lowest
+    id per normalized fingerprint), summarized per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = dedup.dedup_apply(docs, "text", "doc_id")
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_doc")
+    )
