@@ -1460,3 +1460,23 @@ def q40_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_doc")
     )
+
+
+@query(
+    "q41_simhash_pairs",
+    f"""
+    WITH f AS ({_simhash_oracle().strip()})
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM f a JOIN f b ON a.doc < b.doc
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
+def q41_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 2) via pigeonhole segment
+    blocking: only docs agreeing exactly on >=1 of 3 fingerprint segments
+    are compared — the oracle brute-forces all pairs, so the comparison
+    proves the blocking loses nothing (pigeonhole guarantee)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = dedup.simhash(docs, "text", "doc_id", bits=16)
+    return dedup.simhash_pairs(fp, max_hamming=2, bits=16)
