@@ -2,7 +2,10 @@
 beyond the reference per BASELINE.json's north star — getlantern/zenodb has
 no document/dedup surface; no file:line citations apply).
 
-Four tiers, all shuffle-bounded (no cross joins), designed for 100 TB:
+Five tiers plus an apply step, all shuffle-bounded (no cross joins),
+designed for 100 TB (the embedding-cosine member lives in
+operators/similarity.py: cosine_neardup_pairs; dedup_apply below
+materializes the kept corpus):
 
 1. exact            — hash-groupBy on a content digest. One shuffle keyed by
                       md5(text); map-side combine makes it cheap.
