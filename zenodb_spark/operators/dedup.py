@@ -54,29 +54,33 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingles(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3, with_size: bool = False
-) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, shingle[, sz]).
+def shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingle ARRAY per document: (doc, shingles).
 
     Tokenizes on whitespace and joins n consecutive tokens with a space.
     Built entirely from array functions (split/transform/slice) → codegen.
-    With ``with_size`` the per-doc distinct-shingle count rides along from
-    the pre-explode array — no extra shuffle ever needed to recover set
-    sizes downstream.
+    array_distinct dedups within the doc BEFORE any explode, so downstream
+    posting lists are (doc, shingle)-unique with no shuffle-distinct.
     """
     df = spread(df)
     toks = F.split(normalize_text(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    # array_distinct dedups within the doc BEFORE exploding, so no extra
-    # shuffle-distinct is needed — explode output is already (doc, shingle)
-    # unique
     arr = F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
-    cols = [F.col(id_col).alias("doc"), F.explode(arr).alias("shingle")]
+    return df.select(F.col(id_col).alias("doc"), arr.alias("shingles"))
+
+
+def shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, with_size: bool = False
+) -> DataFrame:
+    """Exploded shingle postings: (doc, shingle[, sz]). With ``with_size``
+    the per-doc distinct-shingle count rides along from the pre-explode
+    array — no extra shuffle ever needed to recover set sizes downstream."""
+    arrays = shingle_arrays(df, text_col, id_col, n)
+    cols = [F.col("doc"), F.explode("shingles").alias("shingle")]
     if with_size:
-        cols.append(F.size(arr).alias("sz"))
-    return df.select(*cols)
+        cols.append(F.size("shingles").alias("sz"))
+    return arrays.select(*cols)
 
 
 def ngram_jaccard_pairs(
@@ -159,18 +163,29 @@ def minhash_lsh_pairs(
     near-identical docs); final exact verification touches only candidates.
     """
     rows_per_band = num_hashes // bands
-    # the posting list feeds three plan branches (signatures + both sides of
-    # the verification join); persist it once — memory-and-disk so it spills
-    # rather than recomputing the explode 3× at scale. Set size rides along
-    # from the pre-explode array: no window, no separate sizes relation.
+    # the shingle set feeds three plan branches (signatures + both sides of
+    # the verification join); persist the per-doc ARRAYS once (1 row/doc —
+    # far smaller than the exploded postings), memory-and-disk so it spills
+    # rather than recomputing the tokenization 3× at scale
     from pyspark import StorageLevel
 
-    sh = shingles(df, text_col, id_col, n, with_size=True).persist(StorageLevel.MEMORY_AND_DISK)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ] + [F.first("sz").alias("sz")]
-    sig = sh.groupBy("doc").agg(*aggs)
+    arrays = (
+        shingle_arrays(df, text_col, id_col, n)
+        .filter(F.size("shingles") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # signatures straight off the array — array_min(transform(md5)) per
+    # hash, NO groupBy shuffle; set size comes from the same array
+    sig = arrays.select(
+        "doc",
+        F.size("shingles").alias("sz"),
+        *[
+            F.array_min(
+                F.transform("shingles", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
+            ).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
     band_cols = [
         F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
         for b in range(bands)
@@ -189,6 +204,7 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # count shared shingles via join on shingle, restricted to candidate pairs
+    sh = arrays.select("doc", F.explode("shingles").alias("shingle"))
     a = sh.select(F.col("doc").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc").alias("doc_b"), F.col("shingle").alias("shingle"))
     return (
