@@ -262,3 +262,38 @@ def lsh_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def ivf_centroids(dim: int, k: int, seed: int = 43) -> list[list[float]]:
+    """Deterministic pseudo-random centroids (a real deployment trains them
+    with k-means on a sample; the partition/assignment plumbing is
+    identical)."""
+    return _planes(dim, k, seed)
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest centroid
+    (1-based index) — the inverted-file partitioning step of IVF ANN: at
+    query time only the probe centroid's list (plus neighbors) is scanned.
+
+    Squared L2 via ||v||² − 2·v·c + ||c||² with sequential-order dots, so
+    the distances (and the first-min tie rule of array_position/min) are
+    bit-identical to a DuckDB replay."""
+    v = F.col(vec_col)
+    vv = dot(v, v)
+    dists = []
+    for c in centroids:
+        lit_c = F.array(*[F.lit(x) for x in c])
+        cc = sum((x * x for x in c), 0.0)  # python-side constant, same literal in SQL
+        dists.append(vv - 2.0 * dot(v, lit_c) + F.lit(cc))
+    darr = F.array(*dists)
+    return corpus.select(
+        F.col(id_col),
+        v.alias(vec_col),
+        F.array_position(darr, F.array_min(darr)).cast("int").alias("centroid"),
+    )

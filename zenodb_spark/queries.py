@@ -1480,3 +1480,38 @@ def q41_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = dedup.simhash(docs, "text", "doc_id", bits=16)
     return dedup.simhash_pairs(fp, max_hamming=2, bits=16)
+
+
+def _ivf_oracle(dim: int = 64, k: int = 8, seed: int = 43) -> str:
+    from zenodb_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, k, seed)
+    terms = []
+    for c in cents:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        cc = repr(sum((x * x for x in c), 0.0))
+        terms.append(f"(list_dot_product(v, v) - 2.0 * list_dot_product(v, {lit}) + {cc})")
+    darr = "[" + ", ".join(terms) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (
+      SELECT vec_id, {darr} AS d FROM e
+    )
+    SELECT CAST(list_position(d, list_min(d)) AS INTEGER) AS centroid,
+           count(*) AS n_vectors, min(vec_id) AS min_vec
+    FROM a GROUP BY 1
+    """
+
+
+@query("q42_ivf_assign", _ivf_oracle())
+def q42_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization (the inverted-file ANN scale path, companion
+    to q33's LSH): nearest-centroid assignment with bit-identical distance
+    math; summarized as list sizes per centroid."""
+    from zenodb_spark.operators.similarity import ivf_assign, ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb, ivf_centroids(64, 8, 43), "vec_id", "embedding")
+    return assigned.groupBy("centroid").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec")
+    )
