@@ -1,6 +1,6 @@
 """Similarity search over embedding columns (array<float>).
 
-Three operators:
+Four operators:
 
 - ``cosine_topk``         — brute-force exact top-k. The query side is
   small and **broadcast**, so the scan side streams once with no shuffle:
@@ -14,6 +14,8 @@ Three operators:
   cosine member): triangle-blocked all-pairs with numpy block-matrix
   scoring inside ``applyInPandas``; vectors cross the shuffle once per
   block-pair group, never once per pair.
+- ``ivf_assign`` / ``ivf_search`` — inverted-file ANN: coarse-quantize to
+  nearest centroid; queries scan only their probe centroids' lists.
 
 SQL-side dot products use ``zip_with`` + ``aggregate`` — sequential
 double-precision accumulation in index order, bit-identical to DuckDB's
@@ -296,4 +298,51 @@ def ivf_assign(
         F.col(id_col),
         v.alias(vec_col),
         F.array_position(darr, F.array_min(darr)).cast("int").alias("centroid"),
+    )
+
+
+def ivf_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN search: candidates are corpus vectors whose centroid is one
+    of the query's `nprobe` nearest centroids; exact cosine re-rank within.
+    Corpus side scans once with its (tiny) centroid id; the probe relation
+    broadcasts — at scale the centroid column is the partition/cluster key
+    so probing reads only the matching lists."""
+    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        norm(vec_col).alias("nc"),
+        "centroid",
+    )
+    qa = ivf_assign(queries, centroids, id_col, vec_col)
+    # nprobe nearest centroids per query: sort (distance, index) structs
+    v = F.col(vec_col)
+    vv = dot(v, v)
+    dists = []
+    for i, cent in enumerate(centroids):
+        lit_c = F.array(*[F.lit(x) for x in cent])
+        cc = sum((x * x for x in cent), 0.0)
+        dists.append(F.struct((vv - 2.0 * dot(v, lit_c) + F.lit(cc)).alias("d"), F.lit(i + 1).alias("i")))
+    probes = F.slice(F.sort_array(F.array(*dists)), 1, nprobe)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        v.alias("qv"),
+        norm(vec_col).alias("nq"),
+        F.explode(F.transform(probes, lambda s: s["i"])).alias("centroid"),
+    )
+    scored = c.join(F.broadcast(q), "centroid").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("cosine", dot("qv", "cv") / (F.col("nq") * F.col("nc")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
     )

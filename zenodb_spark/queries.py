@@ -1515,3 +1515,62 @@ def q42_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("centroid").agg(
         F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec")
     )
+
+
+def _ivf_search_oracle(dim: int = 64, k: int = 8, seed: int = 43, nprobe: int = 2, topk: int = 5) -> str:
+    from zenodb_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, k, seed)
+    terms = []
+    for c in cents:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        cc = repr(sum((x * x for x in c), 0.0))
+        terms.append(f"(list_dot_product(v, v) - 2.0 * list_dot_product(v, {lit}) + {cc})")
+    darr = "[" + ", ".join(terms) + "]"
+    probe_structs = (
+        "[" + ", ".join(f"{{'d': d[{i + 1}], 'i': {i + 1}}}" for i in range(k)) + "]"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assigned AS (
+      SELECT vec_id, v, {darr} AS d,
+             CAST(list_position({darr}, list_min({darr})) AS INTEGER) AS centroid
+      FROM e
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv,
+             list_sort({probe_structs})[1:{nprobe}] AS probes
+      FROM assigned WHERE vec_id < 10
+    ),
+    qp AS (SELECT query_id, qv, unnest(probes).i AS centroid FROM q),
+    cand AS (
+      SELECT query_id, qv, a.vec_id AS neighbor_id, a.v AS cv
+      FROM qp JOIN assigned a USING (centroid)
+      WHERE query_id <> a.vec_id
+    ),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cosine
+      FROM cand
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {topk}
+    """
+
+
+@query("q43_ivf_search", _ivf_search_oracle())
+def q43_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF ANN search: probe the 2 nearest centroid lists per query,
+    exact cosine re-rank within — the oracle replays the identical
+    quantization and probing, verifying the inverted-file plumbing."""
+    from zenodb_spark.operators.similarity import ivf_centroids, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_search(
+        emb, emb.filter(F.col("vec_id") < 10), ivf_centroids(64, 8, 43),
+        "vec_id", "embedding", k=5, nprobe=2,
+    )
