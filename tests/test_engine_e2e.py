@@ -196,3 +196,37 @@ def test_in_subquery(db):
     )
     rows = out.collect()
     assert len(rows) == 1 and rows[0]["server"] == "56.234.163.23"
+
+
+def test_view_finer_resolution(db, spark):
+    """A view can store FINER granularity than its parent because it
+    re-consumes the parent's input stream, not the parent's stored buckets
+    (reference table.go:194-250, README.md:516-518)."""
+    db2 = DB(spark, now=E + 600)
+    db2.apply_schema(
+        {
+            "coarse": {
+                "sql": "SELECT requests FROM inbound GROUP BY server, period('5m')",
+            },
+            "fine": {
+                "view": True,
+                "sql": "SELECT requests FROM coarse GROUP BY server, period('1s')",
+            },
+        }
+    )
+    db2.insert(
+        "inbound",
+        spark.createDataFrame(
+            [
+                Row(ts=ts(0), server="a", requests=3.0),
+                Row(ts=ts(1), server="a", requests=5.0),
+            ]
+        ),
+    )
+    coarse = db2.query("SELECT requests FROM coarse GROUP BY server").collect()
+    assert coarse[0]["requests"] == 8.0
+    fine = sorted(
+        (r["_time"].timestamp(), r["requests"])
+        for r in db2.query("SELECT requests FROM fine GROUP BY server, period('1s')").collect()
+    )
+    assert fine == [(E, 3.0), (E + 1, 5.0)]
