@@ -253,3 +253,14 @@ def test_mismatched_aggregate_rejected(db):
     aggregation (reference README.md:239-249)."""
     with pytest.raises(ValueError, match="does not match any stored field"):
         db.query("SELECT SUM(iv) AS x FROM test_a GROUP BY dim_u").collect()
+
+
+def test_stride_with_period_slice(db):
+    """STRIDE with an explicit period: the slice width is the QUERY
+    resolution, not the table's (reference planner/local.go:144-150:
+    strideSlice=resolution, resolution=stride)."""
+    out = db.query("SELECT i FROM test_a GROUP BY _, period('2s'), STRIDE('4s')")
+    rows = {r["_time"].timestamp(): r["i"] for r in out.collect()}
+    # buckets E and E+1 both fall inside the first 2s slice of the 4s
+    # stride (E % 4 == 0) and merge: i = 12 + 100
+    assert rows == {float(E): 112.0}

@@ -495,12 +495,15 @@ class DB:
         if where is not None:
             state = state.filter(dim_truth(compile_dim(where)))
 
-        # STRIDE: keep only the first table-resolution slice of each stride
+        # STRIDE: keep only the first strideSlice of each stride, where
+        # strideSlice = the QUERY resolution (period if given, else table
+        # resolution) — reference planner/local.go:144–150 sets
+        # strideSlice=resolution then resolution=stride
         if q.stride:
             if round(q.stride) % round(table.resolution) != 0:
                 raise ValueError("stride must be a multiple of the table resolution")
             state = state.filter(
-                (F.col(BUCKET_COL) % F.lit(int(q.stride))) < F.lit(int(table.resolution))
+                (F.col(BUCKET_COL) % F.lit(int(q.stride))) < F.lit(int(res_out))
             )
             res_out = max(res_out, q.stride)
 
