@@ -42,6 +42,10 @@ def normalize_points(df: DataFrame, ts_col: str = "ts") -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores INT64 TIMESTAMP(NANOS); any SparkSession (not
+    # just ours from session.py) must read it, so set the legacy conf here.
+    # Runtime-settable and idempotent.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_points(df)
