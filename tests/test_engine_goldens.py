@@ -95,8 +95,9 @@ def test_group_by_underscore_points(db):
     out = db.query("SELECT _points, i FROM test_a GROUP BY _, period('100s')")
     rows = out.collect()
     assert len(rows) == 1
-    # 5 accepted points + 101 array-element fan-outs
-    assert rows[0]["_points"] == 106.0
+    # 4 scalar points + 101 array elements (element[0] rides the main insert:
+    # reference insert.go:213–252 counts an n-element array point as n)
+    assert rows[0]["_points"] == 105.0
     assert rows[0]["i"] == 112.0  # 1 + 11 + 100 (dim_u=2's i gated off)
 
 

@@ -39,6 +39,8 @@ from zenodb_spark.ir import (
     DimIn,
     DimInSubquery,
     DimLogical,
+    DimMarker,
+    DimNot,
     GroupDim,
     MAgg,
     MBin,
@@ -87,22 +89,35 @@ def resolve_time(s: str, now: float) -> float:
     return d.timestamp()
 
 
-def _explode_array_vals(df: DataFrame) -> DataFrame:
-    """Array-valued measures fan out into one point per element carrying only
-    that measure (reference insert.go:213–252)."""
+def _explode_array_vals(df: DataFrame, val_names: set[str] | None = None) -> DataFrame:
+    """Array-valued measures fan out per element (reference insert.go:213–252):
+    element[0] rides the main insert alongside the point's scalar measures;
+    each later element becomes a sub-insert carrying ONLY that measure (every
+    other measure column — scalar or array — nulled). A point with a scalar
+    val and an n-element array val thus contributes its scalar measures once
+    and counts as n points, matching the reference."""
     array_cols = [f.name for f in df.schema.fields if isinstance(f.dataType, T.ArrayType)]
     if not array_cols:
         return df
+    # Measure columns = declared val names plus all array-valued columns.
+    measures = set(array_cols) | {
+        n for n in (val_names or set()) if n in df.columns
+    }
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    # Main insert: scalars intact, each array collapsed to its first element.
     base = df
     for c in array_cols:
-        base = base.withColumn(c, F.lit(None).cast("double"))
+        base = base.withColumn(c, F.col(c).getItem(0).cast("double"))
     parts = [base]
     for c in array_cols:
         part = df
-        for other in array_cols:
+        for other in measures:
             if other != c:
-                part = part.withColumn(other, F.lit(None).cast("double"))
-        part = part.withColumn(c, F.explode(F.col(c))).withColumn(
+                target = "double" if other in array_cols else dtypes[other]
+                part = part.withColumn(other, F.lit(None).cast(target))
+        # Elements 1..n-1 only (element 0 already on the main insert).
+        tail = F.slice(F.col(c), 2, F.greatest(F.size(F.col(c)) - 1, F.lit(0)))
+        part = part.withColumn(c, F.explode(tail)).withColumn(
             c, F.col(c).cast("double")
         )
         parts.append(part)
@@ -137,6 +152,11 @@ class Table:
         self.dims: list[str] | None = [g.name for g in self.group_by] if not q.group_by_all else None
         self.registry: StateRegistry | None = None
         self._parts: list[DataFrame] = []
+        # streaming exactly-once ledger: stream-part path → index in _parts,
+        # or None once compact() folded it into main. A replayed micro-batch
+        # (crash after the parquet write, before the checkpoint commit)
+        # REPLACES its slot / is skipped instead of double-counting.
+        self._stream_seen: dict[str, int | None] = {}
         self._materialized = False
         self.created_at = db.now()  # backfill depth anchors here
         self._load_persisted()
@@ -162,6 +182,7 @@ class Table:
         for sub in sorted(os.listdir(path)):
             if sub.startswith("stream_part="):
                 parts.append(self.db.spark.read.parquet(f"{path}/{sub}"))
+                self._stream_seen[f"{path}/{sub}"] = len(parts) - 1
         if not parts:
             return
         self.registry = build_registry(self.fields)
@@ -177,7 +198,7 @@ class Table:
 
     # -- ingest -------------------------------------------------------------
     def ingest(self, points: DataFrame, ts_col: str = "ts") -> None:
-        df = _explode_array_vals(points)
+        df = _explode_array_vals(points, self._val_names())
         if self.tdef.backfill is not None:
             # Backfill limit: historical replay depth is bounded from table
             # creation time; fresher points always flow (reference
@@ -339,17 +360,36 @@ class Table:
 
             merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
         self._parts = [merged]
+        # folded stream parts stay in the ledger (value None) so a late
+        # checkpoint replay of an already-folded batch is skipped, not
+        # re-ingested
+        self._stream_seen = {k: None for k in self._stream_seen}
         self._materialized = True
 
 
 class DB:
-    def __init__(self, spark: SparkSession, workdir: str | None = None, now=None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        workdir: str | None = None,
+        now=None,
+        in_splice_max: int = 10_000,
+        crosstab_max_values: int = 10_000,
+    ):
         self.spark = spark
         self.workdir = workdir
         self.tables: dict[str, Table] = {}
         self.virtual_defs: dict[str, tuple[Query, list[SelectField]]] = {}
         self.streams: list = []  # active StreamingQuery handles (force_fresh)
         self._now = now  # virtual clock (reference zenodb.go:81–83)
+        # IN-subquery value sets at most this large splice into the predicate
+        # (reference planner/subquery.go collects always); larger sets stay
+        # distributed as a membership join so a high-cardinality dim can't
+        # OOM the driver.
+        self.in_splice_max = in_splice_max
+        # crosstab pivots buffer the distinct column values on the driver
+        # (same as Spark's own pivot()); fail loudly past this cap.
+        self.crosstab_max_values = crosstab_max_values
 
     def now(self) -> float:
         if self._now is not None:
@@ -403,6 +443,47 @@ class DB:
 
     def apply_schema_yaml(self, text: str) -> None:
         self.apply_schema(_parse_simple_yaml(text))
+
+    def apply_schema_file(self, path: str) -> None:
+        with open(path) as f:
+            self.apply_schema_yaml(f.read())
+
+    def watch_schema(self, path: str, interval: float = 1.0):
+        """Apply the schema file now and keep polling it for changes,
+        re-applying when mtime/size moves (reference schema.go:16–55 polls
+        every second and live-alters tables). Returns a handle with
+        ``.stop()``; the poll runs on a daemon thread — pure driver-side
+        control flow, no Spark jobs unless the file actually changed."""
+        import os
+        import threading
+
+        self.apply_schema_file(path)
+        stat = os.stat(path)
+        stop = threading.Event()
+
+        def loop() -> None:
+            nonlocal stat
+            while not stop.wait(interval):
+                try:
+                    new_stat = os.stat(path)
+                except OSError:
+                    continue
+                if new_stat.st_mtime > stat.st_mtime or new_stat.st_size != stat.st_size:
+                    stat = new_stat
+                    try:
+                        self.apply_schema_file(path)
+                    except Exception as e:  # keep polling; reference logs and continues
+                        print(f"watch_schema: apply failed: {e}")
+
+        t = threading.Thread(target=loop, name="zenodb-schema-watch", daemon=True)
+        t.start()
+
+        class _Watch:
+            def stop(self) -> None:
+                stop.set()
+                t.join(timeout=interval + 1)
+
+        return _Watch()
 
     def _create(self, tdef: TableDef, q: Query) -> None:
         fields = list(q.fields)
@@ -491,9 +572,7 @@ class DB:
         state = table.state_df(asof, until)
 
         # WHERE over stored dims (IN-subqueries pre-executed, reference planner/subquery.go)
-        where = self._resolve_in_subqueries(q.where)
-        if where is not None:
-            state = state.filter(dim_truth(compile_dim(where)))
+        state = self._apply_where(state, q.where)
 
         # STRIDE: keep only the first strideSlice of each stride, where
         # strideSlice = the QUERY resolution (period if given, else table
@@ -668,9 +747,20 @@ class DB:
         dims_ct = list(out_dims) + [("__ct", ct_col)]
         merged_ct = merge_states(state, qreg, dims_ct, table.resolution, res_out)
         flat_ct = self._finalize_flat(merged_ct, qreg, fields, dims_ct, q_lookup, res_out)
-        values = sorted(
-            r["__ct"] for r in flat_ct.select("__ct").distinct().collect() if r["__ct"] is not None
+        # Pivot needs the distinct column values on the driver (the same
+        # two-pass shape as Spark's own pivot(); the reference buffers rows
+        # too) — but guard the cardinality so a runaway crosstab dim fails
+        # loudly instead of OOMing the driver.
+        cap = self.crosstab_max_values
+        distinct_rows = (
+            flat_ct.select("__ct").distinct().limit(cap + 1).collect()
         )
+        if len(distinct_rows) > cap:
+            raise ValueError(
+                f"CROSSTAB dimension has more than {cap} distinct values; "
+                "raise DB(crosstab_max_values=...) if this is intentional"
+            )
+        values = sorted(r["__ct"] for r in distinct_rows if r["__ct"] is not None)
         dims = [n for n, _ in out_dims]
         pivoted = (
             flat_ct.groupBy(TIME_COL, *dims)
@@ -709,11 +799,8 @@ class DB:
         if q.select_star or not fields:
             seen = {f.name for f in fields}
             fields += [SelectField(n, MFieldRef(n)) for n in inner_fields if n not in seen]
-        where = self._resolve_in_subqueries(q.where)
-        df = inner
-        if where is not None:
-            resolve = lambda n: F.col(n) if n in df.columns else F.lit(None)
-            df = df.filter(dim_truth(compile_dim(where, resolve)))
+        resolve = lambda n: F.col(n) if n in inner.columns else F.lit(None)
+        df = self._apply_where(inner, q.where, resolve)
         if q.group_by_none:
             group_dims: list[tuple[str, object]] = []
         elif q.group_by_all or not q.group_by:
@@ -741,10 +828,20 @@ class DB:
         return self._order_limit(flat, q)
 
     # -- shared tail ----------------------------------------------------------
-    def _resolve_in_subqueries(self, e: DimExpr | None) -> DimExpr | None:
-        """Pre-execute uncorrelated IN-subqueries and splice their value lists
-        into the predicate (reference planner/subquery.go:13–100). The
-        subquery must select exactly one dim."""
+    def _resolve_in_subqueries(
+        self, e: DimExpr | None, joins: list | None = None
+    ) -> DimExpr | None:
+        """Plan uncorrelated IN-subqueries (reference planner/subquery.go:13–100;
+        the subquery must select exactly one dim).
+
+        Scale-safe two-tier strategy: the subquery's distinct dim values are
+        fetched with LIMIT (in_splice_max + 1). Small sets splice into the
+        predicate as a value list (the reference's design — cheap, pushes to
+        the scan). Larger sets never touch the driver: the planner records a
+        (marker, values_df, dim_expr) join spec and the caller left-joins the
+        distinct values (AQE broadcasts when they fit), so the predicate
+        compiles to a null-check on the marker — valid under NOT/OR too.
+        """
         if e is None:
             return None
         if isinstance(e, DimInSubquery):
@@ -757,13 +854,38 @@ class DB:
                 if sub.group_by
                 else sub.fields[0].name
             )
-            values = [r[dim_name] for r in sub_df.select(dim_name).distinct().collect()]
-            return DimIn(e.inner, tuple(v for v in values if v is not None) or (None,))
+            vals_df = sub_df.select(dim_name).filter(F.col(dim_name).isNotNull()).distinct()
+            head = vals_df.limit(self.in_splice_max + 1).collect()
+            if len(head) <= self.in_splice_max or joins is None:
+                values = tuple(r[dim_name] for r in head)
+                return DimIn(e.inner, values or (None,))
+            marker = f"__in_sq_{len(joins)}"
+            joins.append((marker, vals_df.withColumnRenamed(dim_name, marker), e.inner))
+            return DimMarker(marker)
         if isinstance(e, DimLogical):
             return DimLogical(
-                e.op, self._resolve_in_subqueries(e.left), self._resolve_in_subqueries(e.right)
+                e.op,
+                self._resolve_in_subqueries(e.left, joins),
+                self._resolve_in_subqueries(e.right, joins),
             )
+        if isinstance(e, DimNot):
+            return DimNot(self._resolve_in_subqueries(e.inner, joins))
         return e
+
+    def _apply_where(self, df: DataFrame, where: DimExpr | None, resolve=None) -> DataFrame:
+        """Resolve IN-subqueries in ``where`` and filter ``df``: small value
+        sets splice inline; large ones become membership left-joins on the
+        subquery's distinct values (no driver collect)."""
+        where = self._resolve_in_subqueries(where, joins := [])
+        if where is None:
+            return df
+        for marker, vals_df, inner_dim in joins:
+            key = compile_dim(inner_dim, resolve) if resolve else compile_dim(inner_dim)
+            df = df.join(vals_df, key == vals_df[marker], "left")
+        df = df.filter(dim_truth(compile_dim(where, resolve) if resolve else compile_dim(where)))
+        if joins:
+            df = df.drop(*[m for m, _, _ in joins])
+        return df
 
     def _order_limit(self, df: DataFrame, q: Query) -> DataFrame:
         if q.order_by:

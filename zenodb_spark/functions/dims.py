@@ -20,14 +20,23 @@ from pyspark.sql import functions as F
 
 
 def CONCAT(sep: str, *cols: Column | str) -> Column:
-    """CONCAT(sep, a, b, …) — reference sql/sql.go:117."""
+    """CONCAT(sep, a, b, …) — reference sql/sql.go:117. Note: concat_ws
+    SKIPS null parts (no dangling separator); goexpr's Concat renders every
+    part, so a nil middle dim would keep its separators there. concat_ws is
+    the saner behavior and what the DuckDB oracle uses; documented
+    deviation."""
     return F.concat_ws(sep, *[F.col(c) if isinstance(c, str) else c for c in cols])
 
 
 def SPLIT(col: Column | str, sep: str, idx: int) -> Column:
-    """SPLIT(s, sep, idx) — 0-based element after split (reference sql/sql.go:98)."""
+    """SPLIT(s, sep, idx) — 0-based element after split (reference
+    sql/sql.go:98). The separator is a LITERAL string (goexpr Split uses
+    strings.Split), so escape it before handing it to F.split's Java regex —
+    SPLIT(host, '.', 0) must split on dots, not on every character."""
+    import re
+
     col = F.col(col) if isinstance(col, str) else col
-    return F.split(col, sep).getItem(idx)
+    return F.split(col, re.escape(sep)).getItem(idx)
 
 
 def SUBSTR(col: Column | str, start: int, length: int) -> Column:

@@ -84,6 +84,14 @@ class DimInSubquery(DimExpr):
     subquery: "Query"
 
 
+@dataclass(frozen=True)
+class DimMarker(DimExpr):
+    """Planner-internal: membership flag column left by an IN-subquery
+    semi-join (non-null ⇒ the dim value was in the subquery result)."""
+
+    col: str
+
+
 # --------------------------------------------------------------------------
 # measure expressions (reference: expr/ package via sql/sql.go:690–898)
 # --------------------------------------------------------------------------

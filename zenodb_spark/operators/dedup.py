@@ -174,18 +174,28 @@ def minhash_lsh_pairs(
         .filter(F.size("shingles") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # signatures straight off the array — array_min(transform(md5)) per
-    # hash, NO groupBy shuffle; set size comes from the same array
-    sig = arrays.select(
+    # signatures straight off the array, NO groupBy shuffle. Hash family is
+    # Carter–Wegman over ONE md5 per shingle: h_i(s) = (h1(s) + i·h2(s))
+    # mod P with h1/h2 = two 32-bit halves of md5(s) — pairwise-independent,
+    # deterministic in any engine, and 1 digest per shingle instead of
+    # num_hashes digests (the dominant CPU cost of signature building).
+    P = 4_294_967_311  # smallest prime > 2^32; i·h2 ≤ 2^37 ≪ 2^63, no overflow
+    hashed = arrays.select(
         "doc",
         F.size("shingles").alias("sz"),
-        *[
-            F.array_min(
-                F.transform("shingles", lambda s, i=i: F.md5(F.concat(F.lit(f"{i}|"), s)))
-            ).alias(f"h{i}")
-            for i in range(num_hashes)
-        ],
+        F.transform("shingles", lambda s: F.md5(s)).alias("__m"),
+    ).select(
+        "doc",
+        "sz",
+        F.transform("__m", lambda m: F.conv(F.substring(m, 1, 8), 16, 10).cast("long")).alias("__h1"),
+        F.transform("__m", lambda m: F.conv(F.substring(m, 9, 8), 16, 10).cast("long")).alias("__h2"),
     )
+    def _cw_min(i: int):
+        return F.array_min(
+            F.zip_with("__h1", "__h2", lambda a, b: (a + F.lit(i + 1) * b) % F.lit(P))
+        ).alias(f"h{i}")
+
+    sig = hashed.select("doc", "sz", *[_cw_min(i) for i in range(num_hashes)])
     band_cols = [
         F.concat_ws("|", F.lit(str(b)), *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)])
         for b in range(bands)
@@ -203,19 +213,17 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # count shared shingles via join on shingle, restricted to candidate pairs
-    sh = arrays.select("doc", F.explode("shingles").alias("shingle"))
-    a = sh.select(F.col("doc").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc").alias("doc_b"), F.col("shingle").alias("shingle"))
+    # exact verification over the persisted per-doc shingle ARRAYS: join the
+    # candidate pairs to one array per side and intersect in-row. This keeps
+    # the verify cost O(candidates · array-size) with two narrow hash joins,
+    # instead of re-exploding EVERY posting on both sides and shuffling the
+    # full postings table twice (the r1 bench hotspot — 28.6s at sf0.1).
+    sets_a = arrays.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sets_b = arrays.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (
-        cands.join(a, "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("inter"),
-            F.first("sz_a").alias("sz_a"),
-            F.first("sz_b").alias("sz_b"),
-        )
+        cands.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

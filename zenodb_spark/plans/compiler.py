@@ -45,6 +45,7 @@ from zenodb_spark.ir import (
     DimIsNull,
     DimLike,
     DimLogical,
+    DimMarker,
     DimNot,
     DimRef,
     MAgg,
@@ -107,11 +108,16 @@ def compile_dim(e: DimExpr, resolve=None) -> Column:
         return c.isNotNull() if e.negated else c.isNull()
     if isinstance(e, DimLike):
         c = compile_dim(e.inner, r)
-        # reference LIKE is substring-match (goexpr Like wraps regex contains)
-        like = c.contains(e.pattern.replace("%", ""))
+        # SQL LIKE semantics: % multi-char wildcard, pattern anchored at both
+        # ends ('a%z' does NOT match 'za') — reference sql/sql.go:989–1120
+        # lowers LIKE through goexpr.Binary; DuckDB oracle agrees.
+        like = c.like(e.pattern)
         return ~like if e.negated else like
     if isinstance(e, DimIn):
         return compile_dim(e.inner, r).isin(*e.values)
+    if isinstance(e, DimMarker):
+        # membership flag produced by the planner's IN-subquery semi-join
+        return F.col(e.col).isNotNull()
     if isinstance(e, DimInSubquery):
         raise ValueError("IN-subquery must be rewritten to a semi-join by the planner")
     raise TypeError(f"unhandled dim expr {e!r}")
@@ -263,6 +269,13 @@ def collect_agg_leaves(e: MExpr, field_lookup, out: list[MExpr]) -> MExpr:
             # simple IF(cond, AGG) — gate the state itself
             out.append(gated)
             return gated
+        if inner_out:
+            # Compound inner, e.g. IF(cond, SUM(a)/SUM(b)): push the gate
+            # down onto every aggregate leaf so each state is built gated
+            # and finalize combines the gated leaves (reference expr.IF
+            # wraps arbitrary expressions — sql/sql.go:760,
+            # expr/combined_test.go IF(ge, DIV(mult, count))).
+            return _push_gate(inner, e.cond, out)
         out.extend(inner_out)
         return gated
     if isinstance(e, MBounded):
@@ -280,6 +293,35 @@ def collect_agg_leaves(e: MExpr, field_lookup, out: list[MExpr]) -> MExpr:
     if isinstance(e, MCrosshift):
         return MCrosshift(collect_agg_leaves(e.inner, field_lookup, out), e.cutoff, e.interval)
     raise TypeError(f"unhandled measure expr {e!r}")
+
+
+def _push_gate(e: MExpr, cond, out: list[MExpr]) -> MExpr:
+    """Rewrite every aggregate leaf L inside ``e`` as MIf(cond, L),
+    registering the gated leaves (compound-IF gate pushdown)."""
+    if isinstance(e, (MAgg, MPresence, MIf)) or (
+        isinstance(e, MPercentile) and e.precision is not None
+    ):
+        g = MIf(cond, e)
+        out.append(g)
+        return g
+    if isinstance(e, MPercentile):
+        # 2-arg re-read: the stored sketch itself is ungated state; gating a
+        # re-read inside a compound IF is not expressible — register as-is.
+        out.append(e.inner)
+        return e
+    if isinstance(e, MConst):
+        return e
+    if isinstance(e, MBounded):
+        return MBounded(_push_gate(e.inner, cond, out), e.lo, e.hi)
+    if isinstance(e, MBin):
+        return MBin(e.op, _push_gate(e.left, cond, out), _push_gate(e.right, cond, out))
+    if isinstance(e, MLog):
+        return MLog(e.kind, _push_gate(e.inner, cond, out))
+    if isinstance(e, MShift):
+        return MShift(_push_gate(e.inner, cond, out), e.dur)
+    if isinstance(e, MCrosshift):
+        return MCrosshift(_push_gate(e.inner, cond, out), e.cutoff, e.interval)
+    raise TypeError(f"unhandled expr under IF gate: {e!r}")
 
 
 def _resolve_refs_shallow(e: MExpr, field_lookup) -> MExpr:

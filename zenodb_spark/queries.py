@@ -977,18 +977,19 @@ def z02_engine_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
            CAST(count(value) AS DOUBLE) AS cnt
     FROM events
-    WHERE event_type IN ('click', 'error') OR event_type LIKE '%sign%'
+    WHERE event_type IN ('click', 'error') OR event_type LIKE 'sign%'
     GROUP BY 1, 2
     HAVING CAST(count(value) AS DOUBLE) > 50
     """,
 )
 def z03_engine_where_having(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL ENGINE: WHERE with IN-list + LIKE (substring semantics) over
-    stored dims, HAVING over the merged aggregate."""
+    """FULL ENGINE: WHERE with IN-list + anchored LIKE ('sign%' matches
+    'signup' but would not match 'design') over stored dims, HAVING over the
+    merged aggregate."""
     db = _engine_db(spark, sf_dir)
     out = db.query(
         "SELECT cnt FROM ev_hourly "
-        "WHERE event_type IN ('click', 'error') OR event_type LIKE 'sign' "
+        "WHERE event_type IN ('click', 'error') OR event_type LIKE 'sign%' "
         "GROUP BY event_type, period('1d') HAVING cnt > 50"
     )
     return _as_bucket(out)
@@ -1312,8 +1313,12 @@ def q35_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
+    # broadcast ONLY the filtered customer dim; orders is a fact table, so
+    # orders⋈lineitem must shuffle on orderkey (AQE still upgrades it to a
+    # broadcast at runtime when the filtered side truly fits — a hard-coded
+    # fact-side broadcast hint would OOM at 100× scale)
     joined = l.join(
-        F.broadcast(o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey)),
+        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return (

@@ -30,10 +30,51 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming import StreamingQuery
 
-from zenodb_spark.engine import DB, Table, _explode_array_vals
-from zenodb_spark.plans.compiler import StateRegistry, aggregate_raw, compile_dim, dim_truth
+from zenodb_spark.engine import DB, Table
 
 from pyspark.sql import functions as F
+
+
+def ingest_stream_batch(
+    db: DB,
+    table: Table,
+    table_name: str,
+    batch_df: DataFrame,
+    batch_id: int,
+    ts_col: str = "ts",
+) -> None:
+    """Fold one micro-batch into the table's state, exactly-once under
+    checkpoint replay.
+
+    A crash after the stream_part parquet write but before the checkpoint
+    commit re-delivers this batch_id on restart. The table's ledger
+    (``Table._stream_seen``) records every stream-part path: a replayed batch
+    REPLACES its existing slot in ``_parts`` (which ``_load_persisted`` may
+    already have re-opened from disk), and a batch whose part was folded into
+    main by ``compact()`` is skipped entirely — so no path double-counts."""
+    if batch_df.isEmpty():
+        return
+    if db.workdir:
+        path = f"{db.workdir}/{table_name}/stream_part={batch_id}"
+        if path in table._stream_seen:
+            idx = table._stream_seen[path]
+            if idx is None:
+                return  # already compacted into main
+            table.ingest(batch_df, ts_col)
+            table._parts[idx] = table._write_store(table._parts.pop(), path)
+            return
+        table.ingest(batch_df, ts_col)
+        table._parts[-1] = table._write_store(table._parts[-1], path)
+        table._stream_seen[path] = len(table._parts) - 1
+    else:
+        table.ingest(batch_df, ts_col)
+        part = table._parts[-1]
+        # a micro-batch DataFrame is not re-computable after the batch
+        # ends — materialize the partial state eagerly
+        from pyspark import StorageLevel
+
+        table._parts[-1] = part.persist(StorageLevel.MEMORY_AND_DISK)
+        table._parts[-1].count()
 
 
 def start_table_stream(
@@ -53,23 +94,7 @@ def start_table_stream(
     table = db.tables[table_name]
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        table.ingest(batch_df, ts_col)
-        part = table._parts[-1]
-        if db.workdir:
-            # persist the just-appended part for durability (idempotent path
-            # per batch-id → effective exactly-once on replay); day-partitioned
-            # like compacted stores
-            path = f"{db.workdir}/{table_name}/stream_part={batch_id}"
-            table._parts[-1] = table._write_store(part, path)
-        else:
-            # a micro-batch DataFrame is not re-computable after the batch
-            # ends — materialize the partial state eagerly
-            from pyspark import StorageLevel
-
-            table._parts[-1] = part.persist(StorageLevel.MEMORY_AND_DISK)
-            table._parts[-1].count()
+        ingest_stream_batch(db, table, table_name, batch_df, batch_id, ts_col)
 
     def _start(available_now: bool) -> StreamingQuery:
         writer = stream_df.writeStream.foreachBatch(process_batch).outputMode("append")
