@@ -39,6 +39,8 @@ HEADLINE = [
     "q33_ann_lsh",
     "q35_shipping_priority",
     "q36_revenue_by_nation",
+    "q44_chunk_documents",
+    "q46_decontaminate",
     "z01_engine_rollup_sketch",
     "z02_engine_shift",
     "z06_engine_crosstab",

@@ -1,0 +1,106 @@
+"""Training-data pipeline operators beyond dedup/similarity: token-window
+chunking, PII scrubbing, and benchmark decontamination.
+
+These are the remaining table-stakes ops of a 100 TB pretraining corpus
+pipeline. All three are single-pass, codegen'd column expressions (chunking
+and scrubbing) or one broadcast semi-join (decontamination) — no Python in
+the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from zenodb_spark.operators.dedup import normalize_text
+from zenodb_spark.operators.util import spread
+
+# Redaction patterns restricted to syntax with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\b[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}\b"
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping token-window chunks per document — the unit a tokenizer /
+    embedding stage consumes. Chunk i covers tokens [i·stride, i·stride +
+    chunk_tokens). Pure array ops (split → sequence → posexplode → slice):
+    one narrow pass, no shuffle; output is (doc, chunk_idx, n_tokens,
+    chunk_hash)."""
+    toks = F.split(normalize_text(text_col), " ")
+    d = (
+        spread(df)
+        .select(F.col(id_col).alias("doc"), toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    starts = F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(stride))
+    d = d.select("doc", "toks", F.posexplode(starts).alias("chunk_idx", "start"))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens)
+    return d.select(
+        "doc",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_hash"),
+    )
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Redact emails / IPv4s / phone-shaped numbers from the normalized
+    text; report per-doc redaction counts and the scrubbed fingerprint.
+    Replacement order is fixed (email → ip → phone) so the output hash is
+    engine-reproducible."""
+    norm = normalize_text(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(norm, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        # idx=0 (whole match): the patterns deliberately carry no capture
+        # groups, and Spark's default group index is 1
+        F.size(F.regexp_extract_all(norm, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(norm, F.lit(IPV4_RE), 0)).cast("long").alias("n_ips"),
+        F.size(F.regexp_extract_all(norm, F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    n-gram with a benchmark/eval set (the standard pretraining leakage
+    check). Returns (doc, n_shared) for contaminated docs only.
+
+    Scale shape: the benchmark's distinct n-gram set is tiny relative to
+    the corpus → broadcast; the corpus side is one explode + one broadcast
+    join + one groupBy(doc). No corpus self-join, no driver collect."""
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.split(normalize_text(text_col), " ")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        arr = F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
+        return df.select(
+            F.col(id_col).alias("doc"), F.explode(arr).alias("gram")
+        )
+
+    bench_grams = F.broadcast(grams(benchmark).select("gram").distinct())
+    return (
+        grams(spread(corpus))
+        .join(bench_grams, "gram")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

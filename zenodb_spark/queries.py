@@ -1579,3 +1579,127 @@ def q43_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.filter(F.col("vec_id") < 10), ivf_centroids(64, 8, 43),
         "vec_id", "embedding", k=5, nprobe=2,
     )
+
+
+# ---------------------------------------------------------------------------
+# Extensions round 3: chunking, PII scrubbing, benchmark decontamination
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 64, 48
+
+
+@query(
+    "q44_chunk_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({NORM.format(x='text')}, ' ') AS toks
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), {_STRIDE})) AS start
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id AS doc,
+           CAST(start // {_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(len(toks[start+1:start+{_CHUNK}]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[start+1:start+{_CHUNK}], ' ')) AS chunk_hash
+    FROM starts
+    """,
+)
+def q44_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking ({_CHUNK}-token chunks, stride {_STRIDE}) — the
+    tokenizer-feed stage of a pretraining pipeline; one narrow array-ops
+    pass, no shuffle."""
+    from zenodb_spark.operators.pipeline import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "text", "doc_id", _CHUNK, _STRIDE)
+
+
+def _pii_oracle() -> str:
+    from zenodb_spark.operators.pipeline import EMAIL_RE, IPV4_RE, PHONE_RE
+
+    # the synthetic corpus carries no PII, so both engines seed the same
+    # deterministic contacts line per doc — the patterns must actually FIRE
+    # for the oracle to prove the redaction semantics
+    seeded = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com "
+        "or 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) || ' tel 555-01' || "
+        "CAST(doc_id % 10 AS VARCHAR) || '-2345'"
+    )
+    norm = NORM.format(x=seeded)
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace({norm}, "
+        f"'{EMAIL_RE}', '<EMAIL>', 'g'), '{IPV4_RE}', '<IP>', 'g'), "
+        f"'{PHONE_RE}', '<PHONE>', 'g')"
+    )
+    return f"""
+    SELECT doc_id AS doc,
+           CAST(len(regexp_extract_all({norm}, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all({norm}, '{IPV4_RE}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all({norm}, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5({scrub}) AS scrubbed_hash
+    FROM documents
+    """
+
+
+@query("q45_pii_scrub", _pii_oracle())
+def q45_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails/IPv4/phone shapes) with per-doc counts and the
+    scrubbed-content fingerprint; patterns restricted to the Java-regex ∩
+    RE2 common subset so both engines agree byte-for-byte. The corpus has
+    no natural PII, so a deterministic per-doc contacts line is seeded into
+    the text (identically in the oracle) to make every pattern fire."""
+    from zenodb_spark.operators.pipeline import pii_scrub
+
+    docs = load_table(spark, sf_dir, "documents")
+    seeded = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel 555-01"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("-2345"),
+        ),
+    )
+    return pii_scrub(seeded, "text", "doc_id")
+
+
+@query(
+    "q46_decontaminate",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({NORM.format(x='text')}, ' ') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(toks[i+1:i+4], ' ') AS gram
+      FROM t, unnest(range(0, greatest(len(toks) - 4, 0) + 1)) AS u(i)
+      WHERE len(array_to_string(toks[i+1:i+4], ' ')) > 0
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 100 = 0
+    )
+    SELECT g.doc_id AS doc, CAST(count(*) AS BIGINT) AS n_shared
+    FROM grams g JOIN bench b USING (gram)
+    WHERE g.doc_id % 100 <> 0
+    GROUP BY 1
+    """,
+)
+def q46_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs (doc_id%100≠0) sharing any
+    word 4-gram with the benchmark split (doc_id%100=0). The benchmark's
+    distinct grams broadcast; one explode + semi-join-shaped count per doc —
+    the standard pretraining leakage check at corpus scale."""
+    from zenodb_spark.operators.pipeline import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 100 != 0),
+        docs.filter(F.col("doc_id") % 100 == 0),
+        "text",
+        "doc_id",
+        n=4,
+    )
