@@ -304,3 +304,77 @@ def dedup_apply(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by min-label
+    propagation: every node converges to the smallest node id reachable
+    from it, which becomes the cluster id.
+
+    Scale shape: per round, one equi-join (labels onto the symmetrized edge
+    list) + one min-groupBy, both partitioned by node id — the same
+    hash-partitioning reused round to round, no global structure on the
+    driver. Rounds needed = graph diameter (near-dup clusters are shallow:
+    almost always <= 3-4). Lineage is truncated every round with
+    localCheckpoint so the plan does not grow with iterations; convergence
+    is detected by counting label changes (an O(nodes) check, not a
+    collect of the labels)."""
+    sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+    sym = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lab", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), F.col("lab")
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") < F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Near-duplicate clustering: n-gram-Jaccard pairs >= threshold become
+    edges; connected components assign each involved doc a cluster id (the
+    component's min doc id) and cluster size. The downstream curation rule
+    "keep one doc per near-dup cluster" is `doc == cluster_id`."""
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, n=n, threshold=threshold, max_doc_freq=10**9
+    )
+    labels = connected_components(pairs)
+    size_w = Window.partitionBy("cluster_id")
+    return (
+        labels.select(F.col("node").alias("doc"), F.col("lab").alias("cluster_id"))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(size_w).cast("long"))
+    )

@@ -111,3 +111,62 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.md5(norm).alias("fingerprint"),
         F.substring(F.md5(norm), 1, 2).alias("shard"),
     )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document:
+
+    - ``uniq_token_frac``: distinct words / total words (type-token ratio);
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      total bigrams;
+    - ``dup_trigram_frac``: fraction of trigram occurrences that are
+      repeats of an earlier trigram.
+
+    All four signals are in-row array expressions — the most-frequent-bigram
+    count comes from the longest equal-run of the doc's SORTED bigram array
+    (array_sort + one fold), so there is no explode, no shuffle, and no UDF:
+    a 100 TB corpus pass stays one narrow codegen'd scan."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    toks = F.split(normalize_text(text_col), " ")
+    n = F.size(toks)
+
+    def grams(k: int):
+        seq = F.sequence(F.lit(1), n - (k - 1))
+        win = F.transform(
+            seq,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        )
+        return F.when(n >= k, win).otherwise(F.array().cast("array<string>"))
+
+    bigrams, trigrams = grams(2), grams(3)
+    empty = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+    top_bigram = F.aggregate(
+        F.array_sort(bigrams),
+        empty,
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_bi, n_tri = F.size(bigrams), F.size(trigrams)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n.cast("long").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / n).alias("uniq_token_frac"),
+        F.when(n_bi > 0, top_bigram / n_bi).otherwise(F.lit(0.0)).alias("top_bigram_frac"),
+        F.when(n_tri > 0, F.lit(1.0) - F.size(F.array_distinct(trigrams)) / n_tri)
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_frac"),
+    )

@@ -1703,3 +1703,89 @@ def q46_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n=4,
     )
+
+
+@query(
+    "q47_dedup_clusters",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.2
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc
+    ),
+    labs AS (SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY 1)
+    SELECT doc, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+    FROM labs
+    """,
+)
+def q47_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: 3-gram-Jaccard >= 0.2 pairs as edges, connected
+    components by min-label propagation (cluster id = component's min doc
+    id). The oracle recomputes the same components with a recursive
+    reachability CTE — the Spark side is the O(diameter)-round distributed
+    form of the same fixpoint."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dedup_clusters(docs, "text", "doc_id", n=3, threshold=0.2)
+
+
+@query(
+    "q48_repetition",
+    f"""
+    WITH t AS (
+      SELECT doc_id AS doc, string_split({NORM.format(x='text')}, ' ') AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc, toks, len(toks) AS n, len(list_distinct(toks)) AS nuniq
+      FROM t
+    ),
+    bi AS (
+      SELECT doc, unnest([array_to_string(toks[i+1:i+2], ' ')
+                          for i in range(greatest(len(toks)-1, 0))]) AS gram
+      FROM t WHERE len(toks) >= 2
+    ),
+    bi_counts AS (SELECT doc, gram, count(*) AS c FROM bi GROUP BY 1, 2),
+    bi_top AS (SELECT doc, max(c) AS best, sum(c) AS tot FROM bi_counts GROUP BY 1),
+    tri AS (
+      SELECT doc, unnest([array_to_string(toks[i+1:i+3], ' ')
+                          for i in range(greatest(len(toks)-2, 0))]) AS gram
+      FROM t WHERE len(toks) >= 3
+    ),
+    tri_stats AS (
+      SELECT doc, count(DISTINCT gram) AS d, count(*) AS tot FROM tri GROUP BY 1
+    )
+    SELECT b.doc,
+           CAST(b.n AS BIGINT) AS n_tokens,
+           b.nuniq / b.n AS uniq_token_frac,
+           coalesce(bt.best / bt.tot, 0.0) AS top_bigram_frac,
+           coalesce(1.0 - ts.d / ts.tot, 0.0) AS dup_trigram_frac
+    FROM base b
+    LEFT JOIN bi_top bt USING (doc)
+    LEFT JOIN tri_stats ts USING (doc)
+    """,
+)
+def q48_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signals (type-token ratio, top-bigram fraction,
+    duplicate-trigram fraction) — the Gopher/C4 repetition filters. One
+    narrow in-row pass on the Spark side (sorted-run fold, no explode); the
+    oracle recomputes via unnest + group-by."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.repetition_signals(docs, "text", "doc_id")
