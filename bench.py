@@ -5,6 +5,16 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Timing excludes session startup; each query is fully materialized via a
 count-collect (foreach-noop) so the measured cost is the real plan.
+
+Methodology (steady-state query latency, not first-compile latency):
+- every headline query first runs once, untimed, at sf0.001 — this compiles
+  the whole-stage-codegen classes and warms the JIT, which otherwise
+  dominates local measurements (2-10 s of Janino/C2 time on the FIRST run
+  of a plan shape, pure noise w.r.t. the 100 TB question);
+- any cache an operator persists during a timed query (e.g. MinHash's
+  shingle arrays) is unpersisted before the next query, so one query's
+  leftover executor-memory footprint cannot skew its neighbors; the engine
+  DB's stored aggregate tables stay persisted — they ARE the store.
 """
 
 from __future__ import annotations
@@ -41,15 +51,29 @@ HEADLINE = [
     "q36_revenue_by_nation",
     "q44_chunk_documents",
     "q46_decontaminate",
+    "q47_dedup_clusters",
+    "q48_repetition",
     "z01_engine_rollup_sketch",
     "z02_engine_shift",
     "z06_engine_crosstab",
 ]
 
 
+def _persistent_ids(sc) -> set:
+    return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+
+
+def _unpersist_new(sc, protected: set) -> None:
+    jmap = sc._jsc.getPersistentRDDs()
+    for rid in list(jmap.keySet().toArray()):
+        if rid not in protected:
+            jmap.get(rid).unpersist(False)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("zenodb_spark_bench")
+    sc = spark.sparkContext
     # warm the JVM + parquet footers with a trivial action
     Q.QUERIES["q01_sum_period"](spark, sf_dir).limit(1).collect()
     # materialize the engine DB's stored aggregate tables outside the timed
@@ -59,14 +83,36 @@ def main() -> None:
     Q._engine_db(spark, sf_dir)
     for t in Q._ENGINE_CACHE[sf_dir].tables.values():
         t.state_df().count()
+    protected = _persistent_ids(sc)
 
+    # untimed warm-up: compile every headline plan shape once at sf0.001
+    warm_dir = str(Path(sf_dir).parent / "sf0.001")
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            try:
+                Q.QUERIES[name](spark, warm_dir).count()
+            except Exception as e:  # warm-up must never fail the bench
+                print(f"# warmup {name} skipped: {e}", file=sys.stderr)
+        _unpersist_new(sc, protected)
+        # the warm-up builds a second engine DB at sf0.001; its state is
+        # protected from here on (tiny) so timed z-queries don't rebuild it
+        protected = _persistent_ids(sc)
+
+    # min over N timed passes: the local box's effective CPU speed swings
+    # 2-3x with co-tenant load (measured: identical q25 plan 15.6s vs 121s
+    # minutes apart), so a single sample conflates plan cost with ambient
+    # noise; the per-query minimum is the steady-state latency estimate
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = Q.QUERIES[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+    for p in range(passes):
+        for name in HEADLINE:
+            t0 = time.perf_counter()
+            df = Q.QUERIES[name](spark, sf_dir)
+            n = df.count()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+            _unpersist_new(sc, protected)
+            print(f"# pass{p} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -334,26 +334,30 @@ def connected_components(
         .withColumn("lab", F.col("node"))
         .localCheckpoint()
     )
+    # labels only ever decrease, so Σlab strictly decreases until the
+    # fixpoint: one cheap aggregate per round detects convergence — no
+    # old-vs-new join, no extra shuffle. (Σ over DECIMAL so the check
+    # cannot overflow however large the id space.)
+    def _sig(lbl: DataFrame):
+        return lbl.agg(
+            F.sum(F.col("lab").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    prev_sig = _sig(labels)
     for _ in range(max_iter):
         prop = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), F.col("lab")
         )
-        new_labels = (
+        labels = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("lab").alias("lab"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") < F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        sig = _sig(labels)
+        if sig == prev_sig:
             break
+        prev_sig = sig
     sym.unpersist()
     return labels
 
