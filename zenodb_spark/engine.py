@@ -44,6 +44,7 @@ from zenodb_spark.ir import (
     GroupDim,
     MAgg,
     MBin,
+    MConst,
     MCrosshift,
     MExpr,
     MFieldRef,
@@ -616,7 +617,13 @@ class DB:
                 return MAgg("SUM", MFieldRef("_point"), None)
             e = next((f.expr for f in table.fields if f.name == n), None)
             if e is None:
-                raise ValueError(f"unknown field {n} on table {table.tdef.name}")
+                # reference expr/field.go:44-47: a field missing from the
+                # table reads as ABSENT (value 0, ok=false) — comparisons
+                # against it are false, nothing errors (the integration
+                # test's `HAVING ... OR unknown = 12`). The Spark analogue
+                # of "absent" is a typed NULL: NULL = 12 is not-true in a
+                # filter, and NULL propagates through arithmetic.
+                return MConst(None)
             if isinstance(e, MFieldRef):
                 return MAgg("SUM", e, None)
             return e

@@ -349,7 +349,7 @@ def _raw_value(e: MExpr, has_col) -> Column:
     if isinstance(e, MFieldRef):
         return F.col(e.name).cast("double") if has_col(e.name) else F.lit(None).cast("double")
     if isinstance(e, MConst):
-        return F.lit(e.value)
+        return F.lit(e.value) if e.value is not None else F.lit(None).cast("double")
     if isinstance(e, MBounded):
         v = _raw_value(e.inner, has_col)
         return F.when((v >= e.lo) & (v <= e.hi), v)
@@ -600,7 +600,14 @@ def merge_states(
     bucket = (F.col(BUCKET_COL) - F.col(BUCKET_COL) % F.lit(int(resolution_out))).cast("long")
     keyed = state_df.withColumn("__qbucket", bucket)
     aggs: list[Column] = []
+    emitted: set[str] = set()
     for spec in registry.all_specs():
+        # distinct query keys can share one stored state column (e.g.
+        # `_points` and the `_` presence magic both read the points
+        # counter); merge it once — finalize reads it by column name
+        if spec.col in emitted and not (gates and spec.key in gates):
+            continue
+        emitted.add(spec.col)
         src = F.col(spec.col)
         if gates and spec.key in gates:
             src = F.when(gates[spec.key], src)
@@ -633,7 +640,8 @@ def merge_states(
 def finalize_expr(e: MExpr, registry: StateRegistry, field_lookup) -> Column:
     """Compile a (rewritten) field expression over merged state columns."""
     if isinstance(e, MConst):
-        return F.lit(e.value)
+        # value None = the reference's "absent field" (expr/field.go:44-47)
+        return F.lit(e.value) if e.value is not None else F.lit(None).cast("double")
     if isinstance(e, MFieldRef):
         return finalize_expr(field_lookup(e.name), registry, field_lookup)
     if isinstance(e, MPresence):
@@ -685,7 +693,16 @@ def finalize_expr(e: MExpr, registry: StateRegistry, field_lookup) -> Column:
         )
     if isinstance(e, MLog):
         v = finalize_expr(e.inner, registry, field_lookup)
-        return {"LN": F.log(v), "LOG2": F.log2(v), "LOG10": F.log(10.0, v)}[e.kind]
+        # LOG2/LOG10 as ln(x)/ln(k): the native log2/log10 builtins differ
+        # in the last ulp between the JVM and libm (DuckDB), while ln agrees
+        # bit-for-bit on both (see q20_log_functions) — and the last-ulp
+        # behavior of the reference's Go math.Log2 is not observable
+        # cross-engine anyway
+        return {
+            "LN": F.log(v),
+            "LOG2": F.log(v) / F.log(F.lit(2.0)),
+            "LOG10": F.log(v) / F.log(F.lit(10.0)),
+        }[e.kind]
     if isinstance(e, (MShift, MCrosshift)):
         raise ValueError("SHIFT/CROSSHIFT are planned as joins, not inline expressions")
     raise TypeError(f"unhandled finalize expr {e!r}")

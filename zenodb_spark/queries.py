@@ -517,25 +517,26 @@ def q19_calc_divzero(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q20_log_functions",
     """
     SELECT event_type, count(*) AS n,
-           ln(count(*)) AS ln_n,
-           ln(count(*)) / ln(2.0) AS log2_n,
-           ln(count(*)) / ln(10.0) AS log10_n
+           round(ln(count(*)), 9) AS ln_n,
+           round(ln(count(*)) / ln(2.0), 9) AS log2_n,
+           round(ln(count(*)) / ln(10.0), 9) AS log10_n
     FROM events GROUP BY 1
     """,
 )
 def q20_log_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-aggregation LN/LOG2/LOG10 (reference expr/math.go:12–16).
 
-    log2/log10 are expressed as ln(x)/ln(k) in both engines: the native
-    log2/log10 builtins differ in the last ulp between JVM and libm, while
-    ln is bit-identical."""
+    log2/log10 are expressed as ln(x)/ln(k), and every log output is
+    rounded to 9 decimals on BOTH sides: JVM Math.log and libm disagree by
+    1 ulp on some inputs (e.g. ln(74.0)), so unrounded log parity is
+    luck-of-the-input."""
     ev = load_table(spark, sf_dir, "events")
     n = F.count(F.lit(1))
     return ev.groupBy("event_type").agg(
         n.alias("n"),
-        F.log(n).alias("ln_n"),
-        (F.log(n) / F.log(F.lit(2.0))).alias("log2_n"),
-        (F.log(n) / F.log(F.lit(10.0))).alias("log10_n"),
+        F.round(F.log(n), 9).alias("ln_n"),
+        F.round(F.log(n) / F.log(F.lit(2.0)), 9).alias("log2_n"),
+        F.round(F.log(n) / F.log(F.lit(10.0)), 9).alias("log10_n"),
     )
 
 
@@ -1280,6 +1281,56 @@ def z11_engine_asof_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = db.query(
         "SELECT mn, mx, bmn FROM ev_hourly "
         "ASOF '2024-01-10' UNTIL '2024-01-20' GROUP BY event_type, period('1d')"
+    )
+    return _as_bucket(out)
+
+
+@query(
+    "z12_engine_kitchen_sink",
+    f"""
+    SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+           count(value) / 2.0 AS ccnt,
+           round(ln(CAST(count(value) AS DOUBLE)) / ln(2.0), 9) AS lcnt,
+           CAST(count(CASE WHEN event_type = 'error' THEN value END) AS DOUBLE) AS cnt_err,
+           CAST(5.1 AS DOUBLE) AS cval,
+           CAST(1.0 AS DOUBLE) AS present,
+           CAST(count(*) AS DOUBLE) AS _points,
+           round(ln(CAST(count(*) AS DOUBLE)) / ln(10.0), 9) AS lpoints
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-20'
+      AND event_type IN (
+        SELECT event_type FROM events GROUP BY 1
+        HAVING CAST(count(value) AS DOUBLE) * 2 > 500
+      )
+    GROUP BY 1, 2
+    HAVING CAST(count(value) AS DOUBLE) > 10
+    """,
+)
+def z12_engine_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: the reference's big integration query shape
+    (zenodb_test.go:675-691) — measure arithmetic and LOG2/LOG10 over
+    merged state, a query-time IF gate, a constant column, `_ AS present`
+    plus `_points` (both reading the points counter), ASOF/UNTIL, an
+    IN-subquery whose HAVING carries an unknown-field disjunct (absent
+    field -> not-true, reference expr/field.go:44-47), an unknown-field
+    disjunct in the outer HAVING, and ORDER BY dim DESC."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT cnt / 2 AS ccnt, LOG2(cnt) AS lcnt, "
+        "IF(event_type = 'error', cnt) AS cnt_err, 5.1 AS cval, "
+        "_ AS present, _points, LOG10(_points) AS lpoints "
+        "FROM ev_hourly ASOF '2024-01-02' UNTIL '2024-01-20' "
+        "WHERE event_type IN (SELECT event_type FROM ev_hourly "
+        "GROUP BY event_type, period('128d') HAVING cnt * 2 > 500 OR unknown = 12) "
+        "GROUP BY event_type, period('1d') "
+        "HAVING cnt > 10 OR unknown = 12 ORDER BY event_type DESC"
+    )
+    # ln() disagrees by 1 ulp between the JVM and libm on some inputs
+    # (Math.log(74.0) vs DuckDB's log: ...169 vs ...17); round the log
+    # outputs to 9 decimals on BOTH sides so the oracle tolerance is
+    # explicit instead of luck-of-the-input
+    out = out.withColumn("lcnt", F.round("lcnt", 9)).withColumn(
+        "lpoints", F.round("lpoints", 9)
     )
     return _as_bucket(out)
 
