@@ -96,6 +96,40 @@ def test_exact_dedup_and_jaccard(spark):
     assert all(4 not in p for p in got)
 
 
+def test_jaccard_prefix_matches_inverted_index(spark):
+    # AllPairs prefix filtering is lossless: identical pair set (and values)
+    # to the exhaustive inverted-index formulation at every threshold
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t)
+            for i, t in enumerate(
+                [
+                    "the quick brown fox jumps over the lazy dog today",
+                    "the quick  Brown fox jumps over the lazy dog today",
+                    "the quick brown fox jumps over the lazy cat today",
+                    "a quick brown fox leaps over a lazy dog yesterday",
+                    "completely different words appear in this one here",
+                    "the the the the the repeated stopword document here now",
+                ]
+            )
+        ]
+    )
+    for t in (0.2, 0.5, 0.8):
+        old = sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "text", "doc_id", threshold=t, max_doc_freq=10**9
+            ).collect()
+        )
+        new = sorted(
+            (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+            for r in dedup.ngram_jaccard_pairs_prefix(
+                docs, "text", "doc_id", threshold=t
+            ).collect()
+        )
+        assert old == new, f"threshold {t}: {old} != {new}"
+
+
 def test_minhash_lsh_finds_planted_dups(spark):
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     docs = spark.createDataFrame(

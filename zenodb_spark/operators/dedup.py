@@ -36,7 +36,7 @@ from pyspark.sql.window import Window
 
 from zenodb_spark.operators.util import spread
 
-__all__ = ["normalize_text", "exact_dedup", "dedup_apply", "shingles", "ngram_jaccard_pairs", "minhash_signatures", "minhash_lsh_pairs", "simhash", "simhash_pairs"]
+__all__ = ["normalize_text", "exact_dedup", "dedup_apply", "shingles", "ngram_jaccard_pairs", "ngram_jaccard_pairs_prefix", "minhash_signatures", "minhash_lsh_pairs", "simhash", "simhash_pairs"]
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -130,6 +130,95 @@ def ngram_jaccard_pairs(
             F.first("sz_b").alias("sz_b"),
         )
         .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard similarity join via AllPairs/PPJoin prefix filtering —
+    LOSSLESS (no doc-frequency cap), and immune to the C(k,2) blowup on
+    ubiquitous shingles that makes the inverted-index formulation
+    (`ngram_jaccard_pairs`) quadratic on hot keys.
+
+    Two sets with Jaccard >= t must share at least one element among the
+    first ``L = sz - ceil(t*sz) + 1`` elements of each, when both sets are
+    ordered by the SAME global total order (document frequency ascending,
+    shingle string as tie-break). So the candidate index holds only each
+    doc's L rarest shingles: posting lists are built from rare shingles and
+    stay short, while the hot shingles that dominate full-index cost land in
+    the un-indexed suffix of almost every doc. Candidates then pass a length
+    filter (min(sz) >= t*max(sz)) and are verified exactly with
+    ``array_intersect`` over the persisted per-doc shingle arrays.
+
+    Scale shape: more shuffles than the capped inverted index (df count,
+    rank-by-doc, prefix postings, pair distinct, two verify joins) but every
+    one is LINEAR in corpus size; nothing is quadratic in a shingle's
+    document frequency. This is the 100 TB formulation (Bayardo et al.,
+    "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al., PPJoin,
+    WWW'08).
+    """
+    from pyspark import StorageLevel
+
+    arrays = (
+        shingle_arrays(df, text_col, id_col, n)
+        .filter(F.size("shingles") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh = arrays.select(
+        "doc", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc global-rarity order; struct sort = (df asc, shingle asc)
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc", "sz")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ranked"))
+    )
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    # df=1 shingles are dropped AFTER the prefix slice (they pair with
+    # nothing, but removing them earlier would deepen the slice and admit
+    # spurious candidates beyond the true prefix)
+    prefix = (
+        ranked.select("doc", "sz", F.explode(F.slice("ranked", 1, plen)).alias("p"))
+        .filter(F.col("p.df") >= 2)
+        .select("doc", "sz", F.col("p.shingle").alias("shingle"))
+    )
+    cands = (
+        prefix.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc", "sz")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode("docs").alias("a"), F.col("docs"))
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        # length filter: jaccard <= min(sz)/max(sz), so min >= t*max or prune
+        .filter(
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .distinct()
+    )
+    sets_a = arrays.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sets_b = arrays.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -372,10 +461,11 @@ def dedup_clusters(
     """Near-duplicate clustering: n-gram-Jaccard pairs >= threshold become
     edges; connected components assign each involved doc a cluster id (the
     component's min doc id) and cluster size. The downstream curation rule
-    "keep one doc per near-dup cluster" is `doc == cluster_id`."""
-    pairs = ngram_jaccard_pairs(
-        df, text_col, id_col, n=n, threshold=threshold, max_doc_freq=10**9
-    )
+    "keep one doc per near-dup cluster" is `doc == cluster_id`.
+
+    Edges come from the prefix-filtered exact join (lossless; linear in
+    corpus size at every stage), so the clustering is exact at any scale."""
+    pairs = ngram_jaccard_pairs_prefix(df, text_col, id_col, n=n, threshold=threshold)
     labels = connected_components(pairs)
     size_w = Window.partitionBy("cluster_id")
     return (

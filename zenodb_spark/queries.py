@@ -656,12 +656,12 @@ _JACCARD_SQL = f"""
 
 @query("q24_ngram_jaccard", _JACCARD_SQL.format(thr=0.2))
 def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram-shingle Jaccard ≥ 0.2 via an inverted
-    shingle index (explode → equi-join) — no cross join at any scale."""
+    """Near-dup pairs by exact 3-gram-shingle Jaccard ≥ 0.2 via AllPairs
+    prefix filtering — lossless, and no stage is quadratic in any shingle's
+    document frequency (the uncapped inverted-index formulation emits
+    C(df,2) pairs per shingle — a 1M-doc shingle would emit 5·10^11 rows)."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=0.2, max_doc_freq=10**9
-    )
+    return dedup.ngram_jaccard_pairs_prefix(docs, "text", "doc_id", n=3, threshold=0.2)
 
 
 @query("q25_minhash_lsh", _JACCARD_SQL.format(thr=0.5))
