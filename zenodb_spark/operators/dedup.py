@@ -224,6 +224,37 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+def cross_doc_dup_fraction(
+    df: DataFrame, text_col: str, id_col: str, n: int = 5
+) -> DataFrame:
+    """Corpus-wide duplicate n-gram fraction per document: the share of a
+    doc's distinct n-gram shingles that also occur in at least one OTHER
+    document. High values mark boilerplate/templated text that survives
+    doc-level dedup (the cross-document cousin of the in-document Gopher
+    repetition signals in textstats.repetition_signals).
+
+    Scale shape: one groupBy(shingle) for global document frequency (map-
+    side combined), one shuffle join back to the postings, one groupBy(doc)
+    — all linear; no pair materialization anywhere.
+    """
+    arrays = shingle_arrays(df, text_col, id_col, n).filter(F.size("shingles") > 0)
+    sh = arrays.select("doc", F.explode("shingles").alias("shingle"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "doc",
+            "n_shingles",
+            (F.col("n_dup") / F.col("n_shingles")).alias("dup_frac"),
+        )
+    )
+
+
 def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
     """MinHash signature per doc: for seed i, min over shingles of
     md5(i|shingle) (lexicographic min of hex strings — a valid uniform

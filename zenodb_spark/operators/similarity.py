@@ -346,3 +346,52 @@ def ivf_search(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def semdedup_drop_list(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.38,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023, public):
+    cluster the corpus with coarse centroids, then within each cluster drop
+    every vector that has a LOWER-id near-duplicate at cosine >= threshold
+    (keep-lowest-id, the same policy as exact_dedup). Returns the drop list
+    with per-vector duplicate count and best similarity.
+
+    Scale shape: the whole point of SemDeDup is that the quadratic pair
+    search is confined within clusters — k grows with the corpus so cell
+    size N/k stays bounded, and each cell's pairs come from one
+    co-partitioned self-join on the centroid key (no corpus-wide pair
+    materialization). Norms are computed once per vector before the join.
+    For very fat cells, the triangle-blocked scorer (cosine_neardup_pairs)
+    is the drop-in replacement within a cell."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    x = assigned.select(
+        F.col("centroid"),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        norm(vec_col).alias("na"),
+    )
+    y = assigned.select(
+        F.col("centroid"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        norm(vec_col).alias("nb"),
+    )
+    pairs = (
+        x.join(y, "centroid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cosine", dot("va", "vb") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cosine") >= threshold)
+    )
+    return pairs.groupBy("centroid", "vec_b").agg(
+        F.count(F.lit(1)).alias("n_dups"), F.max("cosine").alias("best_cos")
+    ).select(
+        "centroid",
+        F.col("vec_b").alias("dropped_vec"),
+        "n_dups",
+        "best_cos",
+    )

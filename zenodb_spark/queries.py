@@ -1840,3 +1840,100 @@ def q48_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes via unnest + group-by."""
     docs = load_table(spark, sf_dir, "documents")
     return textstats.repetition_signals(docs, "text", "doc_id")
+
+
+_SHINGLE5_SQL = """
+      SELECT doc, shingle FROM (
+        SELECT doc_id AS doc, unnest(list_distinct(
+          [array_to_string(t[i+1:i+5], ' ') for i in range(greatest(len(t)-4, 1))]
+        )) AS shingle
+        FROM (SELECT doc_id, string_split({norm}, ' ') AS t FROM documents)
+      ) WHERE len(shingle) > 0
+""".format(norm=NORM.format(x="text"))
+
+
+@query(
+    "q49_dup_ngram_fraction",
+    f"""
+    WITH sh AS ({_SHINGLE5_SQL}),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+    SELECT doc, count(*) AS n_shingles,
+           sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) / count(*) AS dup_frac
+    FROM sh JOIN dfreq USING (shingle)
+    GROUP BY 1
+    """,
+)
+def q49_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate 5-gram fraction per doc — the cross-document
+    boilerplate signal (template/header text that survives doc-level dedup).
+    Linear everywhere: df-count groupBy + postings join + per-doc groupBy;
+    no pair materialization (contrast q24's pair join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.cross_doc_dup_fraction(docs, "text", "doc_id", n=5)
+
+
+@query(
+    "q50_vocab_stats",
+    f"""
+    WITH toks AS (
+      SELECT source, lang, unnest(string_split({NORM.format(x='text')}, ' ')) AS tok
+      FROM documents
+    )
+    SELECT source, lang, count(*) AS n_tokens,
+           count(DISTINCT tok) AS vocab,
+           count(DISTINCT tok) / count(*) AS type_token_ratio
+    FROM toks WHERE len(tok) > 0
+    GROUP BY 1, 2
+    """,
+)
+def q50_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) vocabulary report: token occurrences, exact
+    distinct-token vocabulary, type-token ratio. Exact distinct is the
+    oracle-checkable form; `approx_count_distinct` (HLL) is the stated
+    100 TB swap (one fewer shuffle, fixed-size sketch state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.vocab_stats(docs, "text", ("source", "lang"))
+
+
+def _semdedup_oracle(dim: int = 64, k: int = 8, seed: int = 43, thr: float = 0.38) -> str:
+    from zenodb_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, k, seed)
+    terms = []
+    for c in cents:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        cc = repr(sum((x * x for x in c), 0.0))
+        terms.append(f"(list_dot_product(v, v) - 2.0 * list_dot_product(v, {lit}) + {cc})")
+    darr = "[" + ", ".join(terms) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    assigned AS (
+      SELECT vec_id, v,
+             CAST(list_position({darr}, list_min({darr})) AS INTEGER) AS centroid,
+             sqrt(list_dot_product(v, v)) AS nrm
+      FROM e
+    ),
+    p AS (
+      SELECT a.centroid, a.vec_id AS vec_a, b.vec_id AS vec_b,
+             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cosine
+      FROM assigned a JOIN assigned b
+        ON a.centroid = b.centroid AND a.vec_id < b.vec_id
+    )
+    SELECT centroid, vec_b AS dropped_vec, count(*) AS n_dups, max(cosine) AS best_cos
+    FROM p WHERE cosine >= {thr!r}
+    GROUP BY 1, 2
+    """
+
+
+@query("q51_semdedup", _semdedup_oracle())
+def q51_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-cluster
+    the embeddings (the q42 IVF cells), then within each cell drop every
+    vector with a lower-id neighbor at cosine >= 0.38 (keep-lowest-id).
+    The quadratic search is confined to cells — k scales with the corpus so
+    cell size stays bounded; pairs come from one co-partitioned self-join
+    on the centroid key."""
+    from zenodb_spark.operators.similarity import ivf_centroids, semdedup_drop_list
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup_drop_list(emb, ivf_centroids(64, 8, 43), "vec_id", "embedding", 0.38)
