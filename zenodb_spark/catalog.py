@@ -35,8 +35,11 @@ def normalize_points(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     ``{ts_col}_ns`` so range predicates still reach parquet row-group
     stats."""
     if dict(df.dtypes).get(ts_col) == "bigint":
+        # integer `div`, NOT `/`: float division of epoch-nanos (~1.7e18)
+        # has a 256-ns double ulp — off-by-µs timestamps that second-
+        # granularity buckets never see but session durations do
         df = df.withColumn(f"{ts_col}_ns", F.col(ts_col)).withColumn(
-            ts_col, F.timestamp_micros((F.col(ts_col) / 1000).cast("long"))
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000"))
         )
     return df
 

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from zenodb_spark.sqlparser.durations import parse_duration
 
-__all__ = ["bucket_epoch", "bucket_ts", "time_range", "stride_filter", "shift_join", "crosshift"]
+__all__ = ["bucket_epoch", "bucket_ts", "time_range", "stride_filter", "shift_join", "crosshift", "sessionize"]
 
 
 def _secs(d: str | int | float) -> int:
@@ -139,3 +139,28 @@ def crosshift(
         off += i
         n += 1
     return out
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization via Spark's native ``session_window``: one
+    row per (keys, session) with event count and intra-session duration in
+    microseconds. A new session starts when an event arrives >= gap after
+    the previous session's last event (Spark merges overlapping
+    [ts, ts+gap) windows).
+
+    Scale shape: ONE shuffle on the session keys, sessions merged by the
+    native operator inside each partition — no per-event window-function
+    pass, no driver state. In streaming the same expression works under
+    ``withWatermark`` (SURVEY §2.10)."""
+    return (
+        df.groupBy(*key_cols, F.session_window(F.col(ts_col), gap).alias("session"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))).alias("dur_us"),
+        )
+    )

@@ -1937,3 +1937,77 @@ def q51_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup_drop_list(emb, ivf_centroids(64, 8, 43), "vec_id", "embedding", 0.38)
+
+
+@query(
+    "q52_sessionize",
+    """
+    WITH o AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    l AS (
+      SELECT user_id, us,
+             CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                       >= 1800000000
+                  OR lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+             THEN 1 ELSE 0 END AS new_s
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, us,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l
+    ),
+    per AS (
+      SELECT user_id, sid, count(*) AS n_events, max(us) - min(us) AS dur_us
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, count(*) AS n_sessions, sum(n_events) AS n_events,
+           sum(dur_us) AS total_dur_us, max(n_events) AS max_session_events
+    FROM per GROUP BY 1
+    """,
+)
+def q52_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30 min) per user via Spark's NATIVE
+    session_window operator — one shuffle on user_id, sessions merged
+    in-partition — then a per-user rollup. The oracle recomputes sessions
+    with the classic gaps-and-islands LAG construction; boundary semantics
+    (a gap of exactly 30 min starts a new session) are asserted equal."""
+    ev = load_table(spark, sf_dir, "events")
+    per = timeops.sessionize(ev, "ts", ("user_id",), "30 minutes")
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("dur_us").alias("total_dur_us"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+@query(
+    "q53_json_props",
+    """
+    SELECT event_type, count(*) AS n,
+           sum(CAST(props->>'$.k' AS BIGINT)) AS sum_k,
+           sum(CAST(props->>'$.k' AS BIGINT)) / count(*) AS avg_k
+    FROM events
+    WHERE CAST(props->>'$.k' AS BIGINT) >= 10
+    GROUP BY 1
+    """,
+)
+def q53_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: pull an integer out of the JSON `props`
+    column (get_json_object — JVM-side, codegen), filter and aggregate on
+    it. Integer sum + exact int/int division, so the oracle compare is
+    exact. At scale the JSON parse happens once per row in the scan
+    projection; no Python touches the path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k") >= 10)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
