@@ -32,7 +32,16 @@ from pyspark.sql import functions as F
 
 from zenodb_spark.sqlparser.durations import parse_duration
 
-__all__ = ["bucket_epoch", "bucket_ts", "time_range", "stride_filter", "shift_join", "crosshift", "sessionize"]
+__all__ = [
+    "bucket_epoch",
+    "bucket_ts",
+    "time_range",
+    "stride_filter",
+    "shift_join",
+    "crosshift",
+    "sessionize",
+    "asof_join",
+]
 
 
 def _secs(d: str | int | float) -> int:
@@ -164,3 +173,69 @@ def sessionize(
             (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))).alias("dur_us"),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: tuple[str, ...],
+    ts_col: str,
+    payload: tuple[str, ...] = (),
+    strict: bool = True,
+) -> DataFrame:
+    """As-of join: attach to every ``left`` row the latest ``right`` row
+    with ``right.ts < left.ts`` (``strict``) or ``<=``, per key group.
+    Appends ``asof_{ts_col}`` (NULL when no prior right row) plus
+    ``asof_{c}`` for each payload column.
+
+    The reference engine has no as-of join; this is a training-pipeline
+    extension (point-in-time feature lookup, attribution).
+
+    Scale shape: union the two sides, ONE shuffle on ``keys``, and a
+    running ``max(struct(ts, payload…))`` window over the merged order —
+    no join, no time-range explosion, no per-key driver state. A
+    sort-merge range join would shuffle both sides too but then pay an
+    O(n·m) in-bucket scan on hot keys; the running max is strictly linear
+    after the sort. Ties: with ``strict`` a right row at the same ts sorts
+    AFTER the left row (invisible to it), otherwise before.
+    """
+    from pyspark.sql.window import Window
+
+    ltypes = dict(left.dtypes)
+    rtypes = dict(right.dtypes)
+    carry = F.struct(F.col(ts_col), *[F.col(c) for c in payload]).alias("_asof_r")
+    rt = right.select(
+        *keys,
+        F.col(ts_col),
+        *[
+            F.lit(None).cast(ltypes[c]).alias(c)
+            for c in left.columns
+            if c not in keys and c != ts_col
+        ],
+        carry,
+        F.lit(1 if strict else 0).alias("_asof_side"),
+    )
+    null_struct = F.lit(None).cast(
+        "struct<{}>".format(
+            ",".join(
+                [f"{ts_col}:{rtypes[ts_col]}"] + [f"{c}:{rtypes[c]}" for c in payload]
+            )
+        )
+    )
+    lt = left.withColumn("_asof_r", null_struct).withColumn(
+        "_asof_side", F.lit(0 if strict else 1)
+    )
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col, "_asof_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = lt.unionByName(rt).withColumn("_asof_last", F.max("_asof_r").over(w))
+    out = merged.filter(F.col("_asof_side") == F.lit(0 if strict else 1)).filter(
+        # right-side rows carried through the union have a non-null _asof_r
+        F.col("_asof_r").isNull()
+    )
+    cols = [F.col(c) for c in left.columns]
+    cols.append(F.col(f"_asof_last.{ts_col}").alias(f"asof_{ts_col}"))
+    cols.extend(F.col(f"_asof_last.{c}").alias(f"asof_{c}") for c in payload)
+    return out.select(*cols)

@@ -1336,6 +1336,37 @@ def z12_engine_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "z13_engine_dim_functions",
+    f"""
+    SELECT concat_ws('|', substr(event_type, 1, 3),
+                     CASE WHEN event_type = 'error' THEN 'E' ELSE 'ok' END) AS tag,
+           split_part(regexp_replace(event_type, 'r', 'X', 'g'), 'X', 1) AS head,
+           len(event_type) AS elen,
+           {BUCKET.format(p=_P128D)} AS bucket,
+           CAST(count(value) AS DOUBLE) AS cnt,
+           max(value) AS mx
+    FROM events GROUP BY 1, 2, 3, 4
+    """,
+)
+def z13_engine_dim_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: goexpr dim functions in the dialect GROUP BY — nested
+    CONCAT/SUBSTR/DECODE, SPLIT over REPLACEALL, LEN (reference
+    sql/sql.go:76–123 registers these; dims.go applies them to grouped
+    dims). Derived dims re-key the merged hourly state, so COUNT states
+    add and MAX states max across event_types that collapse to one tag —
+    q18 covers the operator surface, this covers the dialect path."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT cnt, mx FROM ev_hourly "
+        "GROUP BY CONCAT('|', SUBSTR(event_type, 1, 3), "
+        "DECODE(event_type, 'error', 'E', 'ok')) AS tag, "
+        "SPLIT(REPLACEALL(event_type, 'r', 'X'), 'X', 0) AS head, "
+        "LEN(event_type) AS elen, period('128d')"
+    )
+    return _as_bucket(out)
+
+
+@query(
     "q35_shipping_priority",
     f"""
     SELECT l.l_orderkey AS orderkey,
@@ -2010,4 +2041,139 @@ def q53_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k"),
             (F.sum("k") / F.count(F.lit(1))).alias("avg_k"),
         )
+    )
+
+
+@query(
+    "q54_asof_attribution",
+    """
+    WITH pc AS (
+      SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+      WHERE event_type IN ('purchase', 'click')
+    ),
+    w AS (
+      SELECT user_id, event_type, us,
+             max(CASE WHEN event_type = 'click' THEN us END) OVER (
+               PARTITION BY user_id
+               ORDER BY us, (event_type = 'click')
+               ROWS UNBOUNDED PRECEDING
+             ) AS last_click_us
+      FROM pc
+    )
+    SELECT (us // 86400000000) * 86400 AS bucket,
+           count(*) AS n_purchases,
+           count(last_click_us) AS n_with_prior,
+           sum(us - last_click_us) AS sum_lag_us,
+           CAST(sum(us - last_click_us) AS DOUBLE)
+             / CAST(count(last_click_us) AS DOUBLE) AS avg_lag_us
+    FROM w WHERE event_type = 'purchase' GROUP BY 1
+    """,
+)
+def q54_asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN (training-pipeline extension; point-in-time attribution):
+    each purchase is attributed to the user's most recent STRICTLY-prior
+    click, then lag stats roll up per day. Uses operators/timeops.asof_join
+    — union + running max(struct) over one shuffle on user_id, no range
+    join, no time-bucket explosion (the oracle replays the same running
+    max with a window CASE). Deterministic: µs integer lags, one double
+    division for the average."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_type", F.expr("ts_ns div 1000").alias("us")
+    ).filter(F.col("event_type").isin("purchase", "click"))
+    purch = base.filter(F.col("event_type") == "purchase").drop("event_type")
+    clicks = base.filter(F.col("event_type") == "click").drop("event_type")
+    j = timeops.asof_join(purch, clicks, ("user_id",), "us", strict=True)
+    lag = F.col("us") - F.col("asof_us")
+    return (
+        j.groupBy((F.expr("us div 86400000000") * 86400).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("asof_us").alias("n_with_prior"),
+            F.sum(lag).alias("sum_lag_us"),
+            (
+                F.sum(lag).cast("double") / F.count("asof_us").cast("double")
+            ).alias("avg_lag_us"),
+        )
+    )
+
+
+@query(
+    "q55_distinct_users",
+    """
+    SELECT event_type,
+           (epoch_us(ts) // 86400000000) * 86400 AS bucket,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q55_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct cardinality per (event_type, day) — the one aggregate
+    family the reference's fixed set lacks (expr/aggregates.go has no
+    DISTINCT). Spark plans count_distinct as expand + two-phase partial
+    aggregation, so the map-side still combines before the shuffle. At
+    100 TB swap in approx_count_distinct / hll_sketch_agg for a mergeable
+    sketch state (same shape as our PERCENTILE sketch); the exact form is
+    the oracle-checkable baseline."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type",
+        (F.expr("(ts_ns div 1000) div 86400000000") * 86400).alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+
+
+@query(
+    "q56_running_revenue",
+    f"""
+    WITH m AS (
+      SELECT n.n_name AS nation,
+             CAST(epoch(date_trunc('month', o.o_orderdate)) AS BIGINT) AS month_start,
+             sum({C.format(x='o.o_totalprice')}) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, month_start,
+           cents / 100.0 AS revenue,
+           sum(cents) OVER (PARTITION BY nation ORDER BY month_start
+                            ROWS UNBOUNDED PRECEDING) / 100.0 AS cum_revenue
+    FROM m
+    """,
+)
+def q56_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative (running-total) window aggregation: monthly revenue per
+    nation plus its running sum over months. Beyond-parity window surface
+    (reference SHIFT only reaches fixed offsets). Scale shape: fact shuffles
+    once into the monthly groupBy (dims broadcast), then the window runs
+    inside each nation partition — 25 keys × few hundred months, trivially
+    in-memory; integer cents keep the running sum exact."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    m = (
+        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.unix_timestamp(F.date_trunc("month", F.col("o_orderdate"))).alias(
+                "month_start"
+            ),
+        )
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("cents"))
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("month_start")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return m.select(
+        "nation",
+        "month_start",
+        (F.col("cents") / F.lit(100.0)).alias("revenue"),
+        (F.sum("cents").over(w) / F.lit(100.0)).alias("cum_revenue"),
     )
