@@ -444,10 +444,24 @@ def connected_components(
     localCheckpoint so the plan does not grow with iterations; convergence
     is detected by counting label changes (an O(nodes) check, not a
     collect of the labels)."""
-    sym = edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    sym = sym.union(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    # symmetrize with ONE pass over the edge list (explode, not
+    # union-of-reversed: a union would materialize the upstream pair join
+    # twice), and pre-hash by src so the per-round propagation join reads
+    # the persisted side exchange-free — each round shuffles only the
+    # (much smaller) label frame
+    sym = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+                    F.struct(F.col(b_col).alias("src"), F.col(a_col).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .repartition("src")
+        .persist()
+    )
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
