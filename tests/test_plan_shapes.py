@@ -1,0 +1,92 @@
+"""Plan-shape regression tests: assert the PHYSICAL plans of the scale-
+critical operators keep the properties the 100 TB design depends on —
+exchange counts, broadcast direction, pushed filters. These catch silent
+plan regressions (a lost broadcast hint, a filter that stops pushing, an
+extra shuffle) that row-level oracles can never see.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Row, functions as F
+
+from zenodb_spark.operators import timeops
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    """asof_join must be union + window over ONE key exchange — the whole
+    point vs. a range join. No Join node, no second hash exchange before
+    the window."""
+    left = spark.createDataFrame([Row(k=1, t=10), Row(k=1, t=20)])
+    right = spark.createDataFrame([Row(k=1, t=5), Row(k=1, t=15)])
+    out = timeops.asof_join(left, right, ("k",), "t")
+    plan = _plan(out)
+    assert "Join" not in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    assert len(re.findall(r"\bWindow\b", plan)) == 1
+    rows = {r.t: r.asof_t for r in out.collect()}
+    assert rows == {10: 5, 20: 15}
+
+
+def test_asof_join_strict_vs_inclusive_ties(spark):
+    left = spark.createDataFrame([Row(k=1, t=10)])
+    right = spark.createDataFrame([Row(k=1, t=10)])
+    strict = timeops.asof_join(left, right, ("k",), "t", strict=True)
+    assert strict.collect()[0].asof_t is None
+    incl = timeops.asof_join(left, right, ("k",), "t", strict=False)
+    assert incl.collect()[0].asof_t == 10
+
+
+def test_q54_pushes_event_type_filter_to_scan(spark):
+    from zenodb_spark import queries as Q
+
+    plan = _plan(Q.QUERIES["q54_asof_attribution"](spark, SF_DIR))
+    assert "In(event_type, [click,purchase])" in plan
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+
+
+def test_q56_broadcasts_dims_not_fact(spark):
+    """Star join: both dimension joins must be broadcast — an orders-side
+    broadcast (the r1 q35 bug class) or a shuffle join here would be a
+    scale regression."""
+    from zenodb_spark import queries as Q
+
+    plan = _plan(Q.QUERIES["q56_running_revenue"](spark, SF_DIR))
+    assert len(re.findall(r"BroadcastHashJoin", plan)) == 2
+    # the fact table never feeds a BroadcastExchange: every broadcast
+    # input reads only dimension columns
+    for bc in re.findall(r"BroadcastExchange[^\n]*", plan):
+        assert "o_totalprice" not in bc
+    assert "SortMergeJoin" not in plan
+
+
+def test_connected_components_persisted_edges_prehashed(spark):
+    """The symmetric edge list must carry hashpartitioning(src) into the
+    cache so propagation rounds reuse it exchange-free."""
+    from zenodb_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [Row(doc_a=1, doc_b=2), Row(doc_a=2, doc_b=3), Row(doc_a=10, doc_b=11)]
+    )
+    labels = connected_components(edges)
+    got = {r.node: r.lab for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_q55_partial_aggregation_before_shuffle(spark):
+    """count_distinct must plan as expand + two-phase agg (partial_count /
+    partial aggregation below the exchange), not a naive global distinct."""
+    from zenodb_spark import queries as Q
+
+    plan = _plan(Q.QUERIES["q55_distinct_users"](spark, SF_DIR))
+    # the distinct rewrite dedups (dims, user_id) in a partial aggregate
+    # below the exchange — map-side combine still applies
+    assert re.search(r"HashAggregate\(keys=\[[^\]]*user_id[^\]]*\]", plan)
+    assert plan.count("HashAggregate") >= 3
