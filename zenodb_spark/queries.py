@@ -2177,3 +2177,85 @@ def q56_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents") / F.lit(100.0)).alias("revenue"),
         (F.sum("cents").over(w) / F.lit(100.0)).alias("cum_revenue"),
     )
+
+
+@query(
+    "q57_centroid_outliers",
+    """
+    WITH base AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE)*1000000 + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos, CAST(sum(v) AS BIGINT) AS s
+      FROM (SELECT label, unnest(q) AS v, generate_subscripts(q, 1) AS pos FROM base)
+      GROUP BY 1, 2
+    ),
+    carr AS (SELECT label, list(s ORDER BY pos) AS c FROM cent GROUP BY 1),
+    scored AS (
+      SELECT b.vec_id, b.label,
+             CAST(CAST(list_sum(list_transform(range(1, 65), i -> b.q[i] * carr.c[i]))
+                       AS BIGINT) AS DOUBLE)
+               / (sqrt(CAST(CAST(list_sum(list_transform(b.q, x -> x*x)) AS BIGINT) AS DOUBLE))
+                  * sqrt(CAST(CAST(list_sum(list_transform(carr.c, x -> x*x)) AS BIGINT) AS DOUBLE)))
+               AS cos_c
+      FROM base b JOIN carr USING (label)
+    )
+    SELECT label, vec_id, cos_c, rn FROM (
+      SELECT *, row_number() OVER (PARTITION BY label ORDER BY cos_c, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def q57_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality filtering by centroid distance (the CCNet /
+    cluster-pruning curation step): per label, the 3 vectors FARTHEST from
+    the label centroid (lowest cosine). Cross-engine exact: components are
+    quantized to integer millionths, centroid = exact integer component
+    sums (cosine is scale-invariant, so the un-divided sum vector IS the
+    centroid), and the final cosine is built from three exact integers
+    with one sqrt/mul/div chain — bit-identical in IEEE doubles.
+
+    Scale shape: centroids = one (label, pos) partial agg (640 rows), sent
+    back as a BROADCAST array join; per-vector scoring is a codegen'd
+    zip_with/aggregate fold — corpus is read once, shuffled never (only
+    the 640-row centroid agg and the final top-3 window shuffle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    )
+    base = emb.select("vec_id", "label", q.alias("q"))
+    cent = (
+        base.select("label", F.posexplode("q").alias("pos", "v"))
+        .groupBy("label", "pos")
+        .agg(F.sum("v").alias("s"))
+    )
+    carr = (
+        cent.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "s"))).alias("ps"))
+        .select("label", F.transform("ps", lambda x: x["s"]).alias("c"))
+    )
+    j = base.join(F.broadcast(carr), "label")
+
+    def _isum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    dot = _isum(F.zip_with("q", "c", lambda a, b: a * b))
+    nv = _isum(F.transform("q", lambda a: a * a))
+    nc = _isum(F.transform("c", lambda a: a * a))
+    scored = j.select(
+        "label",
+        "vec_id",
+        (
+            dot.cast("double")
+            / (F.sqrt(nv.cast("double")) * F.sqrt(nc.cast("double")))
+        ).alias("cos_c"),
+    )
+    w = Window.partitionBy("label").orderBy("cos_c", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("label", "vec_id", "cos_c", "rn")
+    )
