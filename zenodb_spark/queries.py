@@ -2259,3 +2259,63 @@ def q57_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("label", "vec_id", "cos_c", "rn")
     )
+
+
+@query(
+    "q58_token_budget_mix",
+    """
+    WITH d AS (
+      SELECT source, doc_id,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    cum AS (
+      SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM d
+    ),
+    tot AS (SELECT source, count(*) AS n_total FROM d GROUP BY 1)
+    SELECT c.source, count(*) AS n_docs,
+           CAST(max(c.cum_tokens) AS BIGINT) AS sum_tokens,
+           t.n_total
+    FROM cum c JOIN tot t ON c.source = t.source
+    WHERE c.cum_tokens <= 20000
+    GROUP BY 1, 4
+    """,
+)
+def q58_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix assembly: per source, select documents in deterministic
+    md5 order until a per-source token budget (20k) is filled — the "data
+    mixing" step that turns per-source weights into a concrete document
+    subset. The md5 order is an engine-independent shuffle, so the chosen
+    subset is reproducible anywhere; token counts are exact integers.
+
+    Scale shape: one narrow pass computes token counts, one shuffle per
+    window partition (source) orders and accumulates, and the per-source
+    totals ride a tiny broadcast join. At 100 TB the running sum stays a
+    single pass — no iterative take-until loop, no driver coordination."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        "doc_id",
+        textstats.token_count("text").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = d.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    tot = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        cum.filter(F.col("cum_tokens") <= 20000)
+        .join(F.broadcast(tot), "source")
+        .groupBy("source", "n_total")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max("cum_tokens").cast("long").alias("sum_tokens"),
+        )
+        .select("source", "n_docs", "sum_tokens", "n_total")
+    )
