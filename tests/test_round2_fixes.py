@@ -241,3 +241,36 @@ def test_stream_replay_does_not_double_count(spark, tmp_path):
     assert total() == 7.0
     ingest_stream_batch(db, table, "sums", batch, batch_id=1)  # genuinely new
     assert total() == 14.0
+
+
+def test_countdistinct_mergeable_state(spark):
+    """COUNTDISTINCT: HLL sketch states must merge across parts AND across
+    buckets — distinct-of-union, not sum-of-distincts. Two inserts share
+    user 1; hourly→daily re-aggregation must not double-count it."""
+    db2 = DB(spark, now=E + 7200)
+    db2.apply_schema(
+        {
+            "m": {
+                "sql": (
+                    "SELECT COUNTDISTINCT(u) AS du, COUNT(v) AS cnt "
+                    "FROM pts GROUP BY g, period('1h')"
+                ),
+                "retentionperiod": "48h",
+            }
+        }
+    )
+    rows1 = [Row(ts=ts(10), g="a", u=1.0, v=1.0), Row(ts=ts(20), g="a", u=2.0, v=1.0)]
+    rows2 = [Row(ts=ts(30), g="a", u=1.0, v=1.0), Row(ts=ts(3700), g="a", u=3.0, v=1.0)]
+    db2.insert("pts", spark.createDataFrame(rows1))
+    db2.insert("pts", spark.createDataFrame(rows2))  # separate part: union-merge
+    hourly = {
+        r["_time"].minute + r["_time"].hour * 60: r["du"]
+        for r in db2.query("SELECT du FROM m GROUP BY g, period('1h')").collect()
+    }
+    assert hourly == {0: 2.0, 60: 1.0}  # hour 0: users {1,2}; hour 1: {3}
+    daily = db2.query("SELECT du, cnt FROM m GROUP BY g, period('1d')").collect()
+    assert len(daily) == 1
+    # distinct over the union {1,2,3} — NOT 2+1=3-by-luck: user 1 appears
+    # in both parts of hour 0, so a sum-of-counts would give 4
+    assert daily[0]["du"] == 3.0
+    assert daily[0]["cnt"] == 4.0

@@ -194,6 +194,13 @@ class StateRegistry:
                 leaf = _find_leaf(e)
                 meta = (leaf.lo, leaf.hi, leaf.precision)
                 cols = [StateSpec(k, _state_name(idx, "hist"), "hist", meta)]
+            elif kind == "COUNTDISTINCT":
+                # mergeable distinct state: a DataSketches HLL sketch
+                # (binary). Exact while the sketch stays in coupon mode
+                # (small cardinalities), approximate beyond — the same
+                # accuracy model as the reference's bounded-histogram
+                # PERCENTILE state.
+                cols = [StateSpec(k, _state_name(idx, "hll"), "hll")]
             elif kind == "POINTS":
                 cols = [StateSpec(k, _state_name(idx, "points"), "sum")]
             else:
@@ -427,6 +434,12 @@ def _raw_state_agg(e: MExpr, spec: StateSpec, has_col, dim_resolve) -> list[Colu
         return [F.min(v).alias(spec.col)]
     if leaf.kind == "MAX":
         return [F.max(v).alias(spec.col)]
+    if leaf.kind == "COUNTDISTINCT":
+        # string-cast: hll_sketch_agg accepts int/long/string/binary but
+        # not double, and dialect values are doubles; JVM double→string is
+        # deterministic so re-ingesting the same points yields the same
+        # sketch
+        return [F.hll_sketch_agg(v.cast("string")).alias(spec.col)]
     raise AssertionError(spec)
 
 
@@ -617,6 +630,8 @@ def merge_states(
             aggs.append(F.min(src).alias(spec.col))
         elif spec.merge == "max":
             aggs.append(F.max(src).alias(spec.col))
+        elif spec.merge == "hll":
+            aggs.append(F.hll_union_agg(src).alias(spec.col))
         elif spec.merge == "hist":
             empty = F.expr("CAST(map() AS map<bigint,bigint>)")
             aggs.append(
@@ -675,6 +690,11 @@ def finalize_expr(e: MExpr, registry: StateRegistry, field_lookup) -> Column:
             leaf = _find_leaf(e)
             lo, hi, precision = specs[0].hist_meta
             return _hist_quantile_col(F.col(specs[0].col), leaf.p, lo, precision)
+        if kind == "COUNTDISTINCT":
+            c = F.col(specs[0].col)
+            return F.when(
+                c.isNotNull(), F.hll_sketch_estimate(c).cast("double")
+            ).otherwise(F.lit(0.0))
         raise AssertionError(kind)
     if isinstance(e, MPercentile):  # 2-arg re-read over a stored percentile
         specs = registry.specs.get(agg_key(e.inner))

@@ -64,7 +64,7 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-AGG_KINDS = {"SUM", "MIN", "MAX", "COUNT", "AVG", "WAVG"}
+AGG_KINDS = {"SUM", "MIN", "MAX", "COUNT", "AVG", "WAVG", "COUNTDISTINCT"}
 KEYWORDS = {
     "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "ORDER", "LIMIT",
     "AS", "ASOF", "UNTIL", "AND", "OR", "NOT", "LIKE", "IN", "IS", "NULL",
