@@ -90,3 +90,30 @@ def test_q55_partial_aggregation_before_shuffle(spark):
     # below the exchange — map-side combine still applies
     assert re.search(r"HashAggregate\(keys=\[[^\]]*user_id[^\]]*\]", plan)
     assert plan.count("HashAggregate") >= 3
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """Property check: asof_join == per-row brute force on a deterministic
+    grid of (key, ts) layouts, including duplicate timestamps on both
+    sides, keys with no right rows, and payload carry."""
+    import itertools
+
+    lrows = [(k, t) for k, t in itertools.product([1, 2, 3], [5, 10, 10, 20])]
+    rrows = [(1, 1), (1, 10), (1, 15), (2, 20), (2, 20), (4, 7)]
+    left = spark.createDataFrame([Row(k=k, t=t) for k, t in lrows])
+    right = spark.createDataFrame(
+        [Row(k=k, t=t, pay=k * 100 + t) for k, t in rrows]
+    )
+    for strict in (True, False):
+        out = timeops.asof_join(left, right, ("k",), "t", payload=("pay",), strict=strict)
+        got = sorted((r.k, r.t, r.asof_t, r.asof_pay) for r in out.collect())
+        expect = []
+        for k, t in lrows:
+            cand = [
+                (rt, pay)
+                for (rk, rt, pay) in [(r[0], r[1], r[0] * 100 + r[1]) for r in rrows]
+                if rk == k and (rt < t if strict else rt <= t)
+            ]
+            best = max(cand) if cand else (None, None)
+            expect.append((k, t, best[0], best[1]))
+        assert got == sorted(expect)
