@@ -2346,3 +2346,57 @@ def z14_engine_countdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT cnt, du FROM ev_hourly GROUP BY event_type, period('1d')"
     )
     return _as_bucket(out)
+
+
+@query(
+    "q59_stream_ingest",
+    f"""
+    SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+           CAST(count(value) AS DOUBLE) AS cnt,
+           min(value) AS mn, max(value) AS mx,
+           CAST(count(DISTINCT user_id) AS DOUBLE) AS du
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q59_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING, oracle-gated: the actual Structured Streaming ingest path
+    (readStream → foreachBatch → partial-state append, SURVEY §2.10) run as
+    a 4-micro-batch availableNow pass over the events table, then queried
+    through the dialect. The oracle is the plain batch aggregation — the
+    equality IS the streaming-equals-batch guarantee, through checkpointed
+    exactly-once parts and the HLL COUNTDISTINCT union-merge. Only
+    order-insensitive-exact aggregates (COUNT/MIN/MAX/coupon-mode HLL), so
+    micro-batch boundaries cannot perturb a single bit."""
+    import os
+    import tempfile
+
+    from zenodb_spark.streaming.ingest import start_table_stream
+
+    tmp = tempfile.mkdtemp(prefix="zspark_q59_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "value", "user_id"
+    )
+    src = f"{tmp}/src"
+    # 4 files + maxFilesPerTrigger=1 → 4 micro-batches → 4 partial-state
+    # parts that the query path must merge correctly
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    db = DB(spark, workdir=f"{tmp}/store")
+    db.apply_schema(
+        {
+            "ev_s": {
+                "sql": (
+                    "SELECT COUNT(value) AS cnt, MIN(value) AS mn, "
+                    "MAX(value) AS mx, COUNTDISTINCT(user_id) AS du "
+                    "FROM inbound GROUP BY event_type, period('1d')"
+                )
+            }
+        }
+    )
+    handle = start_table_stream(db, "ev_s", stream, checkpoint_dir=f"{tmp}/ckpt")
+    handle.awaitTermination(300)
+    out = db.query("SELECT cnt, mn, mx, du FROM ev_s GROUP BY event_type, period('1d')")
+    return _as_bucket(out)
