@@ -166,11 +166,16 @@ def sessionize(
     native operator inside each partition — no per-event window-function
     pass, no driver state. In streaming the same expression works under
     ``withWatermark`` (SURVEY §2.10)."""
+    from zenodb_spark.catalog import epoch_us_col
+
+    t = dict(df.dtypes).get(ts_col, "timestamp")
     return (
         df.groupBy(*key_cols, F.session_window(F.col(ts_col), gap).alias("session"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))).alias("dur_us"),
+            (
+                epoch_us_col(F.max(ts_col), t) - epoch_us_col(F.min(ts_col), t)
+            ).alias("dur_us"),
         )
     )
 
