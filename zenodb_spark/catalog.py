@@ -44,7 +44,7 @@ def epoch_us_col(col: Column | str, dtype: str) -> Column:
     same parquet column exactly."""
     c = F.col(col) if isinstance(col, str) else col
     if dtype == "timestamp_ntz":
-        return F.timestampdiff(
+        return F.timestamp_diff(
             "MICROSECOND", F.lit("1970-01-01 00:00:00").cast("timestamp_ntz"), c
         ).cast("long")
     return F.unix_micros(c)
