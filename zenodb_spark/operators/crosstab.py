@@ -27,18 +27,27 @@ def crosstab(
     aggs: dict[str, Column],
     values: list[str] | None = None,
     totals: bool = False,
+    max_values: int = 10_000,
 ) -> DataFrame:
     """Pivot `pivot_col` into `{val}_{field}` columns.
 
     aggs: field name → aggregate Column (evaluated per (group, pivot-value)).
     totals: CROSSTABT — also append `total_{field}` over all pivot values.
+    max_values: the distinct pivot values are buffered on the driver (same
+        two-pass shape as Spark's own ``pivot``); above this cap we fail
+        loudly instead of OOMing the driver. Pass explicit ``values`` or a
+        larger cap for a known-wide pivot.
     """
     pivot_col = F.col(pivot_col) if isinstance(pivot_col, str) else pivot_col
     df2 = df.withColumn("__ct", pivot_col)
     if values is None:
-        values = sorted(
-            r["__ct"] for r in df2.select("__ct").distinct().collect() if r["__ct"] is not None
-        )
+        rows = df2.select("__ct").distinct().limit(max_values + 1).collect()
+        if len(rows) > max_values:
+            raise ValueError(
+                f"crosstab: pivot expression has more than {max_values} distinct "
+                "values; pass values=[...] or raise max_values if intentional"
+            )
+        values = sorted(r["__ct"] for r in rows if r["__ct"] is not None)
     agg_cols = [agg.alias(name) for name, agg in aggs.items()]
     out = df2.groupBy(*group_cols).pivot("__ct", values).agg(*agg_cols)
     # Spark names pivoted columns "{val}_{alias}" (or just "{val}" for a
