@@ -9,6 +9,30 @@ from pyspark.sql import functions as F
 from zenodb_spark.operators.crosstab import crosstab
 
 
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    from zenodb_spark.operators.pipeline import paragraph_dedup
+
+    a = "w1 w2 w3 w4"  # one 4-token paragraph
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} u1 u2 u3 u4"),  # chunk0=a, chunk1 unique
+            (2, f"{a} v1 v2 v3 v4"),  # chunk0 duplicates doc1's -> dropped
+            (3, f"{a} {a}"),  # both chunks duplicate doc1's chunk0
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc"]: r for r in paragraph_dedup(docs, "text", "doc_id", 4).collect()
+    }
+    assert out[1]["kept_chunks"] == 2 and out[1]["dropped_chunks"] == 0
+    assert out[2]["kept_chunks"] == 1 and out[2]["dropped_chunks"] == 1
+    assert out[3]["kept_chunks"] == 0 and out[3]["dropped_chunks"] == 2
+    import hashlib
+
+    assert out[3]["clean_hash"] == hashlib.md5(b"").hexdigest()
+    assert out[2]["clean_hash"] == hashlib.md5(b"v1 v2 v3 v4").hexdigest()
+
+
 def test_crosstab_operator_cardinality_guard(spark):
     df = spark.range(100).withColumn("k", F.col("id") % 50)
     with pytest.raises(ValueError, match="distinct"):

@@ -74,6 +74,61 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """C4-style paragraph-level exact dedup. The corpus is split into
+    non-overlapping ``chunk_tokens``-token paragraphs; each paragraph
+    survives only at its first corpus-wide occurrence (lowest (doc, idx)),
+    and every document is reassembled from its surviving paragraphs.
+
+    Returns (doc, kept_chunks, dropped_chunks, clean_hash) where clean_hash
+    fingerprints the reassembled text ('' when everything was dropped).
+
+    Scale shape: one explode (linear in tokens), one shuffle keyed on the
+    paragraph hash (the keep-first window; dup groups are tiny), one shuffle
+    back on doc for reassembly. No self-join, no driver collect — the same
+    plan at 100 TB, with the paragraph-hash shuffle as the only wide edge.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(normalize_text(text_col), " ")
+    d = (
+        spread(df)
+        .select(F.col(id_col).alias("doc"), toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+    )
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(chunk_tokens)
+    )
+    d = d.select("doc", "toks", F.posexplode(starts).alias("cidx", "start"))
+    d = d.select(
+        "doc",
+        F.col("cidx").cast("long").alias("cidx"),
+        F.array_join(F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens), " ").alias(
+            "chunk"
+        ),
+    )
+    w = Window.partitionBy(F.md5("chunk")).orderBy("doc", "cidx")
+    d = d.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.struct("cidx", "chunk"))
+    return d.groupBy("doc").agg(
+        F.count(kept).cast("long").alias("kept_chunks"),
+        (F.count(F.lit(1)) - F.count(kept)).cast("long").alias("dropped_chunks"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["chunk"]
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

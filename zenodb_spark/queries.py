@@ -2400,3 +2400,42 @@ def q59_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     handle.awaitTermination(300)
     out = db.query("SELECT cnt, mn, mx, du FROM ev_s GROUP BY event_type, period('1d')")
     return _as_bucket(out)
+
+
+_PARA = 20
+
+
+@query(
+    "q60_paragraph_dedup",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({NORM.format(x='text')}, ' ') AS toks
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), {_PARA})) AS start
+      FROM t WHERE len(toks) > 0
+    ), chunks AS (
+      SELECT doc_id, CAST(start // {_PARA} AS BIGINT) AS cidx,
+             array_to_string(toks[start+1:start+{_PARA}], ' ') AS chunk
+      FROM starts
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, cidx) AS rn
+      FROM chunks
+    )
+    SELECT doc_id AS doc,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_chunks,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS dropped_chunks,
+           md5(coalesce(string_agg(chunk, ' ' ORDER BY cidx) FILTER (WHERE rn = 1), ''))
+             AS clean_hash
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def q60_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style paragraph-level exact dedup: {_PARA}-token paragraphs kept
+    only at their first corpus-wide occurrence, documents reassembled from
+    the survivors. One explode + one paragraph-hash shuffle + one doc
+    shuffle — linear end to end (operators/pipeline.py:paragraph_dedup)."""
+    from zenodb_spark.operators.pipeline import paragraph_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return paragraph_dedup(docs, "text", "doc_id", _PARA)
