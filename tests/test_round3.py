@@ -33,6 +33,33 @@ def test_paragraph_dedup_keeps_first_occurrence(spark):
     assert out[2]["clean_hash"] == hashlib.md5(b"v1 v2 v3 v4").hexdigest()
 
 
+def test_decontaminate_bloom_exact_even_with_tiny_filter(spark):
+    from zenodb_spark.operators.pipeline import decontaminate, decontaminate_bloom
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta zeta"),  # shares 'alpha beta gamma delta'
+            (2, "zeta eta theta iota kappa"),  # shares nothing
+            (3, "beta gamma delta epsilon pad"),  # shares one 4-gram
+        ],
+        "doc_id long, text string",
+    )
+    exact = {
+        (r["doc"], r["n_shared"])
+        for r in decontaminate(corpus, bench, n=4).collect()
+    }
+    # m_bits=16 forces heavy false-positive pressure; the verify join must
+    # still produce the exact answer (Bloom has no false negatives)
+    bloom = {
+        (r["doc"], r["n_shared"])
+        for r in decontaminate_bloom(corpus, bench, n=4, m_bits=16, k=2).collect()
+    }
+    assert bloom == exact == {(1, 1), (3, 1)}
+
+
 def test_crosstab_operator_cardinality_guard(spark):
     df = spark.range(100).withColumn("k", F.col("id") % 50)
     with pytest.raises(ValueError, match="distinct"):

@@ -159,3 +159,56 @@ def decontaminate(
         .groupBy("doc")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 4,
+    m_bits: int = 1 << 20,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-prefiltered decontamination — the 100 TB path for `decontaminate`.
+
+    When the eval set's raw n-grams are too big to broadcast as strings, a
+    Bloom filter over them still fits: k hash positions mod m_bits per gram,
+    broadcast as a set-bit table of longs (≤ k·|grams| positions, 8 bytes
+    each, independent of gram length). Corpus grams whose k positions are
+    all set are *candidates* (no false negatives, tunable false-positive
+    rate); only candidates reach the exact verify join against the real
+    gram set, so the final (doc, n_shared) is exact — bit-identical to
+    `decontaminate`.
+
+    Plan: corpus explode → k-position explode → broadcast join on the bit
+    set → all-k filter → verify join (candidate-sized) → groupBy(doc).
+    """
+
+    def grams(df: DataFrame) -> DataFrame:
+        toks = F.split(normalize_text(text_col), " ")
+        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        arr = F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
+        return df.select(F.col(id_col).alias("doc"), F.explode(arr).alias("gram"))
+
+    positions = F.array(
+        *[F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m_bits)) for i in range(k)]
+    )
+    bench_g = grams(benchmark).select("gram").distinct()
+    bits = bench_g.select(F.explode(positions).alias("pos")).distinct()
+
+    cand = (
+        grams(spread(corpus))
+        .select("doc", "gram", F.explode(positions).alias("pos"))
+        .join(F.broadcast(bits), "pos")
+        .groupBy("doc", "gram")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == k)
+        .drop("n_set")
+    )
+    return (
+        cand.join(bench_g, "gram")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

@@ -2439,3 +2439,25 @@ def q60_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return paragraph_dedup(docs, "text", "doc_id", _PARA)
+
+
+@query(
+    "q61_decontaminate_bloom",
+    ORACLE["q46_decontaminate"],
+)
+def q61_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a Bloom pre-filter (k=3 hashes mod 2^20 bits):
+    the eval set broadcasts as a set-bit table of longs instead of raw
+    gram strings; only all-k-bits-set candidates reach the exact verify
+    join, so the answer is bit-identical to q46's exact overlap — which is
+    precisely what the shared oracle asserts (no false negatives)."""
+    from zenodb_spark.operators.pipeline import decontaminate_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decontaminate_bloom(
+        docs.filter(F.col("doc_id") % 100 != 0),
+        docs.filter(F.col("doc_id") % 100 == 0),
+        "text",
+        "doc_id",
+        n=4,
+    )
