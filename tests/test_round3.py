@@ -60,6 +60,23 @@ def test_decontaminate_bloom_exact_even_with_tiny_filter(spark):
     assert bloom == exact == {(1, 1), (3, 1)}
 
 
+def test_unigram_logprob_values(spark):
+    import math
+
+    from zenodb_spark.operators.textstats import unigram_logprob
+
+    # corpus: 'a' x3, 'b' x1 -> T=4; lp(a)=ln(3/4), lp(b)=ln(1/4)
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], "doc_id long, text string"
+    )
+    out = {r["doc"]: r for r in unigram_logprob(docs).collect()}
+    lp = lambda p: math.floor(math.log(p) * 1e6 + 0.5) / 1e6
+    assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 1
+    assert out[1]["avg_logprob"] == round(lp(3 / 4), 9)
+    assert out[2]["avg_logprob"] == round(lp(1 / 4), 9)
+    assert out[1]["avg_logprob"] > out[2]["avg_logprob"]  # common > rare
+
+
 def test_crosstab_operator_cardinality_guard(spark):
     df = spark.range(100).withColumn("k", F.col("id") % 50)
     with pytest.raises(ValueError, match="distinct"):

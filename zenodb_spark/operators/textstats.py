@@ -197,3 +197,53 @@ def vocab_stats(
         F.count_distinct(F.col("tok")).alias("vocab"),
         (F.count_distinct(F.col("tok")) / F.count(F.lit(1))).alias("type_token_ratio"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the classic cheap perplexity-style quality signal for
+    pretraining-data filtering (low scores ⇒ rare-token soup).
+
+    Determinism across engines: each distinct token's ln(cnt/T) is quantized
+    to integer micro-nats BEFORE any summation, so per-doc totals are exact
+    integer sums; the single trailing float division is IEEE-identical in
+    Spark and DuckDB.
+
+    Scale shape: two token aggregations (doc-token counts, global counts)
+    plus one join of doc-token rows against the frequency table — AQE
+    broadcasts it while the vocabulary fits, shuffle-joins beyond. No
+    driver collect; T rides along as a broadcast scalar.
+    """
+    from zenodb_spark.operators.dedup import normalize_text
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    doc_tok = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("occ"))
+    freq = doc_tok.groupBy("tok").agg(F.sum("occ").alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("t"))
+    lp = freq.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("t")) * F.lit(1_000_000)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        doc_tok.join(lp, "tok")
+        .groupBy("doc")
+        .agg(
+            F.sum("occ").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("occ") * F.col("lp_micro")).cast("double")
+                / F.sum("occ").cast("double")
+                / F.lit(1_000_000.0),
+                9,
+            ).alias("avg_logprob"),
+        )
+    )

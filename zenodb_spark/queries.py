@@ -2461,3 +2461,41 @@ def q61_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n=4,
     )
+
+
+@query(
+    "q62_unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({NORM.format(x='text')}, ' ')) AS tok
+      FROM documents
+    ), dt AS (
+      SELECT doc_id, tok, count(*) AS occ FROM toks WHERE len(tok) > 0
+      GROUP BY doc_id, tok
+    ), freq AS (
+      SELECT tok, sum(occ) AS cnt FROM dt GROUP BY tok
+    ), tot AS (
+      SELECT sum(cnt) AS t FROM freq
+    ), lp AS (
+      SELECT tok,
+             CAST(floor(ln(CAST(cnt AS DOUBLE) / t) * 1000000 + 0.5) AS BIGINT)
+               AS lp_micro
+      FROM freq, tot
+    )
+    SELECT doc_id AS doc,
+           CAST(sum(occ) AS BIGINT) AS n_tokens,
+           round(CAST(sum(occ * lp_micro) AS DOUBLE) / CAST(sum(occ) AS DOUBLE)
+                 / 1000000, 9) AS avg_logprob
+    FROM dt JOIN lp USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q62_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-prob per document under the corpus's own unigram LM
+    (micro-nat integer quantization before summing — engine-exact); the
+    cheap perplexity-style quality filter of a pretraining pipeline
+    (operators/textstats.py:unigram_logprob)."""
+    from zenodb_spark.operators.textstats import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs, "text", "doc_id")
