@@ -3,10 +3,42 @@ Bloom-filter decontamination, unigram LM scoring, dialect set ops."""
 
 from __future__ import annotations
 
-import pytest
-from pyspark.sql import functions as F
+import datetime as dt
 
+import pytest
+from pyspark.sql import Row, functions as F
+
+from zenodb_spark.engine import DB
 from zenodb_spark.operators.crosstab import crosstab
+
+E = dt.datetime(2015, 1, 1, tzinfo=dt.timezone.utc).timestamp()
+
+
+def _ts(off: float) -> dt.datetime:
+    return dt.datetime.fromtimestamp(E + off, dt.timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def db(spark):
+    db = DB(spark, now=E + 100)
+    db.apply_schema(
+        {
+            "metrics": {
+                "sql": (
+                    "SELECT SUM(n) AS total FROM inbound "
+                    "GROUP BY host, period('10s')"
+                ),
+            }
+        }
+    )
+    rows = [
+        Row(ts=_ts(1), host="h1", n=10.0),
+        Row(ts=_ts(2), host="h1", n=20.0),
+        Row(ts=_ts(3), host="h2", n=99.0),
+        Row(ts=_ts(4), host="h3", n=6.0),
+    ]
+    db.insert("inbound", spark.createDataFrame(rows))
+    return db
 
 
 def test_paragraph_dedup_keeps_first_occurrence(spark):
@@ -75,6 +107,54 @@ def test_unigram_logprob_values(spark):
     assert out[1]["avg_logprob"] == round(lp(3 / 4), 9)
     assert out[2]["avg_logprob"] == round(lp(1 / 4), 9)
     assert out[1]["avg_logprob"] > out[2]["avg_logprob"]  # common > rare
+
+
+def test_set_op_parsing_precedence():
+    from zenodb_spark.ir import SetOp
+    from zenodb_spark.sqlparser.parser import parse
+
+    q = parse(
+        "SELECT a FROM t GROUP BY x UNION ALL SELECT a FROM t GROUP BY x "
+        "UNION SELECT a FROM t GROUP BY x"
+    )
+    assert isinstance(q, SetOp) and q.op == "union" and q.left.op == "union_all"
+    # ANSI: INTERSECT binds tighter than UNION/EXCEPT
+    q2 = parse("SELECT a FROM t UNION SELECT a FROM u INTERSECT SELECT a FROM v")
+    assert q2.op == "union" and q2.right.op == "intersect"
+
+
+def test_set_op_engine_semantics(db):
+    whole = db.query("SELECT total FROM metrics GROUP BY host, period('100s')")
+    doubled = db.query(
+        "SELECT total FROM metrics GROUP BY host, period('100s') UNION ALL "
+        "SELECT total FROM metrics GROUP BY host, period('100s')"
+    )
+    assert doubled.count() == 2 * whole.count()
+    deduped = db.query(
+        "SELECT total FROM metrics GROUP BY host, period('100s') UNION ALL "
+        "SELECT total FROM metrics GROUP BY host, period('100s') UNION "
+        "SELECT total FROM metrics GROUP BY host, period('100s')"
+    )
+    assert sorted(map(tuple, deduped.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+    nothing = db.query(
+        "SELECT total FROM metrics GROUP BY host, period('100s') EXCEPT "
+        "SELECT total FROM metrics GROUP BY host, period('100s')"
+    )
+    assert nothing.count() == 0
+    inter = db.query(
+        "SELECT total FROM metrics GROUP BY host, period('100s') INTERSECT "
+        "SELECT total FROM metrics WHERE host = 'h1' GROUP BY host, period('100s')"
+    )
+    assert {r["host"] for r in inter.collect()} == {"h1"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="columns"):
+        db.query(
+            "SELECT total FROM metrics GROUP BY host, period('100s') UNION "
+            "SELECT total FROM metrics GROUP BY _, period('100s')"
+        )
 
 
 def test_crosstab_operator_cardinality_guard(spark):

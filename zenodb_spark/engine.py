@@ -54,6 +54,7 @@ from zenodb_spark.ir import (
     MShift,
     Query,
     SelectField,
+    SetOp,
 )
 from zenodb_spark.plans import compiler as C
 from zenodb_spark.plans.compiler import (
@@ -546,7 +547,9 @@ class DB:
                 s.drain()
         return self.plan(q)
 
-    def plan(self, q: Query) -> DataFrame:
+    def plan(self, q: Query | SetOp) -> DataFrame:
+        if isinstance(q, SetOp):
+            return self._plan_set_op(q)
         if q.from_subquery is not None:
             inner = self.plan(q.from_subquery)
             return self._aggregate_flat(q, inner, self._flat_fields(q.from_subquery))
@@ -556,6 +559,33 @@ class DB:
         if name not in self.tables:
             raise ValueError(f"unknown table {name}")
         return self._plan_over_table(q, self.tables[name])
+
+    def _plan_set_op(self, q: SetOp) -> DataFrame:
+        """UNION[/ALL] / INTERSECT[/ALL] / EXCEPT[/ALL] between dialect
+        queries (extension — SURVEY §2.6: absent in the reference, native in
+        Spark). Columns align by position, names from the left operand;
+        distinct variants are one extra hash-aggregate shuffle, the ALL
+        variants none (union) or one co-partitioned anti/semi shuffle."""
+        left, right = self.plan(q.left), self.plan(q.right)
+        if len(left.columns) != len(right.columns):
+            raise ValueError(
+                f"set operation operands have {len(left.columns)} vs "
+                f"{len(right.columns)} columns"
+            )
+        right = right.toDF(*left.columns)
+        if q.op == "union_all":
+            return left.unionAll(right)
+        if q.op == "union":
+            return left.unionAll(right).distinct()
+        if q.op == "intersect":
+            return left.intersect(right)
+        if q.op == "intersect_all":
+            return left.intersectAll(right)
+        if q.op == "except":
+            return left.subtract(right)
+        if q.op == "except_all":
+            return left.exceptAll(right)
+        raise ValueError(f"unknown set operation {q.op!r}")
 
     # -- query over a stored table ------------------------------------------
     def _plan_over_table(self, q: Query, table: Table) -> DataFrame:

@@ -214,3 +214,17 @@ class Query:
     offset: int | None = None
     limit: int | None = None
     force_fresh: bool = False
+
+
+@dataclass
+class SetOp:
+    """Set operation between two dialect queries (beyond the reference —
+    SURVEY §2.6 notes the reference has none and Spark provides them for
+    free). ``op`` ∈ {union, union_all, intersect, intersect_all, except,
+    except_all}; UNION/INTERSECT/EXCEPT follow ANSI bag→set semantics
+    (result deduplicated), the *_all forms keep duplicates."""
+
+    op: str
+    left: "Query | SetOp"
+    right: "Query | SetOp"
+    force_fresh: bool = False

@@ -2499,3 +2499,42 @@ def q62_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob(docs, "text", "doc_id")
+
+
+@query(
+    "z15_engine_set_ops",
+    f"""
+    WITH d AS (
+      SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+             CAST(count(value) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, bucket, cnt FROM (
+      SELECT * FROM d WHERE event_type = 'click'
+      UNION ALL
+      SELECT * FROM d WHERE event_type <> 'click'
+      UNION
+      SELECT * FROM d
+      EXCEPT
+      SELECT * FROM d WHERE event_type = 'error'
+    )
+    """,
+)
+def z15_engine_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: UNION ALL / UNION / EXCEPT chain between dialect queries
+    (extension — SURVEY §2.6: the reference has no set ops; Spark's are
+    native). The disjoint halves re-union to duplicates of the whole, UNION
+    dedups them back, EXCEPT carves the error series out — every semantics
+    branch exercised in one oracle-checked expression."""
+    db = _engine_db(spark, sf_dir)
+    base = "SELECT cnt FROM ev_daily {w} GROUP BY event_type, period('1d')"
+    out = db.query(
+        " UNION ALL ".join([base.format(w="WHERE event_type = 'click'")])
+        + " UNION ALL "
+        + base.format(w="WHERE event_type <> 'click'")
+        + " UNION "
+        + base.format(w="")
+        + " EXCEPT "
+        + base.format(w="WHERE event_type = 'error'")
+    )
+    return _as_bucket(out)

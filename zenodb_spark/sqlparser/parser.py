@@ -48,6 +48,7 @@ from zenodb_spark.ir import (
     MShift,
     Query,
     SelectField,
+    SetOp,
 )
 from zenodb_spark.sqlparser.durations import parse_duration
 
@@ -153,6 +154,27 @@ class Parser:
         return bool(t and t.kind == "ident" and t.text.upper() in kws)
 
     # -- entry --------------------------------------------------------------
+    def parse_set_expr(self) -> "Query | SetOp":
+        """UNION/EXCEPT chain over INTERSECT chains (ANSI precedence:
+        INTERSECT binds tighter), each optionally ALL. Set ops are an
+        extension beyond the reference (SURVEY §2.6: none there; free in
+        Spark)."""
+        left = self.parse_intersect_expr()
+        while self.at_kw("UNION", "EXCEPT"):
+            op = self.next().text  # union | except
+            if self.accept_kw("ALL"):
+                op += "_all"
+            left = SetOp(op, left, self.parse_intersect_expr())
+        return left
+
+    def parse_intersect_expr(self) -> "Query | SetOp":
+        left = self.parse_query()
+        while self.at_kw("INTERSECT"):
+            self.next()
+            op = "intersect_all" if self.accept_kw("ALL") else "intersect"
+            left = SetOp(op, left, self.parse_query())
+        return left
+
     def parse_query(self) -> Query:
         q = Query()
         self.expect_kw("SELECT")
@@ -609,10 +631,10 @@ def parse(sql: str) -> Query:
     return _parse_expanded(sql)
 
 
-def _parse_expanded(sql: str) -> Query:
+def _parse_expanded(sql: str) -> Query | SetOp:
     toks, force_fresh = tokenize(sql)
     p = Parser(toks)
-    q = p.parse_query()
+    q = p.parse_set_expr()
     q.force_fresh = force_fresh
     if p.peek() is not None:
         raise SyntaxError(f"trailing tokens at {p.peek()}")
