@@ -157,6 +157,39 @@ def test_set_op_engine_semantics(db):
         )
 
 
+def test_kmeans_train_reduces_sse(spark):
+    from zenodb_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def sse(cents):
+        a = ivf_assign(emb, cents)
+        exprs = []
+        for j, c in enumerate(cents):
+            lit = F.array(*[F.lit(x) for x in c])
+            d = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    lit,
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            exprs.append(F.when(F.col("centroid") == j + 1, d))
+        return a.select(
+            F.coalesce(*exprs).alias("d")
+        ).agg(F.sum("d")).collect()[0][0]
+
+    init = ivf_centroids(64, 8, 43)
+    trained = kmeans_train(emb, 64, 8, iters=3, seed=43)
+    assert sse(trained) < sse(init) * 0.9  # Lloyd monotonically improves
+
+
 def test_crosstab_operator_cardinality_guard(spark):
     df = spark.range(100).withColumn("k", F.col("id") % 50)
     with pytest.raises(ValueError, match="distinct"):

@@ -395,3 +395,69 @@ def semdedup_drop_list(
         "n_dups",
         "best_cos",
     )
+
+
+def kmeans_step(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """One Lloyd iteration of distributed k-means over an embedding column:
+    assign every vector to its nearest centroid (`ivf_assign`, bit-exact
+    argmin), then recompute each centroid as the component-wise mean of its
+    members. This is how IVF coarse centroids are actually trained (the
+    seeded `ivf_centroids` are the k-means init).
+
+    Engine-exact means: components quantize to integer 1/`scale` units
+    BEFORE summation (no float-sum order dependence); the trailing
+    sum/count/scale division is a fixed IEEE sequence.
+
+    Output: (centroid, dim_idx, n_assigned, value) — k·dim rows.
+
+    Scale shape: one broadcast-literal assignment pass (k·dim doubles ride
+    the plan, no join), one posexplode (×dim), one hash aggregate on
+    (centroid, dim_idx) — k·dim groups. Linear in corpus size, no driver
+    collect; iterating keeps only the k·dim centroid model on the driver,
+    which is the legitimate model state of Lloyd's algorithm."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    comp = assigned.select(
+        "centroid", F.posexplode(F.col(vec_col)).alias("dim_idx", "x")
+    ).select(
+        "centroid",
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.floor(F.col("x").cast("double") * F.lit(float(scale)) + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
+    )
+    n = F.count(F.lit(1))
+    return comp.groupBy("centroid", "dim_idx").agg(
+        n.cast("long").alias("n_assigned"),
+        F.round(
+            F.sum("xq").cast("double") / n.cast("double") / F.lit(float(scale)), 9
+        ).alias("value"),
+    )
+
+
+def kmeans_train(
+    corpus: DataFrame,
+    dim: int,
+    k: int,
+    iters: int = 5,
+    seed: int = 43,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Train IVF coarse centroids with `iters` Lloyd iterations from the
+    seeded init. Empty clusters keep their previous centroid (standard
+    practice). Returns the trained k×dim model (driver-side by design —
+    it IS the model)."""
+    cents = ivf_centroids(dim, k, seed)
+    for _ in range(iters):
+        rows = kmeans_step(corpus, cents, id_col, vec_col).collect()
+        new = [list(c) for c in cents]
+        for r in rows:
+            new[r["centroid"] - 1][r["dim_idx"]] = r["value"]
+        cents = new
+    return cents

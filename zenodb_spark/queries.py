@@ -2538,3 +2538,46 @@ def z15_engine_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         + base.format(w="WHERE event_type = 'error'")
     )
     return _as_bucket(out)
+
+
+def _kmeans_oracle(dim: int = 64, k: int = 8, seed: int = 43) -> str:
+    from zenodb_spark.operators.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, k, seed)
+    terms = []
+    for c in cents:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        cc = repr(sum((x * x for x in c), 0.0))
+        terms.append(
+            f"(list_dot_product(v, v) - 2.0 * list_dot_product(v, {lit}) + {cc})"
+        )
+    darr = "[" + ", ".join(terms) + "]"
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (SELECT vec_id, v, {darr} AS d FROM e),
+    asn AS (
+      SELECT vec_id, v, CAST(list_position(d, list_min(d)) AS INTEGER) AS centroid
+      FROM a
+    ),
+    comp AS (
+      SELECT centroid, CAST(i AS BIGINT) AS dim_idx,
+             CAST(floor(v[i + 1] * 1000000 + 0.5) AS BIGINT) AS xq
+      FROM asn, unnest(range(0, len(v))) AS u(i)
+    )
+    SELECT centroid, dim_idx, CAST(count(*) AS BIGINT) AS n_assigned,
+           round(CAST(sum(xq) AS DOUBLE) / count(*) / 1000000, 9) AS value
+    FROM comp GROUP BY 1, 2
+    """
+
+
+@query("q63_kmeans_step", _kmeans_oracle())
+def q63_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd iteration refining the IVF coarse centroids:
+    bit-exact nearest-centroid assignment, integer-quantized component sums,
+    k·dim output rows. The oracle replays assignment AND update exactly —
+    proving the training loop `kmeans_train` iterates on
+    (operators/similarity.py:kmeans_step)."""
+    from zenodb_spark.operators.similarity import ivf_centroids, kmeans_step
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_step(emb, ivf_centroids(64, 8, 43))
