@@ -263,3 +263,67 @@ def test_late_data_restates_old_bucket(spark, tmpdir):
     a_rows = [r for r in out if r["server"] == "a"]
     assert len(a_rows) == 1  # one restated bucket, not a duplicate
     assert a_rows[0]["requests"] == 115.0 and a_rows[0]["_points"] == 3.0
+
+
+def test_stateful_stream_dedup_first(spark, tmpdir):
+    """applyInPandasWithState dedup: first occurrence of a fingerprint wins
+    across micro-batches; later re-deliveries are dropped."""
+    from zenodb_spark.streaming.stateful import stream_dedup_first
+
+    src = f"{tmpdir}/dedup_src"
+    # file order fixes micro-batch order: b0 then b1 then b2
+    rows0 = [Row(fp="k1", seq=2, payload="k1-first"), Row(fp="k2", seq=9, payload="k2-first")]
+    rows1 = [Row(fp="k1", seq=1, payload="dup-dropped"), Row(fp="k3", seq=5, payload="k3-first")]
+    rows2 = [Row(fp="k2", seq=0, payload="dup-dropped"), Row(fp="k1", seq=0, payload="dup-dropped")]
+    for i, rows in enumerate([rows0, rows1, rows2]):
+        spark.createDataFrame(rows).coalesce(1).write.parquet(f"{src}/b{i}")
+    schema = spark.read.parquet(f"{src}/b0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    out = stream_dedup_first(stream, "fp", ["seq"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["fp"]: r["payload"] for r in spark.sql("SELECT * FROM dedup_out").collect()
+    }
+    assert got == {"k1": "k1-first", "k2": "k2-first", "k3": "k3-first"}
+
+
+def test_stateful_stream_key_counts(spark, tmpdir):
+    from zenodb_spark.streaming.stateful import stream_key_counts
+
+    src = f"{tmpdir}/cnt_src"
+    rows0 = [Row(fp="a"), Row(fp="a"), Row(fp="b")]
+    rows1 = [Row(fp="a"), Row(fp="c")]
+    for i, rows in enumerate([rows0, rows1]):
+        spark.createDataFrame(rows).coalesce(1).write.parquet(f"{src}/b{i}")
+    schema = spark.read.parquet(f"{src}/b0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/b*")
+    )
+    q = (
+        stream_key_counts(stream, "fp")
+        .writeStream.format("memory")
+        .queryName("cnt_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode: the LAST emitted row per key carries the final total
+    rows = spark.sql("SELECT * FROM cnt_out").collect()
+    final = {}
+    for r in rows:
+        final[r["key"]] = max(final.get(r["key"], 0), r["n_total"])
+    assert final == {"a": 3, "b": 1, "c": 1}
