@@ -53,9 +53,15 @@ HEADLINE = [
     "q46_decontaminate",
     "q47_dedup_clusters",
     "q48_repetition",
+    "q60_paragraph_dedup",
+    "q61_decontaminate_bloom",
+    "q62_unigram_logprob",
+    "q63_kmeans_step",
+    "q64_bm25_topk",
     "z01_engine_rollup_sketch",
     "z02_engine_shift",
     "z06_engine_crosstab",
+    "z15_engine_set_ops",
 ]
 
 

@@ -190,6 +190,50 @@ def test_kmeans_train_reduces_sse(spark):
     assert sse(trained) < sse(init) * 0.9  # Lloyd monotonically improves
 
 
+def test_bm25_ranking_semantics(spark):
+    from zenodb_spark.operators.retrieval import bm25_topk
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "apple banana cherry date egg"),
+            (2, "apple apple apple banana fig"),  # more tf on 'apple'
+            (3, "kiwi lime mango nut oat"),  # no overlap
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame([(7, "apple")], "qid long, text string")
+    rows = bm25_topk(corpus, queries).collect()
+    assert [r["doc"] for r in rows] == [2, 1]  # tf wins; doc 3 absent
+    assert [r["rank"] for r in rows] == [1, 2]
+    assert rows[0]["bm25"] > rows[1]["bm25"] > 0
+
+
+def test_round3_plan_shapes(spark):
+    """Scale-critical plan properties of the round-3 operators."""
+    from zenodb_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    # q63: assignment is broadcast-literal — the whole plan must be join-free
+    plan63 = Q.QUERIES["q63_kmeans_step"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan63 and "CartesianProduct" not in plan63
+    # q61: corpus side never sort-merge-joins; both probes broadcast
+    plan61 = Q.QUERIES["q61_decontaminate_bloom"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan61
+    assert "BroadcastHashJoin" in plan61
+    # q60: no join at all — dedup is window + aggregate
+    plan60 = Q.QUERIES["q60_paragraph_dedup"](spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan60
+
+
+def test_db_explain_formats_physical_plan(db):
+    s = db.explain("SELECT total FROM metrics GROUP BY host, period('100s')")
+    assert "HashAggregate" in s and "Scan" in s
+    # simple mode works too
+    assert "HashAggregate" in db.explain(
+        "SELECT total FROM metrics GROUP BY host, period('100s')", mode="simple"
+    )
+
+
 def test_crosstab_operator_cardinality_guard(spark):
     df = spark.range(100).withColumn("k", F.col("id") % 50)
     with pytest.raises(ValueError, match="distinct"):

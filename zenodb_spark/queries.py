@@ -2581,3 +2581,109 @@ def q63_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_step(emb, ivf_centroids(64, 8, 43))
+
+
+def _bm25_oracle(k1: float = 1.5, b: float = 0.75, topk: int = 10) -> str:
+    n = NORM.format(x="text")
+    return f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),
+    qs AS (SELECT doc_id AS qid, text FROM documents WHERE doc_id % 100 = 0),
+    toks AS (SELECT doc_id AS doc, unnest(string_split({n}, ' ')) AS tok FROM corpus),
+    tf AS (SELECT doc, tok, count(*) AS tf FROM toks WHERE len(tok) > 0 GROUP BY 1, 2),
+    dl AS (SELECT doc, sum(tf) AS dl FROM tf GROUP BY 1),
+    stats AS (
+      SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+    ),
+    dft AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+    idf AS (
+      SELECT tok, avgdl,
+             CAST(floor(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * 1000000 + 0.5)
+                  AS BIGINT) AS idf_micro
+      FROM dft, stats
+    ),
+    qtok AS (
+      SELECT DISTINCT qid, tok FROM (
+        SELECT qid, unnest(string_split({n}, ' ')) AS tok FROM qs
+      ) WHERE len(tok) > 0
+    ),
+    term AS (
+      SELECT qid, doc,
+             CAST(floor((idf_micro / 1000000.0) * (tf * {k1 + 1.0!r})
+                        / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl))
+                        * 1000000 + 0.5) AS BIGINT) AS s_micro
+      FROM qtok JOIN idf USING (tok) JOIN tf USING (tok) JOIN dl USING (doc)
+    ),
+    scored AS (SELECT qid, doc, sum(s_micro) AS sm FROM term GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, doc) AS rank
+      FROM scored
+    )
+    SELECT qid, doc, round(CAST(sm AS DOUBLE) / 1000000, 9) AS bm25,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {topk}
+    """
+
+
+@query("q64_bm25_topk", _bm25_oracle())
+def q64_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BM25 retrieval: the eval split (doc_id%100=0) queries the
+    corpus (doc_id%100<>0); top-10 per query on integer-quantized scores
+    (idf and per-term scores quantize to micro-units before any float sum —
+    engine-exact, see operators/retrieval.py:bm25_topk)."""
+    from zenodb_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs.filter(F.col("doc_id") % 100 != 0),
+        docs.filter(F.col("doc_id") % 100 == 0).select(
+            F.col("doc_id").alias("qid"), "text"
+        ),
+    )
+
+
+@query(
+    "q65_quality_resample",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split({NORM.format(x='text')}, ' ') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source, len(toks) AS n, len(list_distinct(toks)) AS d
+      FROM t WHERE len(toks) > 0
+    ), w AS (
+      SELECT doc_id, source, n, d,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM s
+    )
+    SELECT doc_id AS doc, source, CAST(n AS BIGINT) AS n_tokens,
+           round(CAST(d AS DOUBLE) / n, 9) AS ttr
+    FROM w WHERE u < CAST(d AS DOUBLE) / n
+    """,
+)
+def q65_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic resampling: each doc survives with
+    probability equal to its type-token ratio (repetitive soup down-weighted)
+    via the md5-uniform trick — reproducible across engines and runs, unlike
+    rand(). One narrow pass, no shuffle; the curation primitive behind
+    quality-tiered data mixes."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text("text"), " ")
+    d = docs.select(
+        F.col("doc_id").alias("doc"),
+        "source",
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("d"),
+    ).filter(F.col("n") > 0)
+    u = F.conv(F.substring(F.md5(F.col("doc").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) / F.lit(4294967296.0)
+    ttr = F.col("d").cast("double") / F.col("n")
+    return d.filter(u < ttr).select(
+        "doc",
+        "source",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.round(ttr, 9).alias("ttr"),
+    )
