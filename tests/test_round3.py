@@ -234,6 +234,46 @@ def test_db_explain_formats_physical_plan(db):
     )
 
 
+def test_dedup_apply_priority_keeps_best(spark):
+    from zenodb_spark.operators.dedup import dedup_apply
+
+    # same normalized content; the HIGHER-quality copy has the higher id,
+    # so default (lowest-id) and priority order must disagree
+    docs = spark.createDataFrame(
+        [
+            (1, "a a b", 0.5),
+            (2, "A  a   B", 0.9),  # normalizes equal; higher quality
+            (3, "unrelated text here", 0.1),
+        ],
+        "doc_id long, text string, quality double",
+    )
+    default = {r["doc_id"] for r in dedup_apply(docs, "text", "doc_id").collect()}
+    assert default == {1, 3}
+    best = {
+        r["doc_id"]
+        for r in dedup_apply(
+            docs, "text", "doc_id", priority=[F.desc("quality")]
+        ).collect()
+    }
+    assert best == {2, 3}
+
+
+def test_containment_asymmetric(spark):
+    from zenodb_spark.operators.dedup import containment_pairs
+
+    big = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5"),  # 3 shingles, all inside doc 2 -> C=1.0
+            (2, big),  # 10 shingles; C(2->1) = 3/10 < t
+            (3, "x1 x2 x3 x4 x5"),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, "text", "doc_id", n=3, threshold=0.8).collect()
+    assert [(r["doc_a"], r["doc_b"], r["containment"]) for r in rows] == [(1, 2, 1.0)]
+
+
 def test_crosstab_operator_cardinality_guard(spark):
     df = spark.range(100).withColumn("k", F.col("id") % 50)
     with pytest.raises(ValueError, match="distinct"):

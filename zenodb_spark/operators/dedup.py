@@ -414,11 +414,20 @@ def simhash_pairs(fp: DataFrame, max_hamming: int = 2, bits: int = 16) -> DataFr
     return pairs
 
 
-def dedup_apply(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Materialize the deduplicated corpus: keep the lowest-id row per
-    normalized-content fingerprint. One window over the fingerprint
-    shuffle — the apply step downstream of `exact_dedup`'s report."""
-    w = Window.partitionBy(F.md5(normalize_text(text_col))).orderBy(F.col(id_col))
+def dedup_apply(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    priority: list | None = None,
+) -> DataFrame:
+    """Materialize the deduplicated corpus: keep ONE row per
+    normalized-content fingerprint — the lowest id by default, or the first
+    row under ``priority`` (a list of ordering Columns, e.g. quality
+    descending; the id is always appended as the deterministic tie-break).
+    One window over the fingerprint shuffle — the apply step downstream of
+    `exact_dedup`'s report."""
+    order = list(priority or []) + [F.col(id_col)]
+    w = Window.partitionBy(F.md5(normalize_text(text_col))).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -516,4 +525,70 @@ def dedup_clusters(
     return (
         labels.select(F.col("node").alias("doc"), F.col("lab").alias("cluster_id"))
         .withColumn("cluster_size", F.count(F.lit(1)).over(size_w).cast("long"))
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-subset detection: pairs (A, B) with containment
+    C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ threshold, A ≠ B — the quote /
+    boilerplate-copy signal Jaccard misses (a small doc wholly inside a huge
+    one has low Jaccard but containment 1.0).
+
+    Prefix filtering applies to the CONTAINED side only: if C(A→B) ≥ t then
+    B shares one of A's first L_A = |A| − ceil(t·|A|) + 1 shingles under the
+    global rarity order (fewer than L_A matches would leave the intersection
+    short even if ALL later shingles matched). The containing side has no
+    such bound, so B indexes every shingle. A-prefixes hold only each doc's
+    rarest shingles, so hot-shingle postings meet few prefix rows — the
+    cross term stays near-linear on natural corpora; exact verification is
+    `array_intersect` over the persisted shingle arrays, as in the Jaccard
+    join.
+    """
+    from pyspark import StorageLevel
+
+    arrays = (
+        shingle_arrays(df, text_col, id_col, n)
+        .filter(F.size("shingles") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sh = arrays.select(
+        "doc", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc", "sz")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ranked"))
+    )
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    prefix = (
+        ranked.select("doc", "sz", F.explode(F.slice("ranked", 1, plen)).alias("p"))
+        .filter(F.col("p.df") >= 2)
+        .select(
+            F.col("doc").alias("doc_a"),
+            F.col("sz").alias("sz_a"),
+            F.col("p.shingle").alias("shingle"),
+        )
+    )
+    cands = (
+        prefix.join(sh.select(F.col("doc").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b", "sz_a")
+        .distinct()
+    )
+    sets_a = arrays.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sets_b = arrays.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("containment", F.col("inter") / F.col("sz_a"))
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
     )

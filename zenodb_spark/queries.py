@@ -2687,3 +2687,69 @@ def q65_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_tokens"),
         F.round(ttr, 9).alias("ttr"),
     )
+
+
+@query(
+    "q66_containment",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc <> b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, i / sa.sz AS containment
+    FROM inter JOIN sizes sa ON sa.doc = doc_a
+    WHERE i / sa.sz >= 0.8
+    """,
+)
+def q66_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-subset pairs: shingle-set containment >= 0.8 (contained side
+    doc_a) — catches quotes/boilerplate copies that Jaccard misses. Prefix
+    filter on the contained side only; the oracle brute-forces every pair,
+    proving the blocking lossless (operators/dedup.py:containment_pairs)."""
+    from zenodb_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, "text", "doc_id", n=3, threshold=0.8)
+
+
+@query(
+    "q67_dedup_keep_best",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {NORM.format(x='text')} AS norm,
+             string_split({NORM.format(x='text')}, ' ') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source, norm,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+      FROM t WHERE len(toks) > 0
+    ), r AS (
+      SELECT doc_id, source, ttr,
+             row_number() OVER (
+               PARTITION BY md5(norm) ORDER BY ttr DESC, doc_id
+             ) AS rn
+      FROM s
+    )
+    SELECT doc_id AS doc, source, round(ttr, 9) AS ttr
+    FROM r WHERE rn = 1
+    """,
+)
+def q67_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority dedup: among exact duplicates keep the HIGHEST-quality copy
+    (type-token ratio, id tie-break) instead of the lowest id — the curation
+    rule real pipelines use when duplicates differ in metadata. Same single
+    fingerprint-shuffle window as dedup_apply, just a different order."""
+    from zenodb_spark.operators.dedup import dedup_apply, normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text("text"), " ")
+    enriched = docs.withColumn(
+        "ttr", F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    ).filter(F.size(toks) > 0)
+    kept = dedup_apply(enriched, "text", "doc_id", priority=[F.desc("ttr")])
+    return kept.select(
+        F.col("doc_id").alias("doc"), "source", F.round("ttr", 9).alias("ttr")
+    )
