@@ -123,6 +123,27 @@ def main() -> None:
             _unpersist_new(sc, protected)
             print(f"# pass{p} {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # ingest throughput (reference instruments points/sec per table,
+    # insert.go:109-117, but publishes no figure): batch-insert the events
+    # table into a fresh engine DB, through the full ingest lowering
+    # (array fan-out, WHERE/IF gates, partial-state aggregation), then
+    # compact — rows/sec over the whole path. Extra metric; not part of
+    # the headline total so cross-round query comparability holds.
+    from zenodb_spark.engine import DB
+
+    ev = Q.load_table(spark, sf_dir, "events")
+    n_events = ev.count()  # outside the timed region
+    t0 = time.perf_counter()
+    idb = DB(spark)
+    idb.apply_schema(Q._ENGINE_SCHEMA)
+    idb.insert("events", ev)
+    for t in idb.tables.values():
+        t.compact()
+    ingest_sec = time.perf_counter() - t0
+    ingest_rps = round(n_events / ingest_sec, 1)
+    print(f"# ingest: {n_events} rows in {ingest_sec:.2f}s = {ingest_rps} rows/s",
+          file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -132,6 +153,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ingest_rows_per_sec": ingest_rps,
             }
         )
     )
