@@ -274,6 +274,19 @@ def test_containment_asymmetric(spark):
     assert [(r["doc_a"], r["doc_b"], r["containment"]) for r in rows] == [(1, 2, 1.0)]
 
 
+def test_set_op_trailing_order_limit_applies_to_combined(db):
+    # ANSI: the trailing ORDER BY/LIMIT orders the UNION's result, not the
+    # last operand. h3's total (6.0) is the global minimum; if the sort
+    # bound to the right operand only, h1 (30.0) could surface instead.
+    out = db.query(
+        "SELECT total FROM metrics WHERE host = 'h1' GROUP BY host, period('100s') "
+        "UNION ALL "
+        "SELECT total FROM metrics WHERE host <> 'h1' GROUP BY host, period('100s') "
+        "ORDER BY total LIMIT 1"
+    ).collect()
+    assert len(out) == 1 and out[0]["total"] == 6.0 and out[0]["host"] == "h3"
+
+
 def test_crosstab_operator_cardinality_guard(spark):
     df = spark.range(100).withColumn("k", F.col("id") % 50)
     with pytest.raises(ValueError, match="distinct"):

@@ -585,18 +585,20 @@ class DB:
             )
         right = right.toDF(*left.columns)
         if q.op == "union_all":
-            return left.unionAll(right)
-        if q.op == "union":
-            return left.unionAll(right).distinct()
-        if q.op == "intersect":
-            return left.intersect(right)
-        if q.op == "intersect_all":
-            return left.intersectAll(right)
-        if q.op == "except":
-            return left.subtract(right)
-        if q.op == "except_all":
-            return left.exceptAll(right)
-        raise ValueError(f"unknown set operation {q.op!r}")
+            out = left.unionAll(right)
+        elif q.op == "union":
+            out = left.unionAll(right).distinct()
+        elif q.op == "intersect":
+            out = left.intersect(right)
+        elif q.op == "intersect_all":
+            out = left.intersectAll(right)
+        elif q.op == "except":
+            out = left.subtract(right)
+        elif q.op == "except_all":
+            out = left.exceptAll(right)
+        else:
+            raise ValueError(f"unknown set operation {q.op!r}")
+        return self._order_limit(out, q)
 
     # -- query over a stored table ------------------------------------------
     def _plan_over_table(self, q: Query, table: Table) -> DataFrame:

@@ -228,3 +228,8 @@ class SetOp:
     left: "Query | SetOp"
     right: "Query | SetOp"
     force_fresh: bool = False
+    # trailing ORDER BY / LIMIT apply to the combined result (ANSI): the
+    # parser lifts them off the last operand onto the chain's root
+    order_by: list[tuple[str, bool]] = field(default_factory=list)
+    offset: int | None = None
+    limit: int | None = None

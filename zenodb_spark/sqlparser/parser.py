@@ -165,6 +165,16 @@ class Parser:
             if self.accept_kw("ALL"):
                 op += "_all"
             left = SetOp(op, left, self.parse_intersect_expr())
+        if isinstance(left, SetOp):
+            # ANSI: a trailing ORDER BY / LIMIT orders the COMBINED result,
+            # not the final operand (where a pre-union sort would be lost
+            # anyway) — lift it from the last operand onto the chain
+            last = left.right
+            while isinstance(last, SetOp):
+                last = last.right
+            left.order_by, last.order_by = last.order_by, []
+            left.offset, last.offset = last.offset, None
+            left.limit, last.limit = last.limit, None
         return left
 
     def parse_intersect_expr(self) -> "Query | SetOp":
