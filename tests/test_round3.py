@@ -287,6 +287,33 @@ def test_set_op_trailing_order_limit_applies_to_combined(db):
     assert len(out) == 1 and out[0]["total"] == 6.0 and out[0]["host"] == "h3"
 
 
+def test_media_to_ann_pipeline_end_to_end(spark):
+    """binary payload → embed_media (mapInPandas) → cosine_topk: the full
+    multimodal-to-ANN loop on one frame; a duplicated payload must be its
+    twin's nearest neighbor with cosine ≈ 1."""
+    from zenodb_spark.operators.multimodal import attach_media, embed_media
+    from zenodb_spark.operators.similarity import cosine_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),  # dup of 1
+            (3, "totally different words entirely unrelated content here now"),
+        ],
+        "doc_id long, text string",
+    )
+    emb = embed_media(attach_media(docs, "text", "doc_id")).select(
+        F.col("media_id").cast("long").alias("vec_id"), "embedding"
+    )
+    assert emb.filter(F.size("embedding") != 64).count() == 0
+    top = cosine_topk(emb, emb.filter(F.col("vec_id") == 1), "vec_id", "embedding", k=2)
+    rows = sorted(top.collect(), key=lambda r: r["rank"])
+    # self-matches are excluded: rank 1 must be the byte-identical twin at
+    # cosine ~1, with the unrelated doc 3 strictly below
+    assert [r["neighbor_id"] for r in rows] == [2, 3]
+    assert rows[0]["cosine"] > 0.999999 > rows[1]["cosine"]
+
+
 def test_crosstab_operator_cardinality_guard(spark):
     df = spark.range(100).withColumn("k", F.col("id") % 50)
     with pytest.raises(ValueError, match="distinct"):

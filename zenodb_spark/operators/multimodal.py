@@ -27,7 +27,9 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
+    FloatType,
     IntegerType,
     StringType,
     StructField,
@@ -201,3 +203,54 @@ def frame_sample(df: DataFrame, every_k: int = 10, frame_bytes: int = 4096) -> D
             )
 
     return df.select("media_id", "payload").mapInPandas(run, FRAME_SCHEMA)
+
+
+def embed_media(
+    df: DataFrame,
+    dim: int = 64,
+    encoder: Callable[[bytes], list] | None = None,
+) -> DataFrame:
+    """Media → embedding column, closing the loop into the ANN operators
+    (`ivf_assign` / `ann_*` consume the output directly).
+
+    The default encoder is a deterministic byte-histogram feature (256 bins
+    folded to ``dim``, L2-normalized) — no media libraries in this
+    container, but it is a real feature map: near-identical payloads land
+    near each other, and the Spark-side shape (Arrow batches in
+    ``mapInPandas``, numpy per batch, array<float> out) is exactly what a
+    CLIP/wav2vec encoder plugs into via ``encoder=``.
+
+    Scale notes: embedding happens where the bytes already are (no
+    shuffle); the output column is dim×4 bytes/row, so downstream ANN
+    stages read a frame thousands of times smaller than the media table.
+    """
+    out_schema = StructType(
+        [
+            StructField("media_id", StringType()),
+            StructField("kind", StringType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def default_encode(payload: bytes) -> list:
+            b = _np.frombuffer(payload or b"\x00", dtype=_np.uint8)
+            hist = _np.bincount(b, minlength=256).astype("float64")
+            h = hist.reshape(dim, 256 // dim).sum(axis=1)
+            n = _np.linalg.norm(h)
+            return (h / n if n else h).astype("float32").tolist()
+
+        encode = encoder or default_encode
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "embedding": [encode(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(run, out_schema)
