@@ -2753,3 +2753,117 @@ def q67_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select(
         F.col("doc_id").alias("doc"), "source", F.round("ttr", 9).alias("ttr")
     )
+
+
+_FUNNEL_W = 86400 * 1_000_000_000  # one day per step, in ns
+
+
+@query(
+    "q68_funnel",
+    f"""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(ts) * 1000 AS tn FROM events
+    ),
+    u AS (
+      SELECT user_id, min(CASE WHEN event_type = 'view' THEN tn END) AS tv
+      FROM e GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(e.tn) AS tc
+      FROM e JOIN u USING (user_id)
+      WHERE e.event_type = 'click' AND u.tv IS NOT NULL
+        AND e.tn > u.tv AND e.tn <= u.tv + {_FUNNEL_W}
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(e.tn) AS tp
+      FROM e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase'
+        AND e.tn > c.tc AND e.tn <= c.tc + {_FUNNEL_W}
+      GROUP BY 1
+    )
+    SELECT '1_view' AS stage,
+           CAST((SELECT count(*) FROM u WHERE tv IS NOT NULL) AS BIGINT) AS n_users
+    UNION ALL
+    SELECT '2_click', CAST((SELECT count(*) FROM c) AS BIGINT)
+    UNION ALL
+    SELECT '3_purchase', CAST((SELECT count(*) FROM p) AS BIGINT)
+    """,
+)
+def q68_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel over the events stream: first view → first
+    click within 1 day → first purchase within 1 day of that click.
+    Each stage is one conditional-min aggregation plus one user-keyed join —
+    all three shuffles share the user_id partitioning (exchange reuse), so
+    a 1000-executor funnel is three co-partitioned passes, no windows over
+    global sorts."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts_ns")
+    tv = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts_ns"))).alias("tv"))
+        .filter(F.col("tv").isNotNull())
+    )
+    tc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter(
+            (F.col("ts_ns") > F.col("tv"))
+            & (F.col("ts_ns") <= F.col("tv") + F.lit(_FUNNEL_W))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("tc"))
+    )
+    tp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter(
+            (F.col("ts_ns") > F.col("tc"))
+            & (F.col("ts_ns") <= F.col("tc") + F.lit(_FUNNEL_W))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts_ns").alias("tp"))
+    )
+
+    def stage(df, name):
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(name).alias("stage"), "n_users"
+        )
+
+    return stage(tv, "1_view").unionAll(stage(tc, "2_click")).unionAll(
+        stage(tp, "3_purchase")
+    )
+
+
+@query(
+    "q69_cohort_retention",
+    """
+    WITH a AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 604800) AS BIGINT) AS week
+      FROM events GROUP BY 1, 2
+    ),
+    c AS (SELECT user_id, min(week) AS cohort FROM a GROUP BY 1)
+    SELECT c.cohort, a.week - c.cohort AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a JOIN c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q69_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-active week, counted
+    in every later week they return — THE product-analytics rollup over an
+    events stream. Two user-keyed aggregations + one co-partitioned join;
+    (user, week) pairs dedup map-side before any shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.select(
+            "user_id",
+            F.floor(F.col("ts_ns") / F.lit(604800 * 1_000_000_000)).alias("week"),
+        )
+        .distinct()
+    )
+    c = a.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    return (
+        a.join(c, "user_id")
+        .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
