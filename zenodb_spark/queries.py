@@ -2867,3 +2867,147 @@ def q69_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort", (F.col("week") - F.col("cohort")).alias("week_offset"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
     )
+
+
+@query(
+    "q70_anomaly_zscore",
+    f"""
+    WITH b AS (
+      SELECT event_type, {BUCKET.format(p=3600)} AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, bucket, n,
+             CAST(count(n) OVER tw AS BIGINT) AS m,
+             CAST(sum(n) OVER tw AS BIGINT) AS s,
+             CAST(sum(n * n) OVER tw AS BIGINT) AS s2
+      FROM b
+      WINDOW tw AS (PARTITION BY event_type ORDER BY bucket
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket, n,
+           round((n - CAST(s AS DOUBLE) / m)
+                 / sqrt(CAST(m * s2 - s * s AS DOUBLE) / (m * m)), 9) AS z
+    FROM w
+    WHERE m >= 12 AND (m * s2 - s * s) > 0
+      AND abs((n - CAST(s AS DOUBLE) / m)
+              / sqrt(CAST(m * s2 - s * s AS DOUBLE) / (m * m))) > 2.0
+    """,
+)
+def q70_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on hourly event counts: each bucket
+    scored against its trailing 24 observed buckets (warm-up ≥ 12, zero
+    variance excluded). Mean/variance come from exact integer window sums
+    (s, s²), so z is a fixed IEEE sequence — engine-exact with no
+    quantization. One aggregation + one co-partitioned window per key; at
+    100 TB the window never re-shuffles (same (event_type, bucket)
+    partitioning as the aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.col("ts_ns") / F.lit(3600 * 1_000_000_000)) * 3600)
+            .cast("long")
+            .alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tw = (
+        Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-24, -1)
+    )
+    w = (
+        b.withColumn("m", F.count("n").over(tw).cast("long"))
+        .withColumn("s", F.sum("n").over(tw).cast("long"))
+        .withColumn("s2", F.sum(F.col("n") * F.col("n")).over(tw).cast("long"))
+    )
+    z = (F.col("n") - F.col("s").cast("double") / F.col("m")) / F.sqrt(
+        (F.col("m") * F.col("s2") - F.col("s") * F.col("s")).cast("double")
+        / (F.col("m") * F.col("m"))
+    )
+    return (
+        w.filter(
+            (F.col("m") >= 12)
+            & ((F.col("m") * F.col("s2") - F.col("s") * F.col("s")) > 0)
+            & (F.abs(z) > 2.0)
+        )
+        .select("event_type", "bucket", "n", F.round(z, 9).alias("z"))
+    )
+
+
+@query(
+    "q71_tfidf_keywords",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest(string_split({NORM.format(x='text')}, ' ')) AS tok
+      FROM documents
+    ), tf AS (
+      SELECT doc, tok, count(*) AS tf FROM toks WHERE len(tok) > 0 GROUP BY 1, 2
+    ), stats AS (
+      SELECT count(DISTINCT doc) AS n_docs FROM tf
+    ), dft AS (
+      SELECT tok, count(*) AS df FROM tf GROUP BY 1
+    ), idf AS (
+      SELECT tok,
+             CAST(floor(ln((n_docs + 1.0) / (df + 1.0)) * 1000000 + 0.5) AS BIGINT)
+               AS idf_micro
+      FROM dft, stats
+    ), scored AS (
+      SELECT doc, tok, tf * idf_micro AS w_micro FROM tf JOIN idf USING (tok)
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc ORDER BY w_micro DESC, tok) AS rank
+      FROM scored
+    )
+    SELECT doc, tok AS term,
+           round(CAST(w_micro AS DOUBLE) / 1000000, 9) AS tfidf,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q71_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (smoothed idf = ln((N+1)/(df+1)),
+    quantized to micro-nats; ranking on exact integer tf·idf so order is
+    engine-identical). The corpus-tagging primitive: two hash aggregates,
+    one token-keyed join, one per-doc top-k window with map-side
+    WindowGroupLimit pruning."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        F.explode(F.split(normalize_text("text"), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.agg(F.count_distinct("doc").alias("n_docs"))
+    idf = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "tok",
+            F.floor(
+                F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("idf_micro"),
+        )
+    )
+    scored = tf.join(idf, "tok").select(
+        "doc", "tok", (F.col("tf") * F.col("idf_micro")).alias("w_micro")
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("w_micro"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "doc",
+            F.col("tok").alias("term"),
+            F.round(F.col("w_micro").cast("double") / F.lit(1_000_000.0), 9).alias(
+                "tfidf"
+            ),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
