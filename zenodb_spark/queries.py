@@ -3011,3 +3011,194 @@ def q71_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@query(
+    "q73_source_overlap",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split({NORM.format(x='text')}, ' ') AS toks
+      FROM documents
+    ), c AS (
+      SELECT DISTINCT source,
+             md5(array_to_string(toks[start+1:start+{_PARA}], ' ')) AS h
+      FROM t, unnest(range(0, len(toks), {_PARA})) AS u(start)
+      WHERE len(toks) > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM c a JOIN c b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def q73_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: count of {_PARA}-token paragraphs
+    shared between each source pair — the data-governance rollup that tells
+    you which feeds copy from which. One paragraph-hash aggregation, pair
+    generation from the per-hash source SET (bounded by source count, never
+    by corpus size), no self-join of the corpus."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text("text"), " ")
+    d = docs.select("source", toks.alias("toks")).filter(F.size("toks") > 0)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(_PARA)
+    )
+    chunks = d.select(
+        "source",
+        F.explode(starts).alias("start"),
+        F.col("toks"),
+    ).select(
+        "source",
+        F.md5(F.array_join(F.slice(F.col("toks"), F.col("start") + 1, _PARA), " ")).alias("h"),
+    )
+    per_hash = chunks.groupBy("h").agg(
+        F.array_sort(F.collect_set("source")).alias("sources")
+    )
+    return (
+        per_hash.filter(F.size("sources") >= 2)
+        .select(F.posexplode("sources").alias("i", "source_a"), F.col("sources"))
+        .select("i", "source_a", F.explode("sources").alias("source_b"), F.col("sources"))
+        .filter(F.array_position("sources", F.col("source_b")) - 1 > F.col("i"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+
+
+@query(
+    "q72_bigram_logprob",
+    f"""
+    WITH t AS (
+      SELECT doc_id, string_split({NORM.format(x='text')}, ' ') AS toks
+      FROM documents
+    ), uni AS (
+      SELECT tok, count(*) AS c1 FROM (
+        SELECT unnest(toks) AS tok FROM t
+      ) WHERE len(tok) > 0 GROUP BY 1
+    ), tot AS (SELECT sum(c1) AS tt FROM uni),
+    dbg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, count(*) AS occ
+      FROM t, unnest(range(1, len(toks))) AS u(i)
+      WHERE len(toks) >= 2 AND len(toks[i]) > 0 AND len(toks[i+1]) > 0
+      GROUP BY 1, 2, 3
+    ), big AS (
+      SELECT w1, w2, sum(occ) AS c2 FROM dbg GROUP BY 1, 2
+    ), lp2 AS (
+      SELECT b.w1, b.w2,
+             CAST(floor(ln(CAST(b.c2 AS DOUBLE) / u.c1) * 1000000 + 0.5) AS BIGINT)
+               AS lp_micro
+      FROM big b JOIN uni u ON u.tok = b.w1
+    )
+    SELECT doc_id AS doc, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+           round(CAST(sum(occ * lp_micro) AS DOUBLE) / CAST(sum(occ) AS DOUBLE)
+                 / 1000000, 9) AS avg_logprob
+    FROM dbg JOIN lp2 USING (w1, w2)
+    GROUP BY doc_id
+    """,
+)
+def q72_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean bigram log-prob per document under the corpus's own bigram LM
+    (P(w2|w1) = c(w1 w2)/c(w1)) — the sharper perplexity-style filter above
+    q62's unigram. Same exactness scheme: micro-nat quantization per
+    DISTINCT bigram before any summation. Every bigram in the corpus is
+    seen by construction (the model IS the corpus), so no backoff term
+    enters the sum."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.col("doc_id").alias("doc"), F.split(normalize_text("text"), " ").alias("toks")
+    )
+    uni = (
+        t.select(F.explode("toks").alias("tok"))
+        .filter(F.length("tok") > 0)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    n = F.size("toks")
+    pairs = t.filter(n >= 2).select(
+        "doc",
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, n - 1),
+                F.slice("toks", 2, n - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p"),
+    ).select("doc", "p.w1", "p.w2").filter(
+        (F.length("w1") > 0) & (F.length("w2") > 0)
+    )
+    dbg = pairs.groupBy("doc", "w1", "w2").agg(F.count(F.lit(1)).alias("occ"))
+    big = dbg.groupBy("w1", "w2").agg(F.sum("occ").alias("c2"))
+    lp2 = big.join(uni.withColumnRenamed("tok", "w1"), "w1").select(
+        "w1",
+        "w2",
+        F.floor(
+            F.log(F.col("c2").cast("double") / F.col("c1")) * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return (
+        dbg.join(lp2, ["w1", "w2"])
+        .groupBy("doc")
+        .agg(
+            F.sum("occ").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("occ") * F.col("lp_micro")).cast("double")
+                / F.sum("occ").cast("double")
+                / F.lit(1_000_000.0),
+                9,
+            ).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "q74_bpe_pairs",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({NORM.format(x='text')}, ' ')) AS tok
+      FROM documents
+    ), pairs AS (
+      SELECT substr(tok, i, 2) AS pair
+      FROM toks, unnest(range(1, len(tok))) AS u(i)
+      WHERE len(tok) >= 2
+    ), counted AS (
+      SELECT pair, count(*) AS n FROM pairs GROUP BY 1
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY n DESC, pair) AS rank FROM counted
+    )
+    SELECT pair, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 50
+    """,
+)
+def q74_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent character pairs over all token occurrences — the
+    first merge-candidate table of BPE tokenizer training, distributed:
+    one explode chain (tokens → in-token positions) and one hash aggregate;
+    the final global top-50 is a TakeOrdered over the (tiny) pair
+    vocabulary, not over corpus rows."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("tok") - 1),
+                lambda i: F.col("tok").substr(i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .select("pair", F.col("n").cast("long").alias("n"), F.col("rank").cast("long").alias("rank"))
+    )
