@@ -422,16 +422,42 @@ def dedup_apply(
 ) -> DataFrame:
     """Materialize the deduplicated corpus: keep ONE row per
     normalized-content fingerprint — the lowest id by default, or the first
-    row under ``priority`` (a list of ordering Columns, e.g. quality
-    descending; the id is always appended as the deterministic tie-break).
-    One window over the fingerprint shuffle — the apply step downstream of
-    `exact_dedup`'s report."""
-    order = list(priority or []) + [F.col(id_col)]
-    w = Window.partitionBy(F.md5(normalize_text(text_col))).orderBy(*order)
+    row under ``priority`` (a list of ordering Columns, e.g.
+    ``F.desc("quality")``; the id is always appended as the deterministic
+    tie-break). The apply step downstream of `exact_dedup`'s report.
+
+    Skew-immune formulation: the winner per fingerprint is `min_by` over a
+    lexicographic sort-key struct — an algebraic aggregate that map-side
+    combines, so a document duplicated a million times (the reason dedup
+    runs at all) still reduces locally per partition, where a row_number
+    window would pile every copy onto one task. The winner ids then join
+    back (AQE splits any skewed join partition). Descending keys are
+    realized by numeric negation, so priority columns must be numeric —
+    which quality scores are."""
+    keys = []
+    for i, c in enumerate(priority or []):
+        expr = c._jc.toString() if hasattr(c, "_jc") else str(c)
+        name = expr.split(" ")[0].strip("`")
+        if " DESC" in expr:
+            keys.append((-F.col(name)).alias(f"__k{i}"))
+        else:
+            keys.append(F.col(name).alias(f"__k{i}"))
+    fp = F.md5(normalize_text(text_col))
+    tagged = df.withColumn("__fp", fp)
+    winners = (
+        tagged.groupBy("__fp")
+        .agg(
+            F.min_by(
+                F.col(id_col), F.struct(*keys, F.col(id_col).alias("__id"))
+            ).alias("__wid")
+        )
+    )
     return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        tagged.join(
+            winners,
+            (tagged["__fp"] == winners["__fp"]) & (tagged[id_col] == winners["__wid"]),
+        )
+        .drop("__fp", "__wid")
     )
 
 

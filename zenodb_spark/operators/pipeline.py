@@ -88,13 +88,15 @@ def paragraph_dedup(
     Returns (doc, kept_chunks, dropped_chunks, clean_hash) where clean_hash
     fingerprints the reassembled text ('' when everything was dropped).
 
-    Scale shape: one explode (linear in tokens), one shuffle keyed on the
-    paragraph hash (the keep-first window; dup groups are tiny), one shuffle
-    back on doc for reassembly. No self-join, no driver collect — the same
-    plan at 100 TB, with the paragraph-hash shuffle as the only wide edge.
+    Scale shape — deliberately skew-immune: the keep-first rule is a
+    min-aggregate over the paragraph hash (map-side combined, so a
+    paragraph duplicated a million times still reduces locally per
+    partition) joined back to the rows (AQE splits the join's skewed
+    partitions), then one shuffle on doc for reassembly. A row_number
+    window over the hash would put every copy of a hot paragraph on ONE
+    task with no partial aggregation — exactly what mass duplication (the
+    reason you run dedup) produces. No self-join, no driver collect.
     """
-    from pyspark.sql import Window
-
     toks = F.split(normalize_text(text_col), " ")
     d = (
         spread(df)
@@ -111,10 +113,16 @@ def paragraph_dedup(
         F.array_join(F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens), " ").alias(
             "chunk"
         ),
+        F.md5(
+            F.array_join(F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens), " ")
+        ).alias("h"),
     )
-    w = Window.partitionBy(F.md5("chunk")).orderBy("doc", "cidx")
-    d = d.withColumn("rn", F.row_number().over(w))
-    kept = F.when(F.col("rn") == 1, F.struct("cidx", "chunk"))
+    firsts = d.groupBy("h").agg(F.min(F.struct("doc", "cidx")).alias("first"))
+    d = d.join(firsts, "h")
+    is_first = (F.col("doc") == F.col("first.doc")) & (
+        F.col("cidx") == F.col("first.cidx")
+    )
+    kept = F.when(is_first, F.struct("cidx", "chunk"))
     return d.groupBy("doc").agg(
         F.count(kept).cast("long").alias("kept_chunks"),
         (F.count(F.lit(1)) - F.count(kept)).cast("long").alias("dropped_chunks"),
