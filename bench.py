@@ -58,6 +58,12 @@ HEADLINE = [
     "q62_unigram_logprob",
     "q63_kmeans_step",
     "q64_bm25_topk",
+    "q66_containment",
+    "q68_funnel",
+    "q70_anomaly_zscore",
+    "q71_tfidf_keywords",
+    "q72_bigram_logprob",
+    "q73_source_overlap",
     "z01_engine_rollup_sketch",
     "z02_engine_shift",
     "z06_engine_crosstab",

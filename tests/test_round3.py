@@ -220,9 +220,12 @@ def test_round3_plan_shapes(spark):
     plan61 = Q.QUERIES["q61_decontaminate_bloom"](spark, sf)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan61
     assert "BroadcastHashJoin" in plan61
-    # q60: no join at all — dedup is window + aggregate
+    # q60: skew-immune keep-first — min-aggregate + winner join, and NO
+    # row_number window (a hot paragraph hash must reduce map-side, not
+    # pile onto one window task)
     plan60 = Q.QUERIES["q60_paragraph_dedup"](spark, sf)._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan60
+    assert "Window" not in plan60 and "CartesianProduct" not in plan60
+    assert "Join" in plan60
 
 
 def test_db_explain_formats_physical_plan(db):

@@ -3202,3 +3202,81 @@ def q74_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 50)
         .select("pair", F.col("n").cast("long").alias("n"), F.col("rank").cast("long").alias("rank"))
     )
+
+
+@query(
+    "q75_length_quantiles",
+    f"""
+    WITH s AS (
+      SELECT source, len(string_split({NORM.format(x='text')}, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(quantile_cont(n_tokens, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(n_tokens, 0.95) AS DOUBLE) AS p95,
+           CAST(max(n_tokens) AS BIGINT) AS max_tokens
+    FROM s GROUP BY 1
+    """,
+)
+def q75_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length distribution (exact interpolated P50/P95
+    + max) — the length-histogram panel of a dataset card. One hash
+    aggregate; F.percentile is quantile_cont-exact so values hash-match."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.select(
+        "source", F.size(F.split(normalize_text("text"), " ")).alias("n_tokens")
+    )
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.percentile("n_tokens", F.lit(0.5)).alias("p50"),
+        F.percentile("n_tokens", F.lit(0.95)).alias("p95"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
+    )
+
+
+@query(
+    "q76_dataset_card",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, lang,
+             string_split({NORM.format(x='text')}, ' ') AS toks,
+             md5({NORM.format(x='text')}) AS fp
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc,
+           CAST(max(doc_id) AS BIGINT) AS max_doc
+    FROM t GROUP BY 1
+    """,
+)
+def q76_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-stop dataset-card rollup per source: doc/token volumes, exact
+    dedup rate (distinct fingerprints), language spread, id range — the
+    summary table a corpus release ships with. Single pass, one hash
+    aggregate with two count-distinct expansions."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text("text")
+    t = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(F.split(norm, " ")).alias("n_toks"),
+        F.md5(norm).alias("fp"),
+    )
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("n_tokens"),
+        F.count_distinct("fp").cast("long").alias("n_unique_docs"),
+        F.count_distinct("lang").cast("long").alias("n_langs"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )
