@@ -338,6 +338,54 @@ def test_pipeline_cli_chain(spark, tmp_path):
         assert col in cleaned.columns
 
 
+def test_paragraph_dedup_invariants_property(spark):
+    """Property check against a brute-force python model: kept+dropped
+    equals total chunks, and the set of kept (doc, chunk) pairs is exactly
+    first-occurrence-wins over (doc, cidx) order."""
+    import hashlib
+    import random
+
+    from zenodb_spark.operators.pipeline import paragraph_dedup
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(6)]
+    CH = 3
+    for trial in range(4):
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 14))))
+            for i in range(1, 8)
+        ]
+        # python model
+        seen, model = set(), {}
+        for did, text in docs:
+            toks = text.split()
+            kept = dropped = 0
+            kept_chunks = []
+            for s in range(0, len(toks), CH):
+                chunk = " ".join(toks[s : s + CH])
+                if chunk in seen:
+                    dropped += 1
+                else:
+                    seen.add(chunk)
+                    kept += 1
+                    kept_chunks.append(chunk)
+            model[did] = (
+                kept,
+                dropped,
+                hashlib.md5(" ".join(kept_chunks).encode()).hexdigest(),
+            )
+        out = {
+            r["doc"]: (r["kept_chunks"], r["dropped_chunks"], r["clean_hash"])
+            for r in paragraph_dedup(
+                spark.createDataFrame(docs, "doc_id long, text string"),
+                "text",
+                "doc_id",
+                CH,
+            ).collect()
+        }
+        assert out == model, f"trial {trial}"
+
+
 def test_crosstab_operator_cardinality_guard(spark):
     df = spark.range(100).withColumn("k", F.col("id") % 50)
     with pytest.raises(ValueError, match="distinct"):

@@ -16,7 +16,20 @@ order-insensitive value-hash comparison is exact, not approximate):
 - percentiles are either exact interpolated (percentile ≡ quantile_cont,
   verified bit-equal) or integer histogram-sketch reads;
 - string/hash ops use md5 + regex constructs verified to agree between
-  Spark (Java regex) and DuckDB (RE2) for the patterns used.
+  Spark (Java regex) and DuckDB (RE2) for the patterns used;
+- any ln()/log() output is quantized to integer micro-nats per DISTINCT
+  key (token, bigram, idf term, sketch bin) BEFORE entering a sum, so
+  aggregate scores are exact integer sums with one trailing IEEE division
+  (q62/q64/q71/q72); sqrt/division chains on exact-integer inputs are
+  fixed IEEE sequences and need no quantization (q70);
+- rankings/top-k always order on exact integers (cents, micro-units) with
+  an id tie-break, never on recomputed floats;
+- deterministic sampling uses md5-uniform (conv of the hex prefix), never
+  rand() (q37/q58/q65).
+
+DuckDB porting notes: no WITH ORDINALITY — use `unnest(range(0, len(v)))
+AS u(i)` plus 1-based `v[i+1]`; list slices `v[a:b]` are 1-based inclusive
+(matching F.slice(v, a, b-a+1)).
 """
 
 from __future__ import annotations
@@ -3279,4 +3292,52 @@ def q76_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("lang").cast("long").alias("n_langs"),
         F.min("doc_id").cast("long").alias("min_doc"),
         F.max("doc_id").cast("long").alias("max_doc"),
+    )
+
+
+@query(
+    "q77_top_returners",
+    f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS cust_name, n.n_name AS nation,
+           sum({C.format(x='l.l_extendedprice * (1 - l.l_discount)')})/100.0
+             AS lost_revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_revenue DESC, custkey
+    LIMIT 20
+    """,
+)
+def q77_top_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned revenue. The returned
+    filter prunes the fact scan; orders⋈lineitem shuffles on orderkey and
+    customer joins WITHOUT a forced broadcast (customer grows with scale
+    factor — AQE broadcasts while it fits, shuffle-joins beyond; only the
+    25-row nation is hinted); final top-20 is TakeOrderedAndProject on the
+    integer-cents revenue (exact, so the global order is
+    engine-identical)."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev_cents = F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("cust_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .agg(
+            (rev_cents / F.lit(100.0)).alias("lost_revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+        .orderBy(F.desc("lost_revenue"), F.asc("custkey"))
+        .limit(20)
     )
