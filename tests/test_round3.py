@@ -386,6 +386,18 @@ def test_paragraph_dedup_invariants_property(spark):
         assert out == model, f"trial {trial}"
 
 
+def test_dedup_apply_null_text_not_dropped(spark):
+    from zenodb_spark.operators.dedup import dedup_apply
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "real content")], "doc_id long, text string"
+    )
+    kept = {r["doc_id"] for r in dedup_apply(docs, "text", "doc_id").collect()}
+    # null and '' share the empty fingerprint (lowest id wins); nothing is
+    # silently dropped
+    assert kept == {1, 3}
+
+
 def test_crosstab_operator_cardinality_guard(spark):
     df = spark.range(100).withColumn("k", F.col("id") % 50)
     with pytest.raises(ValueError, match="distinct"):

@@ -442,7 +442,9 @@ def dedup_apply(
             keys.append((-F.col(name)).alias(f"__k{i}"))
         else:
             keys.append(F.col(name).alias(f"__k{i}"))
-    fp = F.md5(normalize_text(text_col))
+    # null text coalesces to '' BEFORE hashing: a null fingerprint would
+    # never satisfy the winner equi-join and the row would silently vanish
+    fp = F.md5(F.coalesce(normalize_text(text_col), F.lit("")))
     tagged = df.withColumn("__fp", fp)
     winners = (
         tagged.groupBy("__fp")
