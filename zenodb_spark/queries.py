@@ -3341,3 +3341,34 @@ def q77_top_returners(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lost_revenue"), F.asc("custkey"))
         .limit(20)
     )
+
+
+@query(
+    "z16_engine_set_order",
+    f"""
+    WITH d AS (
+      SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+             CAST(count(value) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, bucket, cnt FROM (
+      SELECT * FROM d WHERE event_type = 'error'
+      UNION ALL
+      SELECT * FROM d WHERE event_type = 'click'
+    ) ORDER BY cnt DESC, event_type, bucket LIMIT 10
+    """,
+)
+def z16_engine_set_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: trailing ORDER BY/LIMIT on a UNION ALL chain orders the
+    COMBINED result (ANSI lift, parser moves it from the last operand to
+    the chain root) — oracle-locked so the semantics can't regress."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT cnt FROM ev_daily WHERE event_type = 'error' "
+        "GROUP BY event_type, period('1d') "
+        "UNION ALL "
+        "SELECT cnt FROM ev_daily WHERE event_type = 'click' "
+        "GROUP BY event_type, period('1d') "
+        "ORDER BY cnt DESC, event_type, _time LIMIT 10"
+    )
+    return _as_bucket(out)
