@@ -398,6 +398,28 @@ def test_dedup_apply_null_text_not_dropped(spark):
     assert kept == {1, 3}
 
 
+def test_query_many_coalesced_scan(db, spark):
+    """query_many shares one persisted state scan across concurrent
+    queries; results match running the same queries one by one."""
+    sqls = [
+        "SELECT total FROM metrics GROUP BY host, period('100s')",
+        "SELECT total FROM metrics WHERE host = 'h1' GROUP BY host, period('100s')",
+        "SELECT total FROM metrics GROUP BY _, period('100s')",
+    ]
+    singles = [sorted(map(tuple, db.query(s).collect())) for s in sqls]
+    many = db.query_many(sqls)
+    # the shared scan is persisted while plans are alive
+    assert len(db._coalesced_scans) == 1
+    plan = many[0]._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    got = [sorted(map(tuple, df.collect())) for df in many]
+    assert got == singles
+    db.release_scan_cache()
+    assert db._coalesced_scans == []
+    # subsequent single queries are unaffected by the cleared cache
+    assert sorted(map(tuple, db.query(sqls[0]).collect())) == singles[0]
+
+
 def test_crosstab_operator_cardinality_guard(spark):
     df = spark.range(100).withColumn("k", F.col("id") % 50)
     with pytest.raises(ValueError, match="distinct"):

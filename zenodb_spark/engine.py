@@ -273,6 +273,20 @@ class Table:
         cutoff: int | None = None
         if self.tdef.retention is not None:
             cutoff = int((self.db.now() - self.tdef.retention) // self.resolution * self.resolution)
+        cached = self.db._scan_cache.get(self.tdef.name)
+        if cached is not None:
+            # coalesced-scan path (DB.query_many): every concurrent query
+            # reads the one persisted merged state; time filters apply to
+            # the bucket column on top of the shared cache (directory
+            # pruning is traded for scanning once instead of N times —
+            # the reference's iteration-coalescing trade, table.go:398)
+            out = cached
+            for lo in (cutoff, asof):
+                if lo is not None:
+                    out = out.filter(F.col(BUCKET_COL) >= F.lit(lo))
+            if until is not None:
+                out = out.filter(F.col(BUCKET_COL) < F.lit(until))
+            return out
         parts = []
         for p in self._parts:
             if DAY_COL in p.columns:
@@ -392,6 +406,9 @@ class DB:
         # crosstab pivots buffer the distinct column values on the driver
         # (same as Spark's own pivot()); fail loudly past this cap.
         self.crosstab_max_values = crosstab_max_values
+        # DB.query_many coalesced-scan state (reference table.go:398-521)
+        self._scan_cache: dict[str, DataFrame] = {}
+        self._coalesced_scans: list[DataFrame] = []
 
     def now(self) -> float:
         if self._now is not None:
@@ -538,6 +555,49 @@ class DB:
         self.insert(stream, self.spark.createDataFrame(rows))
 
     # -- query --------------------------------------------------------------
+    def query_many(self, sqls: list[str]) -> list[DataFrame]:
+        """Coalesced execution of concurrent queries (reference
+        table.go:398–521: iterations arriving within a window share one
+        filestore scan). Spark analog: persist each touched table's merged
+        state ONCE (MEMORY_AND_DISK), plan every query against the shared
+        cache, and unpersist when all results have been consumed (here:
+        after materialization — callers that stream should call
+        ``DB.release_scan_cache()`` instead). The scan + state-merge cost is
+        paid once per table instead of once per query."""
+        from pyspark import StorageLevel
+
+        parsed = [parse(s) for s in sqls]
+
+        def tables_of(q) -> set[str]:
+            if isinstance(q, SetOp):
+                return tables_of(q.left) | tables_of(q.right)
+            if q.from_subquery is not None:
+                return tables_of(q.from_subquery)
+            return {q.from_table} if q.from_table in self.tables else set()
+
+        touched = set().union(*[tables_of(q) for q in parsed]) if parsed else set()
+        for name in sorted(touched):
+            t = self.tables[name]
+            if t.registry is not None and t._parts:
+                merged = t.state_df().persist(StorageLevel.MEMORY_AND_DISK)
+                self._scan_cache[name] = merged
+                self._coalesced_scans.append(merged)
+        try:
+            return [self.plan(q) for q in parsed]
+        finally:
+            # the returned plans hold the persisted frames by reference;
+            # clearing the registry keeps LATER single queries from pinning
+            # a stale cache. The frames stay persisted until
+            # release_scan_cache().
+            self._scan_cache.clear()
+
+    def release_scan_cache(self) -> None:
+        """Unpersist the shared scans created by ``query_many`` (call after
+        consuming the results)."""
+        for df in self._coalesced_scans:
+            df.unpersist(False)
+        self._coalesced_scans.clear()
+
     def explain(self, sql: str, mode: str = "formatted") -> str:
         """Formatted physical plan of a dialect query — the reference logs
         its operator tree via FormatSource (core/format.go:8-29,
