@@ -675,8 +675,17 @@ class DB:
         until = int(resolve_time(q.until, now) // res_out * res_out) if q.until else None
         state = table.state_df(asof, until)
 
-        # WHERE over stored dims (IN-subqueries pre-executed, reference planner/subquery.go)
-        state = self._apply_where(state, q.where)
+        # WHERE over stored dims (IN-subqueries pre-executed, reference
+        # planner/subquery.go). A name that is not a stored dim — a measure
+        # or a typo — resolves to NULL, the reference's "unknown dim = nil,
+        # comparisons not-true" rule (goexpr; expr/field.go:44-47), so the
+        # filter cleanly matches nothing instead of raising mid-plan.
+        dim_cols = set(state.columns)
+        state = self._apply_where(
+            state,
+            q.where,
+            lambda n: F.col(n) if n in dim_cols else F.lit(None),
+        )
 
         # STRIDE: keep only the first strideSlice of each stride, where
         # strideSlice = the QUERY resolution (period if given, else table
@@ -1001,6 +1010,14 @@ class DB:
         if q.order_by:
             cols = []
             for name, desc in q.order_by:
+                # reference semantics: ORDER BY references OUTPUT names
+                # (core/sort.go orders the flat rows); reject unknown names
+                # cleanly instead of surfacing an AnalysisException
+                if name != "_time" and name not in df.columns:
+                    raise ValueError(
+                        f"ORDER BY {name!r} is not an output column; "
+                        f"available: {sorted(df.columns)}"
+                    )
                 c = F.col(TIME_COL) if name == "_time" else F.col(name)
                 cols.append(c.desc() if desc else c.asc())
             df = df.orderBy(*cols)

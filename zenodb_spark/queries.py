@@ -3372,3 +3372,36 @@ def z16_engine_set_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY cnt DESC, event_type, _time LIMIT 10"
     )
     return _as_bucket(out)
+
+
+@query(
+    "q78_balanced_sample",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id AS doc, source, CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 5
+    """,
+)
+def q78_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced eval-set construction: exactly 5 docs per source, chosen by
+    md5-of-id order — deterministic across engines/runs AND stable under
+    corpus growth for the already-sampled ids (a doc's hash never changes).
+    Per-source window with map-side WindowGroupLimit pruning."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("doc_id").alias("doc"), "source", F.col("rn").cast("long").alias("rn")
+        )
+    )
