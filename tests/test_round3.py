@@ -443,25 +443,36 @@ def test_parser_fuzz_random_queries(db):
     an AttributeError/KeyError/py4j crash from the parser or planner."""
     from hypothesis import given, settings, strategies as st
 
-    fields = st.sampled_from(["total", "total AS t", "total / 2 AS h", "_points"])
+    fields = st.sampled_from(
+        ["total", "total AS t", "total / 2 AS h", "_points",
+         "SHIFT(total, '100s') AS prev", "IF(host = 'h1', total) AS t1",
+         "LN(total) AS l", "nosuch AS n"]
+    )
     wheres = st.sampled_from(
         ["", "WHERE host = 'h1'", "WHERE host <> 'h1' AND total > 0",
-         "WHERE host LIKE 'h%'", "WHERE host IN ('h1', 'h2')"]
+         "WHERE host LIKE 'h%'", "WHERE host IN ('h1', 'h2')",
+         "WHERE host IS NULL", "WHERE NOT host = 'zz'"]
     )
+    asofs = st.sampled_from(["", "ASOF '-10m'", "ASOF '-10m' UNTIL '-1s'"])
     groups = st.sampled_from(
         ["GROUP BY host, period('100s')", "GROUP BY _, period('100s')",
          "GROUP BY *, period('100s')",
-         "GROUP BY CONCAT('-', host, host) AS hh, period('100s')"]
+         "GROUP BY CONCAT('-', host, host) AS hh, period('100s')",
+         "GROUP BY host, period('100s'), CROSSTAB(host)",
+         "GROUP BY host, period('100s'), stride('100s')"]
     )
     havings = st.sampled_from(["", "HAVING total > 0", "HAVING total >= 1"])
     orders = st.sampled_from(["", "ORDER BY total DESC", "ORDER BY _time"])
     limits = st.sampled_from(["", "LIMIT 3", "LIMIT 1, 2"])
     setops = st.sampled_from(["", "UNION", "UNION ALL", "EXCEPT", "INTERSECT"])
 
-    @settings(max_examples=30, deadline=None)
-    @given(f=fields, w=wheres, g=groups, h=havings, o=orders, li=limits, s=setops)
-    def run(f, w, g, h, o, li, s):
-        base = f"SELECT {f} FROM metrics {w} {g} {h}"
+    @settings(max_examples=60, deadline=None)
+    @given(
+        f=fields, w=wheres, a=asofs, g=groups, h=havings, o=orders,
+        li=limits, s=setops,
+    )
+    def run(f, w, a, g, h, o, li, s):
+        base = f"SELECT {f} FROM metrics {a} {w} {g} {h}"
         sql = f"{base} {s} {base} {o} {li}" if s else f"{base} {o} {li}"
         try:
             db.query(sql).collect()

@@ -649,6 +649,12 @@ def merge_states(
         else:
             raise AssertionError(spec)
     group_cols = [c.alias(n) for n, c in out_dims] + [F.col("__qbucket").alias(BUCKET_COL)]
+    if not aggs:
+        # every selected expression was constant/absent (e.g. `SELECT
+        # nosuch FROM t`): Spark's agg() rejects an empty list, but the
+        # group keys must still materialize — reference semantics return
+        # one row per group with the absent field NULL
+        aggs = [F.count(F.lit(1)).alias("__grp_rows")]
     return keyed.groupBy(*group_cols).agg(*aggs)
 
 
