@@ -466,14 +466,23 @@ def test_parser_fuzz_random_queries(db):
     limits = st.sampled_from(["", "LIMIT 3", "LIMIT 1, 2"])
     setops = st.sampled_from(["", "UNION", "UNION ALL", "EXCEPT", "INTERSECT"])
 
+    shapes = st.sampled_from(["plain", "set", "subquery", "star"])
+
     @settings(max_examples=60, deadline=None)
     @given(
         f=fields, w=wheres, a=asofs, g=groups, h=havings, o=orders,
-        li=limits, s=setops,
+        li=limits, s=setops, shape=shapes,
     )
-    def run(f, w, a, g, h, o, li, s):
+    def run(f, w, a, g, h, o, li, s, shape):
         base = f"SELECT {f} FROM metrics {a} {w} {g} {h}"
-        sql = f"{base} {s} {base} {o} {li}" if s else f"{base} {o} {li}"
+        if shape == "set" and s:
+            sql = f"{base} {s} {base} {o} {li}"
+        elif shape == "subquery":
+            sql = f"SELECT {f} FROM ({base}) GROUP BY _, period('100s') {o} {li}"
+        elif shape == "star":
+            sql = f"SELECT * FROM metrics {a} {w} {g} {o} {li}"
+        else:
+            sql = f"{base} {o} {li}"
         try:
             db.query(sql).collect()
         except (SyntaxError, ValueError):
