@@ -3405,3 +3405,43 @@ def q78_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_id").alias("doc"), "source", F.col("rn").cast("long").alias("rn")
         )
     )
+
+
+@query(
+    "q79_interarrival",
+    """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) * 1000
+               - lag(epoch_us(ts) * 1000) OVER (
+                   PARTITION BY event_type ORDER BY epoch_us(ts) * 1000, event_id
+                 ) AS gap_ns
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_ns) AS BIGINT) AS n_gaps,
+           CAST(quantile_cont(gap_ns, 0.5) AS DOUBLE) AS p50_gap_ns,
+           CAST(quantile_cont(gap_ns, 0.95) AS DOUBLE) AS p95_gap_ns,
+           CAST(max(gap_ns) AS BIGINT) AS max_gap_ns
+    FROM g WHERE gap_ns IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q79_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time distribution per event type (P50/P95/max gap) —
+    the burstiness panel of a stream-health dashboard. One lag window
+    co-partitioned with the final aggregate on event_type (single
+    exchange); gaps are exact integer nanoseconds so the interpolated
+    quantiles are engine-identical."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    g = ev.select(
+        "event_type",
+        (F.col("ts_ns") - F.lag("ts_ns").over(w)).alias("gap_ns"),
+    ).filter(F.col("gap_ns").isNotNull())
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.percentile("gap_ns", F.lit(0.5)).alias("p50_gap_ns"),
+        F.percentile("gap_ns", F.lit(0.95)).alias("p95_gap_ns"),
+        F.max("gap_ns").cast("long").alias("max_gap_ns"),
+    )
