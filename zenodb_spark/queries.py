@@ -3445,3 +3445,197 @@ def q79_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("gap_ns", F.lit(0.95)).alias("p95_gap_ns"),
         F.max("gap_ns").cast("long").alias("max_gap_ns"),
     )
+
+
+@query(
+    "q80_user_profile",
+    """
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(count(DISTINCT CAST(floor(epoch(ts) / 86400) AS BIGINT)) AS BIGINT)
+             AS active_days,
+           CAST(min(epoch_us(ts) * 1000) AS BIGINT) AS first_ns,
+           CAST(max(epoch_us(ts) * 1000) AS BIGINT) AS last_ns
+    FROM events GROUP BY 1
+    """,
+)
+def q80_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile: event volume, type breadth, active-day
+    count, first/last seen — the feature row user-level models consume.
+    Single hash aggregate on user_id with two count-distinct expansions."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count_distinct("event_type").cast("long").alias("n_types"),
+        F.count_distinct(
+            F.floor(F.col("ts_ns") / F.lit(86400 * 1_000_000_000))
+        ).cast("long").alias("active_days"),
+        F.min("ts_ns").cast("long").alias("first_ns"),
+        F.max("ts_ns").cast("long").alias("last_ns"),
+    )
+
+
+@query(
+    "q81_token_pmi",
+    f"""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split({NORM.format(x='text')}, ' ')) AS toks
+      FROM documents
+    ), d AS (SELECT count(*) AS nd FROM t),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS tok FROM t
+    ), df_t AS (
+      SELECT tok, count(*) AS df FROM tok WHERE len(tok) > 0 GROUP BY 1
+    ), pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+      WHERE len(a.tok) > 0 AND len(b.tok) > 0
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT tok_a, tok_b, n_ab,
+             CAST(floor(ln((CAST(n_ab AS DOUBLE) * nd)
+                           / (CAST(fa.df AS DOUBLE) * fb.df))
+                        * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+      FROM pairs
+      JOIN df_t fa ON fa.tok = tok_a
+      JOIN df_t fb ON fb.tok = tok_b
+      CROSS JOIN d
+      WHERE n_ab >= 5
+    )
+    SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
+           round(CAST(pmi_micro AS DOUBLE) / 1000000, 9) AS pmi
+    FROM scored
+    ORDER BY pmi_micro DESC, tok_a, tok_b LIMIT 30
+    """,
+)
+def q81_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top token associations by document-level PMI: ln(P(a,b)/(P(a)P(b)))
+    over per-doc distinct tokens, support ≥ 5, micro-nat quantized ranking.
+    Pair generation explodes each doc's distinct-token set against itself
+    (bounded by per-doc vocabulary, not corpus size); frequencies join
+    back broadcast. The collocation-mining primitive."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(normalize_text("text"), " ")).alias("toks"),
+    )
+    tok = t.select("doc_id", F.explode("toks").alias("tok")).filter(
+        F.length("tok") > 0
+    )
+    nd = t.agg(F.count(F.lit(1)).alias("nd"))
+    df_t = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    a = tok.select("doc_id", F.col("tok").alias("tok_a"))
+    b = tok.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    fa = df_t.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    fb = df_t.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    scored = (
+        pairs.join(F.broadcast(fa), "tok_a")
+        .join(F.broadcast(fb), "tok_b")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            F.floor(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("nd"))
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
+                )
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("pmi_micro"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("pmi_micro"), "tok_a", "tok_b")
+        .limit(30)
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.round(F.col("pmi_micro").cast("double") / F.lit(1_000_000.0), 9).alias(
+                "pmi"
+            ),
+        )
+    )
+
+
+@query(
+    "q82_forecast_revenue",
+    f"""
+    SELECT sum({C.format(x='l_extendedprice * l_discount')})/100.0 AS revenue_delta,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def q82_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure filter + global aggregate. All four predicates reach
+    the parquet scan (PushedFilters); the plan is scan → partial agg →
+    single-row final — the minimal possible shape."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents(F.col("l_extendedprice") * F.col("l_discount"))) / F.lit(100.0)).alias(
+                "revenue_delta"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q83_late_order_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY 1
+    """,
+)
+def q83_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a window with at least one lineitem
+    shipped after the order date, counted per priority. The EXISTS becomes
+    a left-semi join on orderkey carrying the correlated date predicate -
+    lineitem never materializes into the output, and the date window
+    prunes the orders scan before the shuffle."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    semi = o.join(
+        l,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
