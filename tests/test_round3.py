@@ -420,6 +420,18 @@ def test_query_many_coalesced_scan(db, spark):
     assert sorted(map(tuple, db.query(sqls[0]).collect())) == singles[0]
 
 
+def test_table_stats_high_water(db):
+    stats = db.table_stats("metrics")
+    assert stats["rows"] > 0 and stats["parts"] >= 1
+    assert stats["high_water"] == stats["max_bucket"] >= stats["min_bucket"]
+    # E+1..E+4 all land in the epoch-aligned 10s bucket at E
+    assert stats["min_bucket"] == int(E // 10 * 10)
+    import pytest as _p
+
+    with _p.raises(ValueError, match="unknown table"):
+        db.table_stats("nope")
+
+
 def test_crosstab_operator_cardinality_guard(spark):
     df = spark.range(100).withColumn("k", F.col("id") % 50)
     with pytest.raises(ValueError, match="distinct"):

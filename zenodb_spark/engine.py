@@ -555,6 +555,34 @@ class DB:
         self.insert(stream, self.spark.createDataFrame(rows))
 
     # -- query --------------------------------------------------------------
+    def table_stats(self, name: str) -> dict:
+        """Per-table stats the reference reports alongside query results
+        (table.go:569-601, common/common.go:57-64): stored row count,
+        bucket range, high-water mark (max bucket epoch — the freshness
+        signal), and part count (memstore-vs-filestore analog: parts not
+        yet folded by compact())."""
+        if name not in self.tables:
+            raise ValueError(f"unknown table {name}")
+        t = self.tables[name]
+        if t.registry is None or not t._parts:
+            return {
+                "table": name, "rows": 0, "parts": 0,
+                "min_bucket": None, "max_bucket": None, "high_water": None,
+            }
+        agg = t.state_df().agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.min(BUCKET_COL).alias("mn"),
+            F.max(BUCKET_COL).alias("mx"),
+        ).collect()[0]
+        return {
+            "table": name,
+            "rows": agg["rows"],
+            "parts": len(t._parts),
+            "min_bucket": agg["mn"],
+            "max_bucket": agg["mx"],
+            "high_water": agg["mx"],
+        }
+
     def query_many(self, sqls: list[str]) -> list[DataFrame]:
         """Coalesced execution of concurrent queries (reference
         table.go:398–521: iterations arriving within a window share one

@@ -3639,3 +3639,36 @@ def q83_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("order_count")
     )
+
+
+@query(
+    "q84_props_stats",
+    """
+    WITH k AS (
+      SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS kv
+      FROM events WHERE props IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(count(kv) AS BIGINT) AS n,
+           CAST(sum(kv) AS BIGINT) AS sum_k,
+           CAST(min(kv) AS BIGINT) AS min_k,
+           CAST(max(kv) AS BIGINT) AS max_k,
+           round(CAST(sum(kv) AS DOUBLE) / count(kv), 9) AS avg_k
+    FROM k GROUP BY 1
+    """,
+)
+def q84_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured rollup: numeric stats of the JSON `props.k` field
+    per event type. get_json_object runs inside the scan projection
+    (codegen, no UDF); all aggregates are exact integers with one trailing
+    IEEE division for the mean."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("props").isNotNull())
+    kv = F.get_json_object("props", "$.k").cast("long")
+    k = ev.select("event_type", kv.alias("kv"))
+    return k.groupBy("event_type").agg(
+        F.count("kv").cast("long").alias("n"),
+        F.sum("kv").cast("long").alias("sum_k"),
+        F.min("kv").cast("long").alias("min_k"),
+        F.max("kv").cast("long").alias("max_k"),
+        F.round(F.sum("kv").cast("double") / F.count("kv"), 9).alias("avg_k"),
+    )
