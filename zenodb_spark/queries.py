@@ -3672,3 +3672,66 @@ def q84_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("kv").cast("long").alias("max_k"),
         F.round(F.sum("kv").cast("double") / F.count("kv"), 9).alias("avg_k"),
     )
+
+
+@query(
+    "q85_weighted_sample_k",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split({NORM.format(x='text')}, ' ') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS w
+      FROM t WHERE len(toks) > 0
+    ), keyed AS (
+      SELECT doc_id, source, w,
+             CAST(floor(
+               ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) + 1) / 4294967297.0) / w * 1000000 + 0.5)
+               AS BIGINT) AS key_micro
+      FROM s
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY key_micro DESC, doc_id) AS rn
+      FROM keyed
+    )
+    SELECT doc_id AS doc, source, round(w, 9) AS weight, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q85_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=3 per source
+    (Efraimidis–Spirakis A-ES: rank by u^(1/w), realized as ln(u)/w with
+    md5-uniform u and TTR weights, micro-nat quantized so the order is
+    engine-exact). The principled counterpart to q65's Bernoulli
+    resampling: exactly k survivors per stratum, quality-biased,
+    reproducible. One narrow pass + per-source top-k window."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text("text"), " ")
+    s = docs.select(
+        F.col("doc_id").alias("doc"),
+        "source",
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("w"),
+    ).filter(F.size(toks) > 0)
+    v = F.conv(F.substring(F.md5(F.col("doc").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    key_micro = (
+        F.floor(
+            F.log((v + F.lit(1)) / F.lit(4294967297.0)) / F.col("w") * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy(F.desc("key_micro"), F.asc("doc"))
+    return (
+        s.withColumn("key_micro", key_micro)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "doc", "source", F.round("w", 9).alias("weight"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
