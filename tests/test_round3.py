@@ -458,12 +458,13 @@ def test_parser_fuzz_random_queries(db):
     fields = st.sampled_from(
         ["total", "total AS t", "total / 2 AS h", "_points",
          "SHIFT(total, '100s') AS prev", "IF(host = 'h1', total) AS t1",
-         "LN(total) AS l", "nosuch AS n"]
+         "LN(total) AS l", "nosuch AS n", "total + nosuch AS tn",
+         "5 AS c", "BOUNDED(total, 0, 50) AS b"]
     )
     wheres = st.sampled_from(
         ["", "WHERE host = 'h1'", "WHERE host <> 'h1' AND total > 0",
          "WHERE host LIKE 'h%'", "WHERE host IN ('h1', 'h2')",
-         "WHERE host IS NULL", "WHERE NOT host = 'zz'"]
+         "WHERE host IS NULL", "WHERE NOT host = 'zz'", "WHERE RAND() < 2"]
     )
     asofs = st.sampled_from(["", "ASOF '-10m'", "ASOF '-10m' UNTIL '-1s'"])
     groups = st.sampled_from(
@@ -471,10 +472,16 @@ def test_parser_fuzz_random_queries(db):
          "GROUP BY *, period('100s')",
          "GROUP BY CONCAT('-', host, host) AS hh, period('100s')",
          "GROUP BY host, period('100s'), CROSSTAB(host)",
-         "GROUP BY host, period('100s'), stride('100s')"]
+         "GROUP BY host, period('100s'), stride('100s')",
+         "GROUP BY SPLIT(host, '.', 0) AS seg, period('100s')"]
     )
-    havings = st.sampled_from(["", "HAVING total > 0", "HAVING total >= 1"])
-    orders = st.sampled_from(["", "ORDER BY total DESC", "ORDER BY _time"])
+    havings = st.sampled_from(
+        ["", "HAVING total > 0", "HAVING total >= 1",
+         "HAVING nosuch = 12 OR total > 0"]
+    )
+    orders = st.sampled_from(
+        ["", "ORDER BY total DESC", "ORDER BY _time", "ORDER BY nosuch"]
+    )
     limits = st.sampled_from(["", "LIMIT 3", "LIMIT 1, 2"])
     setops = st.sampled_from(["", "UNION", "UNION ALL", "EXCEPT", "INTERSECT"])
 
