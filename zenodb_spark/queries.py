@@ -607,13 +607,15 @@ def q21_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dimension-enrichment joins (the Spark-native replacement for the
-    reference's Redis/geo per-row lookups): fact table joined to broadcast
-    customer/nation dims — no shuffle of the fact side for nation."""
+    reference's Redis/geo per-row lookups). Nation (25 rows, O(1) in SF)
+    is broadcast-hinted; customer scales with SF so it carries NO hint —
+    AQE broadcasts the 2-column pruned side while it fits and
+    shuffle-joins beyond (a forced hint would OOM at extreme SF)."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -1399,9 +1401,10 @@ def z13_engine_dim_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q35_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter -> fact join -> top-k revenue.
-    Scale plan: customer (filtered) broadcasts into orders, the orders⋈
-    lineitem join shuffles on orderkey; integer-cents revenue keeps the
-    sum associative so the top-k is deterministic (ties broken by key)."""
+    Scale plan: every join side is SF-scaled, so none carries a hint —
+    AQE picks broadcast when a filtered side fits; orders⋈lineitem
+    shuffles on orderkey; integer-cents revenue keeps the sum associative
+    so the top-k is deterministic (ties broken by key)."""
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
@@ -1409,12 +1412,12 @@ def q35_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
     )
-    # broadcast ONLY the filtered customer dim; orders is a fact table, so
-    # orders⋈lineitem must shuffle on orderkey (AQE still upgrades it to a
-    # broadcast at runtime when the filtered side truly fits — a hard-coded
-    # fact-side broadcast hint would OOM at 100× scale)
+    # no broadcast hints anywhere: customer is SF-scaled even after the
+    # segment filter, and orders is a fact — AQE upgrades either join to a
+    # broadcast at runtime when a side truly fits, and a hard-coded hint
+    # would OOM at 100× scale where AQE would have shuffled
     joined = l.join(
-        o.join(F.broadcast(c.select("c_custkey")), o.o_custkey == c.c_custkey),
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey),
         F.col("l_orderkey") == F.col("o_orderkey"),
     )
     return (
@@ -1444,14 +1447,15 @@ def q35_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q36_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fact-to-dims star join: supplier and nation broadcast (no fact
-    shuffle before aggregation; the only exchange is the final groupBy) --
-    the canonical 100 TB dimension-enrichment plan."""
+    """Fact-to-dims star join. Nation is broadcast-hinted (O(1) rows);
+    supplier scales with SF so AQE decides its side — broadcast while the
+    2-column pruned build fits, shuffle join beyond. The fact never
+    carries a hint; the only guaranteed exchange is the final groupBy."""
     l = load_table(spark, sf_dir, "lineitem")
-    s = load_table(spark, sf_dir, "supplier")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load_table(spark, sf_dir, "nation")
     return (
-        l.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        l.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -2165,12 +2169,13 @@ def q56_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference SHIFT only reaches fixed offsets). Scale shape: fact shuffles
     once into the monthly groupBy (dims broadcast), then the window runs
     inside each nation partition — 25 keys × few hundred months, trivially
-    in-memory; integer cents keep the running sum exact."""
+    in-memory; integer cents keep the running sum exact. Customer carries
+    no broadcast hint (SF-scaled; AQE decides), nation does (O(1))."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     m = (
-        o.join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -3734,4 +3739,47 @@ def q85_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc", "source", F.round("w", 9).alias("weight"),
             F.col("rn").cast("long").alias("rn"),
         )
+    )
+
+
+@query(
+    "q86_promo_revenue",
+    f"""
+    WITH j AS (
+      SELECT p_type,
+             {C.format(x='l_extendedprice * (1 - l_discount)')} AS rev_c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+    )
+    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN rev_c
+                                       ELSE 0 END) AS DOUBLE)
+                 / sum(rev_c), 9) AS economy_share_pct,
+           CAST(sum(rev_c) AS BIGINT) AS total_cents,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM j
+    """,
+)
+def q86_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: one part class's share of monthly revenue. The
+    date window prunes lineitem at the scan; part carries NO broadcast
+    hint — like customer/orders it scales with SF, so AQE broadcasts only
+    while the (2-column-pruned) build side truly fits and shuffle-joins on
+    partkey beyond; the share is a ratio of two exact cent sums, a single
+    IEEE division."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01"))
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev_c = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    j = l.join(p, F.col("l_partkey") == F.col("p_partkey")).select(
+        "p_type", rev_c.alias("rev_c")
+    )
+    eco = F.sum(F.when(F.col("p_type") == "ECONOMY", F.col("rev_c")).otherwise(0))
+    return j.agg(
+        F.round(F.lit(100.0) * eco.cast("double") / F.sum("rev_c"), 9).alias(
+            "economy_share_pct"
+        ),
+        F.sum("rev_c").cast("long").alias("total_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
     )
