@@ -3783,3 +3783,65 @@ def q86_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("rev_c").cast("long").alias("total_cents"),
         F.count(F.lit(1)).cast("long").alias("n_items"),
     )
+
+
+@query(
+    "q87_stream_watermark",
+    f"""
+    SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q87_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING (watermarked path): the pure-Structured-Streaming
+    update-mode windowed rollup (`windowed_rollup_stream`) run as a
+    4-micro-batch availableNow pass; the oracle is the plain batch
+    aggregation, so equality proves the watermark/window plumbing loses
+    nothing. Counts only grow across update emissions, so the final value
+    per key is the max over the sink's update rows. The watermark is set
+    beyond the data span: bit-exactness demands no late-drop; bounded-
+    lateness drop behavior is exercised in test_streaming instead."""
+    import tempfile
+
+    from zenodb_spark.streaming.ingest import windowed_rollup_stream
+
+    tmp = tempfile.mkdtemp(prefix="zspark_q87_")
+    # watermarks demand TIMESTAMP (not NTZ): rebuild the instant from the
+    # exact epoch-nanos so window boundaries sit on epoch multiples in any
+    # session timezone — bit-aligned with the oracle's epoch(ts) buckets
+    ev = load_table(spark, sf_dir, "events").select(
+        F.timestamp_micros(F.expr("ts_ns div 1000")).alias("ts"),
+        "event_type",
+        "user_id",
+    )
+    src = f"{tmp}/src"
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    rolled = windowed_rollup_stream(
+        stream,
+        ["event_type"],
+        {"cnt": F.count(F.lit(1))},
+        86400,
+        watermark="400 days",
+    )
+    name = f"q87_sink_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    sink = spark.table(name)
+    return (
+        sink.groupBy(
+            "event_type", F.unix_timestamp("_time").cast("long").alias("bucket")
+        )
+        .agg(F.max("cnt").cast("long").alias("cnt"))
+    )
