@@ -3845,3 +3845,192 @@ def q87_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.max("cnt").cast("long").alias("cnt"))
     )
+
+
+@query(
+    "q88_length_diversity_corr",
+    f"""
+    WITH s AS (
+      SELECT source,
+             CAST(len(string_split({NORM.format(x='text')}, ' ')) AS BIGINT) AS x,
+             CAST(floor(CAST(len(list_distinct(string_split({NORM.format(x='text')}, ' ')))
+                             AS DOUBLE)
+                        / len(string_split({NORM.format(x='text')}, ' '))
+                        * 1000000 + 0.5) AS BIGINT) AS y
+      FROM documents
+      WHERE len(string_split({NORM.format(x='text')}, ' ')) > 0
+    ), m AS (
+      SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+      FROM s GROUP BY 1
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 9)
+             AS pearson_r
+    FROM m
+    WHERE (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+          * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) > 0
+    """,
+)
+def q88_length_diversity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed Pearson correlation between document length and
+    lexical diversity (TTR, micro-quantized) per source — the curation
+    diagnostic for 'are long docs just repetitive?'. Built from six exact
+    integer sums, NOT the engines' float corr() (whose summation order is
+    nondeterministic); the closed form then runs a fixed IEEE sequence."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_text("text"), " ")
+    s = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("x"),
+        F.floor(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks)
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("y"),
+    ).filter(F.size(toks) > 0)
+    m = s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    varx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vary = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cov = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    return (
+        m.filter(varx * vary > 0)
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_docs"),
+            F.round(cov / F.sqrt(varx * vary), 9).alias("pearson_r"),
+        )
+    )
+
+
+@query(
+    "q89_source_entropy",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split({NORM.format(x='text')}, ' ')) AS tok
+      FROM documents
+    ), f AS (
+      SELECT source, tok, count(*) AS cnt FROM toks WHERE len(tok) > 0
+      GROUP BY 1, 2
+    ), t AS (
+      SELECT source, sum(cnt) AS tt FROM f GROUP BY 1
+    ), lp AS (
+      SELECT f.source, f.cnt,
+             CAST(floor(ln(CAST(f.cnt AS DOUBLE) / t.tt) * 1000000 + 0.5) AS BIGINT)
+               AS lp_micro,
+             t.tt
+      FROM f JOIN t USING (source)
+    )
+    SELECT source,
+           CAST(max(tt) AS BIGINT) AS n_tokens,
+           round(-CAST(sum(cnt * lp_micro) AS DOUBLE) / max(tt) / 1000000, 9)
+             AS entropy_nats
+    FROM lp GROUP BY source
+    """,
+)
+def q89_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution (nats) — the
+    vocabulary-diversity panel of a dataset card; low entropy flags
+    template/boilerplate feeds. Same micro-nat scheme as q62: ln quantizes
+    per DISTINCT (source, token), the entropy sum is exact integers."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    f = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    t = f.groupBy("source").agg(F.sum("cnt").alias("tt"))
+    lp = f.join(t, "source").select(
+        "source",
+        "cnt",
+        "tt",
+        F.floor(
+            F.log(F.col("cnt").cast("double") / F.col("tt")) * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+    return lp.groupBy("source").agg(
+        F.max("tt").cast("long").alias("n_tokens"),
+        F.round(
+            -F.sum(F.col("cnt") * F.col("lp_micro")).cast("double")
+            / F.max("tt")
+            / F.lit(1_000_000.0),
+            9,
+        ).alias("entropy_nats"),
+    )
+
+
+@query(
+    "q90_value_histogram",
+    """
+    SELECT event_type,
+           CAST(least(floor(value / 10), 9) AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(value) AS DOUBLE) AS bin_min,
+           CAST(max(value) AS DOUBLE) AS bin_max
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q90_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (10-unit bins, top bin
+    open) — the distribution panel of a metrics dashboard; one hash
+    aggregate, bin math exact."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    bin_ = F.least(F.floor(F.col("value") / 10), F.lit(9)).cast("long")
+    return ev.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("value").cast("double").alias("bin_min"),
+        F.max("value").cast("double").alias("bin_max"),
+    )
+
+
+@query(
+    "q91_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts) * 1000, event_id
+             ) AS next_type
+      FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q91_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the Markov matrix of the
+    behavioral stream). One lead window per user partition, then a global
+    25-cell aggregate — the window and the per-user ordering share the
+    user_id exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    return seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
