@@ -432,6 +432,40 @@ def test_table_stats_high_water(db):
         db.table_stats("nope")
 
 
+def test_running_total_matches_sequential(spark):
+    """Two-phase distributed prefix sum == sequential cumsum, including
+    across range-partition boundaries and under descending order."""
+    import random
+
+    from zenodb_spark.operators.prefix import running_total
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(1, 100)) for i in range(1, 501)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(16)
+
+    got = {
+        r["k"]: r["rt"]
+        for r in running_total(df, [F.asc("k")], "v", "rt", num_partitions=7).collect()
+    }
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        acc += v
+        want[k] = acc
+    assert got == want
+
+    got_desc = {
+        r["k"]: r["rt"]
+        for r in running_total(
+            df, [F.desc("k")], "v", "rt", num_partitions=5
+        ).collect()
+    }
+    acc, want_desc = 0, {}
+    for k, v in sorted(rows, reverse=True):
+        acc += v
+        want_desc[k] = acc
+    assert got_desc == want_desc
+
+
 def test_crosstab_operator_cardinality_guard(spark):
     df = spark.range(100).withColumn("k", F.col("id") % 50)
     with pytest.raises(ValueError, match="distinct"):

@@ -4034,3 +4034,150 @@ def q91_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seq.groupBy(
         F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@query(
+    "q92_pareto_parts",
+    f"""
+    WITH r AS (
+      SELECT l_partkey, sum({C.format(x='l_extendedprice * (1 - l_discount)')}) AS rev_c
+      FROM lineitem GROUP BY 1
+    ), t AS (SELECT sum(rev_c) AS total FROM r),
+    ranked AS (
+      SELECT l_partkey, rev_c,
+             sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey) AS cum_c,
+             total
+      FROM r, t
+    )
+    SELECT CASE WHEN cum_c <= total * 0.5 THEN 'A'
+                WHEN cum_c <= total * 0.8 THEN 'B' ELSE 'C' END AS klass,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_c) AS BIGINT) AS revenue_cents
+    FROM ranked GROUP BY 1
+    """,
+)
+def q92_pareto_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/Pareto classification of parts by revenue share: running
+    cumulative share over the revenue-ranked part list (exact cents, so
+    rank and class boundaries are engine-identical), bucketed at 50%/80%.
+    The cumulative sum uses the two-phase distributed prefix scan
+    (operators/prefix.py:running_total) — the part list is SF-scaled, so a
+    bare global-order window would funnel it through one task."""
+    from zenodb_spark.operators.prefix import running_total
+
+    l = load_table(spark, sf_dir, "lineitem")
+    r = l.groupBy("l_partkey").agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "rev_c"
+        )
+    )
+    t = r.agg(F.sum("rev_c").alias("total"))
+    ranked = running_total(
+        r.crossJoin(F.broadcast(t)),
+        [F.desc("rev_c"), F.asc("l_partkey")],
+        "rev_c",
+        out_col="cum_c",
+    )
+    klass = (
+        F.when(F.col("cum_c") <= F.col("total") * 0.5, "A")
+        .when(F.col("cum_c") <= F.col("total") * 0.8, "B")
+        .otherwise("C")
+    )
+    return ranked.groupBy(klass.alias("klass")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum("rev_c").cast("long").alias("revenue_cents"),
+    )
+
+
+@query(
+    "q93_order_size_dist",
+    """
+    WITH s AS (
+      SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM s GROUP BY 1
+    """,
+)
+def q93_order_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-size distribution (lines per order): two chained hash
+    aggregates, the second over at most a few dozen distinct sizes —
+    the basket-size panel of an order dashboard."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    return s.groupBy(F.col("n_lines").cast("long").alias("n_lines")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+
+
+@query(
+    "q94_source_kl",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split({NORM.format(x='text')}, ' ')) AS tok
+      FROM documents
+    ), f AS (
+      SELECT source, tok, count(*) AS cnt FROM toks WHERE len(tok) > 0
+      GROUP BY 1, 2
+    ), st AS (SELECT source, sum(cnt) AS ts FROM f GROUP BY 1),
+    g AS (SELECT tok, sum(cnt) AS gcnt FROM f GROUP BY 1),
+    gt AS (SELECT sum(gcnt) AS tg FROM g),
+    terms AS (
+      SELECT f.source, f.cnt, st.ts,
+             CAST(floor(ln((CAST(f.cnt AS DOUBLE) / st.ts)
+                           / (CAST(g.gcnt AS DOUBLE) / gt.tg))
+                        * 1000000 + 0.5) AS BIGINT) AS lr_micro
+      FROM f JOIN st USING (source) JOIN g USING (tok) CROSS JOIN gt
+    )
+    SELECT source,
+           round(CAST(sum(cnt * lr_micro) AS DOUBLE) / max(ts) / 1000000, 9)
+             AS kl_nats
+    FROM terms GROUP BY source
+    """,
+)
+def q94_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the corpus
+    distribution — the domain-shift panel of a data-mixing dashboard
+    (which feeds deviate, and how much). Log-ratios quantize to micro-nats
+    per DISTINCT (source, token); both normalizers are exact integer sums;
+    all joins are token-keyed with the global-frequency side
+    AQE-broadcastable."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    ).filter(F.length("tok") > 0)
+    f = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    st = f.groupBy("source").agg(F.sum("cnt").alias("ts"))
+    g = f.groupBy("tok").agg(F.sum("cnt").alias("gcnt"))
+    gt = g.agg(F.sum("gcnt").alias("tg"))
+    terms = (
+        f.join(st, "source")
+        .join(g, "tok")
+        .crossJoin(F.broadcast(gt))
+        .select(
+            "source",
+            "cnt",
+            "ts",
+            F.floor(
+                F.log(
+                    (F.col("cnt").cast("double") / F.col("ts"))
+                    / (F.col("gcnt").cast("double") / F.col("tg"))
+                )
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.round(
+            F.sum(F.col("cnt") * F.col("lr_micro")).cast("double")
+            / F.max("ts")
+            / F.lit(1_000_000.0),
+            9,
+        ).alias("kl_nats")
+    )
