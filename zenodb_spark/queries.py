@@ -3214,11 +3214,13 @@ def q74_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pair")
     )
     counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+    # top-50 via orderBy+limit (TakeOrderedAndProject: map-side heaps, no
+    # global window over the pair vocabulary); the rank window then runs
+    # over exactly 50 rows
+    top = counted.orderBy(F.desc("n"), F.asc("pair")).limit(50)
     w = Window.orderBy(F.desc("n"), F.asc("pair"))
-    return (
-        counted.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 50)
-        .select("pair", F.col("n").cast("long").alias("n"), F.col("rank").cast("long").alias("rank"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "pair", F.col("n").cast("long").alias("n"), F.col("rank").cast("long").alias("rank")
     )
 
 
