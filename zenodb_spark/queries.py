@@ -4183,3 +4183,107 @@ def q94_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("kl_nats")
     )
+
+
+@query(
+    "q95_source_dup_rate",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.2
+    ),
+    dup_docs AS (
+      SELECT DISTINCT doc FROM (
+        SELECT doc_a AS doc FROM pairs UNION ALL SELECT doc_b FROM pairs
+      )
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(dd.doc) AS BIGINT) AS n_near_dup,
+           round(CAST(count(dd.doc) AS DOUBLE) / count(*), 9) AS dup_rate
+    FROM documents d LEFT JOIN dup_docs dd ON dd.doc = d.doc_id
+    GROUP BY 1
+    """,
+)
+def q95_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate rate per source: fraction of each feed's documents
+    that participate in any Jaccard≥0.2 near-dup pair — the per-feed
+    quality number a curation dashboard leads with. Pairs come from the
+    lossless prefix-filtered join; the doc set flows back through one
+    membership left-join."""
+    from zenodb_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs_prefix(docs, "text", "doc_id", n=3, threshold=0.2)
+    dup_docs = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    return (
+        docs.join(dup_docs, docs.doc_id == dup_docs.doc, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("__dup").cast("long").alias("n_near_dup"),
+            F.round(
+                F.count("__dup").cast("double") / F.count(F.lit(1)), 9
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@query(
+    "q96_wow_change",
+    f"""
+    WITH w AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT) AS week,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, week, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+      FROM w
+    )
+    SELECT event_type, week, n, CAST(prev_n AS BIGINT) AS prev_n,
+           round((CAST(n AS DOUBLE) - prev_n) / prev_n, 9) AS wow_change
+    FROM lagged WHERE prev_n IS NOT NULL AND prev_n > 0
+    """,
+)
+def q96_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change per event type — the growth panel: weekly
+    counts, one lag window per type sharing the aggregate's partitioning,
+    ratio of exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        ev.groupBy(
+            "event_type",
+            (F.floor(F.col("ts_ns") / F.lit(604800 * 1_000_000_000)) * 604800)
+            .cast("long")
+            .alias("week"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    lw = Window.partitionBy("event_type").orderBy("week")
+    lagged = w.withColumn("prev_n", F.lag("n").over(lw)).filter(
+        F.col("prev_n").isNotNull() & (F.col("prev_n") > 0)
+    )
+    return lagged.select(
+        "event_type",
+        "week",
+        "n",
+        F.col("prev_n").cast("long").alias("prev_n"),
+        F.round(
+            (F.col("n").cast("double") - F.col("prev_n")) / F.col("prev_n"), 9
+        ).alias("wow_change"),
+    )
