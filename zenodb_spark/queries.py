@@ -4287,3 +4287,107 @@ def q96_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n").cast("double") - F.col("prev_n")) / F.col("prev_n"), 9
         ).alias("wow_change"),
     )
+
+
+@query(
+    "q97_top_token_per_source",
+    f"""
+    WITH f AS (
+      SELECT source, tok, count(*) AS cnt FROM (
+        SELECT source, unnest(string_split({NORM.format(x='text')}, ' ')) AS tok
+        FROM documents
+      ) WHERE len(tok) > 0 GROUP BY 1, 2
+    ), r AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY source ORDER BY cnt DESC, tok) AS rn
+      FROM f
+    )
+    SELECT source, tok AS top_token, CAST(cnt AS BIGINT) AS cnt
+    FROM r WHERE rn = 1
+    """,
+)
+def q97_top_token_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent token per source (deterministic tie-break on the
+    token string — bare max_by/arg_max has no tie rule in either engine,
+    so the argmax is a per-source WindowGroupLimit-pruned window)."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select(
+            "source", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+        )
+        .filter(F.length("tok") > 0)
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("tok"))
+    return (
+        f.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("tok").alias("top_token"), F.col("cnt").cast("long").alias("cnt"))
+    )
+
+
+@query(
+    "q98_value_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(med.m AS DOUBLE) AS median_value,
+           CAST(quantile_cont(abs(e.value - med.m), 0.5) AS DOUBLE) AS mad
+    FROM events e JOIN med ON e.event_type = med.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q98_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of event values per type — the robust
+    spread statistic outlier-heavy metrics need. Two exact interpolated
+    percentile passes; the per-type medians join back broadcast, and both
+    aggregations share the event_type partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.percentile("value", F.lit(0.5)).alias("m"))
+    return (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type", F.col("m").alias("median_value"))
+        .agg(
+            F.percentile(F.abs(F.col("value") - F.col("m")), F.lit(0.5)).alias("mad")
+        )
+    )
+
+
+@query(
+    "q99_fulfillment_latency",
+    """
+    WITH span AS (
+      SELECT o.o_orderkey,
+             CAST(date_diff('day', o.o_orderdate, max(l.l_shipdate)) AS BIGINT)
+               AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    )
+    SELECT days, CAST(count(*) AS BIGINT) AS n_orders
+    FROM span GROUP BY 1
+    """,
+)
+def q99_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order fulfillment latency distribution: days from order date to the
+    LAST line shipment, counted per day bucket. One orderkey shuffle join
+    + per-order max + a tiny distribution aggregate — exact integer day
+    arithmetic."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    span = (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.datediff(F.col("last_ship"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("days")
+        )
+    )
+    return span.groupBy("days").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
