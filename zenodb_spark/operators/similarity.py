@@ -461,3 +461,60 @@ def kmeans_train(
             new[r["centroid"] - 1][r["dim_idx"]] = r["value"]
         cents = new
     return cents
+
+
+def pq_codebooks(
+    dim: int, m: int, k: int, seed: int = 101
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace PQ codebooks (m subspaces of dim/m, k
+    codewords each). A real deployment trains them with per-subspace
+    k-means (see kmeans_train); the assignment plumbing is identical."""
+    sub = dim // m
+    return [_planes(sub, k, seed + j) for j in range(m)]
+
+
+def pq_assign(
+    corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encoding: split each vector into m contiguous
+    subvectors, assign each to its nearest codeword — the IVF-PQ memory
+    layout (code bytes instead of floats) that makes 100 TB-scale ANN
+    affordable: m codes of one byte each replace dim×4 bytes per vector.
+
+    One narrow projection, no shuffle, no UDF: sub-slices via F.slice,
+    squared L2 via ||s||² − 2·s·c + ||c||² with sequential-order dots
+    (bit-identical to a DuckDB list_dot_product replay), first-min
+    tie-break via array_position. Emits one row per (vector, subspace)
+    with the chosen code and the micro-quantized quantization error.
+    """
+    sub = len(codebooks[0][0])
+    rows = []
+    for j, cb in enumerate(codebooks):
+        s = F.slice(F.col(vec_col), j * sub + 1, sub)
+        ss = dot(s, s)
+        dists = []
+        for c in cb:
+            lit_c = F.array(*[F.lit(x) for x in c])
+            cc = sum((x * x for x in c), 0.0)
+            dists.append(ss - 2.0 * dot(s, lit_c) + F.lit(cc))
+        darr = F.array(*dists)
+        rows.append(
+            F.struct(
+                F.lit(j + 1).alias("subspace"),
+                F.array_position(darr, F.array_min(darr)).cast("int").alias("code"),
+                F.floor(F.array_min(darr) * F.lit(1_000_000) + F.lit(0.5))
+                .cast("long")
+                .alias("err_micro"),
+            )
+        )
+    return corpus.select(
+        F.col(id_col), F.explode(F.array(*rows)).alias("pq")
+    ).select(
+        id_col,
+        F.col("pq.subspace").alias("subspace"),
+        F.col("pq.code").alias("code"),
+        F.col("pq.err_micro").alias("err_micro"),
+    )

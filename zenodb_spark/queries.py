@@ -4391,3 +4391,498 @@ def q99_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return span.groupBy("days").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+
+
+@query(
+    "q100_activity_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(ts)/86400) AS BIGINT) AS day
+      FROM events
+    ), isl AS (
+      SELECT user_id, day,
+             day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+               AS island
+      FROM days
+    ), streaks AS (
+      SELECT user_id, island, count(*) AS len FROM isl GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(max(len) AS BIGINT) AS longest_streak,
+           CAST(sum(len) AS BIGINT) AS active_days
+    FROM streaks GROUP BY 1
+    """,
+)
+def q100_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-active-day streak per user (gaps-and-islands).
+
+    Map-side (user, day) dedup shrinks the stream to at most
+    users x days rows before the only shuffle; the island key
+    ``day - row_number`` is exact integer arithmetic inside a user-keyed
+    window that shares the dedup's hash partitioning, so the whole chain
+    is one exchange. At 100 TB the user-day matrix is the small relation
+    (|users| x retention-days), not the event count."""
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.select(
+            "user_id", F.expr("ts_ns div 86400000000000").cast("long").alias("day")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    isl = days.withColumn("island", F.col("day") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "island").agg(F.count(F.lit(1)).alias("len"))
+    return streaks.groupBy("user_id").agg(
+        F.max("len").cast("long").alias("longest_streak"),
+        F.sum("len").cast("long").alias("active_days"),
+    )
+
+
+@query(
+    "q101_ab_lift",
+    """
+    WITH assign AS (
+      SELECT DISTINCT user_id,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 2 AS variant
+      FROM events
+    ), conv AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ), cells AS (
+      SELECT a.variant,
+             count(*) AS n_users,
+             count(c.user_id) AS n_converted
+      FROM assign a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY 1
+    )
+    SELECT variant,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_converted AS BIGINT) AS n_converted,
+           round(n_converted / CAST(n_users AS DOUBLE), 9) AS conv_rate
+    FROM cells
+    """,
+)
+def q101_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: md5-hash split of users into two variants
+    (engine-reproducible, unlike rand()), per-variant conversion to
+    'purchase'. Both the assignment dedup and the converter dedup are
+    map-side-combined user aggregates; the left join is user-keyed and
+    collapses to two cells before any driver math. The z-test itself is a
+    driver-side formula over these four exact integers — the distributed
+    part ends at the 2-row contingency table."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 2
+    )
+    assign = ev.select("user_id").distinct().select(
+        "user_id", variant.alias("variant")
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    cells = (
+        assign.join(conv, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.count("converted").cast("long").alias("n_converted"),
+        )
+    )
+    return cells.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        F.round(
+            F.col("n_converted").cast("double") / F.col("n_users"), 9
+        ).alias("conv_rate"),
+    )
+
+
+@query(
+    "q102_large_orders",
+    f"""
+    WITH big AS (
+      SELECT l_orderkey, sum({C.format(x='l_quantity')}) AS qty_c
+      FROM lineitem GROUP BY 1
+      HAVING sum({C.format(x='l_quantity')}) > 25000
+    )
+    SELECT c.c_custkey, o.o_orderkey, o.o_orderdate,
+           {C.format(x='o_totalprice')} AS totalprice_c,
+           big.qty_c/100.0 AS total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q102_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume orders): aggregate lineitem per order,
+    HAVING sum(qty) > 250, then join back to orders and customer.
+
+    The quantity aggregate runs partial+final on the orderkey shuffle and
+    the HAVING prunes it to a tiny survivor set BEFORE either join, so at
+    scale both joins see only the filtered keys; orders joins on the same
+    orderkey partitioning (exchange reuse) and AQE broadcast-converts the
+    survivor side. Exact cents throughout."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum(cents("l_quantity")).alias("qty_c"))
+        .filter(F.col("qty_c") > 25000)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            cents("o_totalprice").alias("totalprice_c"),
+            (F.col("qty_c") / F.lit(100.0)).alias("total_qty"),
+        )
+    )
+
+
+@query(
+    "q103_trade_flows",
+    f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           sum({C.format(x='l.l_extendedprice * (1 - l.l_discount)')})/100.0
+             AS revenue,
+           count(*) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q103_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade-flow matrix (TPC-H Q7 shape on available columns):
+    revenue between supplier nation and customer nation.
+
+    Join strategy for 100 TB: nation is O(25) and supplier is the
+    SF-scaled-but-small dim -> broadcast both onto lineitem with no fact
+    shuffle; orders x lineitem is the one unavoidable fact-fact shuffle on
+    orderkey; customer->nation resolves map-side on the already-shuffled
+    rows via another broadcast. One exchange total; the final 25x25 cell
+    aggregate is map-side combined. Exact cents revenue."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    lsupp = l.join(
+        F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        F.col("s_suppkey") == F.col("l_suppkey"),
+    ).join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+    cust = o.join(
+        c.select("c_custkey", "c_nationkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+    ).join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+    return (
+        lsupp.join(cust, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / F.lit(100.0)
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q104_sequence_packing",
+    f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             len(list_filter(string_split({NORM.format(x='text')}, ' '),
+                             t -> len(t) > 0)) AS n_tok
+      FROM documents
+    ), ordered AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM toks
+    )
+    SELECT source, CAST((cum - n_tok) // 2048 AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM ordered GROUP BY 1, 2
+    """,
+)
+def q104_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk): per source, documents
+    are concatenated in md5-of-id order and cut into 2048-token sequences;
+    a doc belongs to the sequence where it starts. Deterministic (hash
+    order, exact integer cumsum) and reproducible across engines/runs —
+    the property a training pipeline needs to re-materialize the same
+    batches. One per-source window; for a single source at 100 TB swap in
+    operators/prefix.running_total (the distributed prefix scan) — same
+    cumsum contract without a one-partition window."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(normalize_text("text"), " "), lambda t: F.length(t) > 0
+            )
+        ).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ordered = toks.withColumn("cum", F.sum("n_tok").over(w))
+    return (
+        ordered.select(
+            "source",
+            F.expr("(cum - n_tok) div 2048").cast("long").alias("seq_id"),
+            "n_tok",
+        )
+        .groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "q105_embedding_dim_stats",
+    """
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (
+      SELECT CAST(i AS BIGINT) AS dim_idx,
+             CAST(floor(v[i + 1] * 1000000 + 0.5) AS BIGINT) AS q
+      FROM e, unnest(range(0, len(v))) AS u(i)
+    )
+    SELECT dim_idx, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000, 9) AS mean,
+           round(sqrt((CAST(sum(q*q) AS DOUBLE)
+                       - CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE)
+                         / count(*)) / count(*)) / 1000000, 9) AS std
+    FROM d GROUP BY 1
+    """,
+)
+def q105_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std over the embedding corpus — the whitening /
+    normalization statistics an embedding pipeline computes before PQ or
+    cosine work. posexplode → one 64-group aggregate, map-side combined;
+    values are micro-quantized BEFORE summing so Σq and Σq² are exact
+    integers (sums stay < 2⁵³ through ~10⁹ vectors; beyond that shard the
+    aggregate), and the trailing mean/std formulas are fixed IEEE
+    sequences identical in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(F.posexplode("embedding").alias("dim_idx", "val")).select(
+        F.col("dim_idx").cast("long").alias("dim_idx"),
+        F.floor(F.col("val").cast("double") * F.lit(1_000_000) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    n = F.count(F.lit(1))
+    sq = F.sum("q").cast("double")
+    sq2 = F.sum(F.col("q") * F.col("q")).cast("double")
+    return d.groupBy("dim_idx").agg(
+        n.cast("long").alias("n"),
+        F.round(sq / n.cast("double") / F.lit(1e6), 9).alias("mean"),
+        F.round(
+            F.sqrt((sq2 - sq * sq / n.cast("double")) / n.cast("double"))
+            / F.lit(1e6),
+            9,
+        ).alias("std"),
+    )
+
+
+@query(
+    "q106_dsir_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split({NORM.format(x='text')}, ' ')) AS tok
+      FROM documents
+    ), dt AS (
+      SELECT doc_id, lang, tok, count(*) AS occ FROM toks WHERE len(tok) > 0
+      GROUP BY 1, 2, 3
+    ), raw AS (
+      SELECT tok, sum(occ) AS cr FROM dt GROUP BY 1
+    ), tgt AS (
+      SELECT tok, sum(occ) AS ct FROM dt WHERE lang = 'en' GROUP BY 1
+    ), tot AS (
+      SELECT (SELECT sum(cr) FROM raw) AS nr,
+             (SELECT count(*) FROM raw) AS v,
+             (SELECT coalesce(sum(ct), 0) FROM tgt) AS nt
+    ), wt AS (
+      SELECT r.tok,
+             CAST(floor((ln((coalesce(t.ct, 0) + 1.0) / (tot.nt + tot.v))
+                         - ln((r.cr + 1.0) / (tot.nr + tot.v))) * 1000000 + 0.5)
+                  AS BIGINT) AS w_micro
+      FROM raw r LEFT JOIN tgt t ON r.tok = t.tok, tot
+    ), scored AS (
+      SELECT dt.doc_id, sum(dt.occ) AS n_tokens,
+             sum(dt.occ * wt.w_micro) AS s_micro
+      FROM dt JOIN wt ON dt.tok = wt.tok GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(CAST(s_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000, 9)
+             AS importance
+    FROM scored
+    ORDER BY s_micro * 1000000 / n_tokens DESC, doc_id LIMIT 50
+    """,
+)
+def q106_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights: per-doc mean log-ratio of a target
+    unigram LM (lang='en' slice) over the raw-corpus LM, add-1 smoothed
+    over the shared vocabulary — the importance-resampling score used to
+    select pretraining data toward a target distribution.
+
+    Each distinct token's log-ratio is quantized to integer micro-nats
+    before any summation (per-doc totals are exact integer sums, so the
+    top-50 ranking orders on exact integers with a doc tie-break — never
+    on recomputed floats). Two vocabulary aggregates + one join of
+    doc-token rows against the weight table; AQE broadcasts the weight
+    table while the vocabulary fits."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(normalize_text("text"), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    dt = toks.groupBy("doc_id", "lang", "tok").agg(F.count(F.lit(1)).alias("occ"))
+    raw = dt.groupBy("tok").agg(F.sum("occ").alias("cr"))
+    tgt = dt.filter(F.col("lang") == "en").groupBy("tok").agg(
+        F.sum("occ").alias("ct")
+    )
+    tot = raw.agg(
+        F.sum("cr").alias("nr"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(
+        dt.filter(F.col("lang") == "en").agg(
+            F.coalesce(F.sum("occ"), F.lit(0)).alias("nt")
+        )
+    )
+    wt = (
+        raw.join(tgt, "tok", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok",
+            F.floor(
+                (
+                    F.log(
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        / (F.col("nt") + F.col("v"))
+                    )
+                    - F.log((F.col("cr") + F.lit(1.0)) / (F.col("nr") + F.col("v")))
+                )
+                * F.lit(1_000_000)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+    scored = (
+        dt.join(wt, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("occ").cast("long").alias("n_tokens"),
+            F.sum(F.col("occ") * F.col("w_micro")).alias("s_micro"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc(F.col("s_micro") * F.lit(1_000_000) / F.col("n_tokens")),
+            F.asc("doc_id"),
+        )
+        .limit(50)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("s_micro").cast("double")
+                / F.col("n_tokens").cast("double")
+                / F.lit(1e6),
+                9,
+            ).alias("importance"),
+        )
+    )
+
+
+def _pq_oracle(dim: int = 64, m: int = 4, k: int = 8, seed: int = 101) -> str:
+    from zenodb_spark.operators.similarity import pq_codebooks
+
+    cbs = pq_codebooks(dim, m, k, seed)
+    sub = dim // m
+    parts = []
+    for j, cb in enumerate(cbs):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        sl = f"v[{lo}:{hi}]"
+        terms = []
+        for c in cb:
+            lit = "[" + ", ".join(repr(x) for x in c) + "]"
+            cc = repr(sum((x * x for x in c), 0.0))
+            terms.append(
+                f"(list_dot_product({sl}, {sl})"
+                f" - 2.0 * list_dot_product({sl}, {lit}) + {cc})"
+            )
+        darr = "[" + ", ".join(terms) + "]"
+        parts.append(
+            f"SELECT vec_id, {j + 1} AS subspace,"
+            f" CAST(list_position({darr}, list_min({darr})) AS INTEGER) AS code,"
+            f" CAST(floor(list_min({darr}) * 1000000 + 0.5) AS BIGINT) AS err_micro"
+            f" FROM e"
+        )
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    codes AS ({union})
+    SELECT subspace, code, CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(err_micro) AS DOUBLE) / count(*) / 1000000, 9)
+             AS avg_err
+    FROM codes GROUP BY 1, 2
+    """
+
+
+@query("q107_pq_codes", _pq_oracle())
+def q107_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code statistics: encode every embedding as m=4
+    one-byte codes (operators/similarity.pq_assign) and report per
+    (subspace, codeword) occupancy + mean quantization error — the code
+    balance / distortion panel that validates an IVF-PQ index build. One
+    narrow no-shuffle projection then a 32-cell aggregate; errors are
+    micro-quantized before summing (exact integer sums, one trailing
+    division)."""
+    from zenodb_spark.operators.similarity import pq_assign, pq_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    codes = pq_assign(emb, pq_codebooks(64, 4, 8, 101))
+    n = F.count(F.lit(1))
+    return codes.groupBy("subspace", "code").agg(
+        n.cast("long").alias("n_vecs"),
+        F.round(
+            F.sum("err_micro").cast("double") / n.cast("double") / F.lit(1e6), 9
+        ).alias("avg_err"),
+    )
