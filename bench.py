@@ -64,6 +64,10 @@ HEADLINE = [
     "q71_tfidf_keywords",
     "q72_bigram_logprob",
     "q73_source_overlap",
+    "q100_activity_streaks",
+    "q103_trade_flows",
+    "q106_dsir_weights",
+    "q107_pq_codes",
     "z01_engine_rollup_sketch",
     "z02_engine_shift",
     "z06_engine_crosstab",

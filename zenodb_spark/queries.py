@@ -4886,3 +4886,97 @@ def q107_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("err_micro").cast("double") / n.cast("double") / F.lit(1e6), 9
         ).alias("avg_err"),
     )
+
+
+@query(
+    "q108_stream_dedup",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_first
+    FROM events GROUP BY 1
+    """,
+)
+def q108_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING (keyed-state path): cross-micro-batch first-occurrence
+    dedup on (user_id, event_type) via applyInPandasWithState
+    (streaming/stateful.stream_dedup_first), run as a 4-micro-batch
+    availableNow pass; each key emits exactly once, so counting the sink
+    per event_type must equal the batch COUNT(DISTINCT user_id) — the
+    oracle proves the keyed state store loses and duplicates nothing.
+    State is one marker byte per key (TTL-boundable); the shuffle is the
+    same hash exchange a batch distinct would use."""
+    import tempfile
+
+    from zenodb_spark.streaming.stateful import stream_dedup_first
+
+    tmp = tempfile.mkdtemp(prefix="zspark_q108_")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        "event_type",
+        F.concat_ws("|", F.col("user_id").cast("string"), "event_type").alias("k"),
+    )
+    src = f"{tmp}/src"
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    deduped = stream_dedup_first(stream, "k", ["event_id"])
+    name = f"q108_sink_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_first"))
+    )
+
+
+def _ann_recall_oracle() -> str:
+    brute = ORACLE["q27_ann_cosine"]
+    lsh = _ann_lsh_oracle()
+    return f"""
+    SELECT b.query_id,
+           CAST(count(l.neighbor_id) AS BIGINT) AS n_matched,
+           CAST(5 AS BIGINT) AS k,
+           round(count(l.neighbor_id) / 5.0, 9) AS recall
+    FROM ({brute}) b
+    LEFT JOIN ({lsh}) l
+      ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+    GROUP BY 1
+    """
+
+
+@query("q109_ann_recall", _ann_recall_oracle())
+def q109_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@5 of the LSH-bucketed search (q33)
+    against the exact brute-force top-5 (q27), per query vector — the
+    metric that decides whether an approximate index is shippable. Both
+    sides reuse the library operators unchanged; the join is on the tiny
+    top-k outputs (k rows per query), so the harness adds no scan cost
+    beyond the two searches themselves."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qside = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk(emb, qside, "vec_id", "embedding", k=5, dim=64)
+    lsh = similarity.lsh_cosine_topk(
+        emb, qside, "vec_id", "embedding", k=5, bits=8, dim=64, seed=42
+    )
+    b = brute.select("query_id", "neighbor_id")
+    l = lsh.select("query_id", F.col("neighbor_id").alias("l_neighbor"))
+    joined = b.join(
+        l,
+        (b.query_id == l.query_id) & (b.neighbor_id == l.l_neighbor),
+        "left",
+    ).select(b.query_id.alias("qid"), "l_neighbor")
+    return joined.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count("l_neighbor").cast("long").alias("n_matched"),
+        F.lit(5).cast("long").alias("k"),
+        F.round(F.count("l_neighbor") / F.lit(5.0), 9).alias("recall"),
+    )
