@@ -4570,12 +4570,12 @@ def q103_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bilateral trade-flow matrix (TPC-H Q7 shape on available columns):
     revenue between supplier nation and customer nation.
 
-    Join strategy for 100 TB: nation is O(25) and supplier is the
-    SF-scaled-but-small dim -> broadcast both onto lineitem with no fact
-    shuffle; orders x lineitem is the one unavoidable fact-fact shuffle on
-    orderkey; customer->nation resolves map-side on the already-shuffled
-    rows via another broadcast. One exchange total; the final 25x25 cell
-    aggregate is map-side combined. Exact cents revenue."""
+    Join strategy for 100 TB: only the O(25)-row nation relations carry
+    broadcast hints; supplier and customer are SF-scaled, so their joins
+    are left to AQE (broadcast while they fit, shuffle beyond). Orders x
+    lineitem is the one unavoidable fact-fact shuffle on orderkey; the
+    final 25x25 cell aggregate is map-side combined. Exact cents
+    revenue."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -4587,8 +4587,10 @@ def q103_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     cn = n.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
+    # supplier is SF-scaled: no forced broadcast (AQE decides); only the
+    # O(25)-row nation relations carry hints
     lsupp = l.join(
-        F.broadcast(s.select("s_suppkey", "s_nationkey")),
+        s.select("s_suppkey", "s_nationkey"),
         F.col("s_suppkey") == F.col("l_suppkey"),
     ).join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
     cust = o.join(
