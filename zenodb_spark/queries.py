@@ -4982,3 +4982,124 @@ def q109_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(5).cast("long").alias("k"),
         F.round(F.count("l_neighbor") / F.lit(5.0), 9).alias("recall"),
     )
+
+
+@query(
+    "q110_clean_pipeline",
+    f"""
+    WITH feat AS (
+      SELECT doc_id, source, lang,
+             len(list_filter(string_split({NORM.format(x='text')}, ' '),
+                             t -> len(t) > 0)) AS n_words,
+             md5({NORM.format(x='text')}) AS fp
+      FROM documents
+    ), staged AS (
+      SELECT *,
+             (lang <> 'en') AS rej_lang,
+             (lang = 'en' AND n_words < 20) AS rej_quality
+      FROM feat
+    ), surv AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM staged WHERE NOT rej_lang AND NOT rej_quality
+    )
+    SELECT s.source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN s.rej_lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_lang_reject,
+           CAST(sum(CASE WHEN s.rej_quality THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_quality_reject,
+           CAST(coalesce(sum(CASE WHEN v.rn > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_dup_reject,
+           CAST(coalesce(sum(CASE WHEN v.rn = 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS n_kept
+    FROM staged s LEFT JOIN surv v ON s.doc_id = v.doc_id
+    GROUP BY 1
+    """,
+)
+def q110_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end C4-style cleanup pipeline with per-stage rejection
+    accounting: language filter → min-length quality filter → corpus-wide
+    exact dedup (keep lowest doc_id), reported per source as a
+    conservation-checked funnel (total = lang + quality + dup + kept).
+
+    This is the composition a real curation run executes; every stage is
+    an operator the suite already verifies in isolation. Scale shape: one
+    narrow feature projection, the dedup window shuffles only the
+    lang+quality survivors on fingerprint, and the report joins back on
+    doc_id — all linear, no driver collect."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(
+            F.filter(F.split(normalize_text("text"), " "), lambda t: F.length(t) > 0)
+        ).alias("n_words"),
+        F.md5(normalize_text("text")).alias("fp"),
+    )
+    staged = feat.select(
+        "*",
+        (F.col("lang") != "en").alias("rej_lang"),
+        ((F.col("lang") == "en") & (F.col("n_words") < 20)).alias("rej_quality"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    surv = (
+        staged.filter(~F.col("rej_lang") & ~F.col("rej_quality"))
+        .withColumn("rn", F.row_number().over(w))
+        .select(F.col("doc_id").alias("v_doc"), "rn")
+    )
+    joined = staged.join(surv, staged.doc_id == surv.v_doc, "left")
+    flag = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        flag(F.col("rej_lang")).alias("n_lang_reject"),
+        flag(F.col("rej_quality")).alias("n_quality_reject"),
+        flag(F.col("rn") > 1).alias("n_dup_reject"),
+        flag(F.col("rn") == 1).alias("n_kept"),
+    )
+
+
+@query(
+    "q111_burst_detection",
+    """
+    WITH e AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
+    ), burst AS (
+      SELECT user_id,
+             count(*) OVER (
+               PARTITION BY user_id ORDER BY sec
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS w_cnt
+      FROM e
+    )
+    SELECT user_id, CAST(max(w_cnt) AS BIGINT) AS max_burst,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (max(w_cnt) >= 10) AS flagged
+    FROM burst GROUP BY 1
+    """,
+)
+def q111_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window burst detection: for every event, the count of the
+    same user's events in the trailing hour (a RANGE-frame window over
+    epoch seconds — value-based, not row-based, so sparse activity is
+    handled exactly); per user, the max burst and a rate-limit flag.
+
+    One user-keyed exchange shared by the window and the final aggregate;
+    the RANGE frame is Spark's native sliding frame (no self-join, no
+    interval explosion). At 100 TB the frame bound keeps per-key state at
+    O(events-in-window), and a hot user is one key — salt by day first if
+    a single user exceeds a task's memory."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", F.expr("ts_ns div 1000000000").cast("long").alias("sec"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    burst = e.withColumn("w_cnt", F.count(F.lit(1)).over(w))
+    return burst.groupBy("user_id").agg(
+        F.max("w_cnt").cast("long").alias("max_burst"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        (F.max("w_cnt") >= 10).alias("flagged"),
+    )
