@@ -5103,3 +5103,157 @@ def q111_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         (F.max("w_cnt") >= 10).alias("flagged"),
     )
+
+
+@query(
+    "q112_dup_span_coverage",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split({NORM.format(x='text')}, ' '),
+                         x -> len(x) > 0) AS toks
+      FROM documents
+    ), wins AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS s,
+             md5(array_to_string(toks[i + 1:i + 10], ' ')) AS h
+      FROM t, unnest(range(0, len(toks) - 9)) AS u(i)
+      WHERE len(toks) >= 10
+    ), dup AS (
+      SELECT h FROM wins GROUP BY h HAVING count(*) >= 2
+    ), marks AS (
+      SELECT w.doc_id, w.s,
+             max(w.s + 9) OVER (
+               PARTITION BY w.doc_id ORDER BY w.s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+      FROM wins w JOIN dup USING (h)
+    ), cov AS (
+      SELECT doc_id,
+             sum(greatest(0, (s + 9) - greatest(coalesce(prev_end, -1), s - 1)))
+               AS covered
+      FROM marks GROUP BY 1
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(coalesce(c.covered, 0) AS BIGINT) AS covered,
+           round(CAST(coalesce(c.covered, 0) AS DOUBLE) / len(t.toks), 9)
+             AS dup_frac
+    FROM t LEFT JOIN cov c USING (doc_id)
+    WHERE len(t.toks) > 0
+    """,
+)
+def q112_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate-span coverage (the Lee et al. 2021
+    "Deduplicating Training Data" signal, window-approximated): every
+    overlapping 10-token window is hashed; windows occurring >= 2 times
+    corpus-wide mark their spans, and each document reports the fraction
+    of its tokens covered by the UNION of its duplicated spans (interval
+    union via the running-max-end island trick — exact integer overlap
+    math, no per-token explosion of the union step).
+
+    Differs from q49 (distinct-shingle document frequency) by measuring
+    positional coverage of repeats — the quantity an exact-substring
+    dedup pass would actually remove. Scale: stride-1 windows cost one
+    row per token (linear); the dup-hash aggregate is map-side combined;
+    span marks rejoin on window hash and the union window shares the
+    doc-keyed exchange. A suffix-array formulation finds arbitrary-length
+    repeats; the fixed-W window is its bounded, shuffle-friendly
+    approximation (spans >= W are caught exactly)."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    W = 10
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(normalize_text("text"), " "), lambda x: F.length(x) > 0
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0)
+    wins = (
+        t.filter(F.size("toks") >= W)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.size("toks") - W)).alias("s"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("s"),
+            F.md5(F.concat_ws(" ", F.slice("toks", F.col("s") + 1, W))).alias("h"),
+        )
+    )
+    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 2)
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marks = wins.join(dup.select("h"), "h").withColumn(
+        "prev_end", F.max(F.col("s") + (W - 1)).over(w)
+    )
+    cov = marks.groupBy("doc_id").agg(
+        F.sum(
+            F.greatest(
+                F.lit(0),
+                (F.col("s") + (W - 1))
+                - F.greatest(F.coalesce(F.col("prev_end"), F.lit(-1)), F.col("s") - 1),
+            )
+        ).alias("covered")
+    )
+    return (
+        t.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("covered"), F.lit(0)).cast("long").alias("covered"),
+            F.round(
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                9,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+@query(
+    "q113_stream_key_counts",
+    """
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_total
+    FROM events GROUP BY 1
+    """,
+)
+def q113_stream_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING (running-counter path): the explicit keyed-state
+    occurrence counter (streaming/stateful.stream_key_counts) run as a
+    4-micro-batch availableNow pass. The counter emits its running total
+    on every batch a key appears in; totals only grow, so the final
+    per-key value is the max over update emissions — and must equal the
+    batch COUNT(*) exactly (the oracle), proving the state survives
+    micro-batch boundaries without loss or double-count."""
+    import tempfile
+
+    from zenodb_spark.streaming.stateful import stream_key_counts
+
+    tmp = tempfile.mkdtemp(prefix="zspark_q113_")
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    src = f"{tmp}/src"
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    counts = stream_key_counts(stream, "event_type")
+    name = f"q113_sink_{abs(hash(sf_dir)) % 10_000}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .groupBy(F.col("key").alias("event_type"))
+        .agg(F.max("n_total").cast("long").alias("n_total"))
+    )
