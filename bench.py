@@ -68,6 +68,11 @@ HEADLINE = [
     "q103_trade_flows",
     "q106_dsir_weights",
     "q107_pq_codes",
+    "q114_customer_distribution",
+    "q117_small_quantity_revenue",
+    "q121_suppliers_at_fault",
+    "q122_order_value_deciles",
+    "q124_cooccurrence_salted",
     "z01_engine_rollup_sketch",
     "z02_engine_shift",
     "z06_engine_crosstab",

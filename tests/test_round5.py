@@ -134,3 +134,61 @@ def test_q123_gini_in_unit_interval_and_tie_stable(spark):
         )
     )
     assert abs(g.collect()[0].gini) < 1e-12
+
+
+def test_session_gap_boundary_inclusive(spark):
+    """An exactly-30-minute gap does NOT split: session windows span
+    [ts, ts+gap] and merge on touch, so q126's oracle must use the
+    strict `> INTERVAL 30 MINUTE` island rule."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, ts=base),
+            Row(user_id=1, ts=base + dt.timedelta(minutes=30)),
+            Row(user_id=1, ts=base + dt.timedelta(minutes=59, seconds=59)),
+        ]
+    )
+    out = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    assert sorted(r.cnt for r in out) == [3]
+
+
+def test_q126_complete_mode_resolves_cross_batch_merge(spark, tmp_path):
+    """Two sessions from batch 1 merge when a bridging event lands in
+    batch 2: the complete-mode sink's final table must hold exactly ONE
+    merged session (Spark forbids update mode for streaming session
+    windows; complete mode re-emits resolved state every trigger)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    early = [Row(user_id=7, ts=base), Row(user_id=7, ts=base + dt.timedelta(minutes=50))]
+    bridge = [Row(user_id=7, ts=base + dt.timedelta(minutes=25))]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(early).coalesce(1).write.parquet(src)
+    spark.createDataFrame(bridge).coalesce(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sess = (
+        stream.withWatermark("ts", "400 days")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    q = (
+        sess.writeStream.format("memory")
+        .queryName("t_q126_merge")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    final = spark.table("t_q126_merge").collect()
+    assert len(final) == 1
+    assert final[0].cnt == 3

@@ -5781,3 +5781,165 @@ def q123_acctbal_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gini"),
         )
     )
+
+
+@query(
+    "q124_cooccurrence_salted",
+    """
+    WITH dt AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM dt a
+    JOIN dt b ON a.user_id = b.user_id AND a.day = b.day
+             AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+)
+def q124_cooccurrence_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-day event-type co-occurrence matrix via a SALTED self-join
+    (operators/skew.salted_join): which event types the same user
+    performs on the same day.
+
+    Why salted: the join key (user_id, day) is organically skewed — a
+    bot-grade user's day can hold millions of rows at 100 TB, and a
+    plain hash join funnels each hot (user, day) into ONE task. The left
+    side gets a deterministic md5 salt (retry-safe; rand() is not), the
+    right side replicates 8×, so each hot key spreads over 8 tasks. The
+    result set is IDENTICAL to the unsalted join — the oracle is the
+    plain SQL join — which is exactly the property the operator
+    guarantees. Dedup to (user, day, type) grain first, so the join
+    inputs are minimal before replication."""
+    from zenodb_spark.operators.skew import salted_join
+
+    ev = load_table(spark, sf_dir, "events")
+    dt = ev.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    left = dt.withColumnRenamed("event_type", "type_a")
+    right = dt.withColumnRenamed("event_type", "type_b")
+    pairs = salted_join(
+        left, right, ["user_id", "day"], n_salts=8, salt_from="type_a"
+    ).filter(F.col("type_a") < F.col("type_b"))
+    return pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
+@query(
+    "q125_distinct_users_skew",
+    """
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def q125_distinct_users_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per event type through the skew-safe
+    two-step lowering (operators/skew.distinct_count_skew): event_type
+    has a HANDFUL of values over the whole stream — the textbook hot-key
+    aggregate. The dedupe shuffle runs on (event_type, user_id), whose
+    cardinality is the full user base (spreads across every task); the
+    per-type count then sees only the deduped survivors. A naive
+    groupBy(event_type).agg(count_distinct(...)) relies on the planner's
+    expand — this spells the safe shape out and pins it with a plan
+    test."""
+    from zenodb_spark.operators.skew import distinct_count_skew
+
+    ev = load_table(spark, sf_dir, "events")
+    return distinct_count_skew(ev, ["event_type"], "user_id", out_col="n_users")
+
+
+@query(
+    "q126_stream_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS p
+      FROM events
+    ),
+    f AS (
+      SELECT user_id, ts,
+             CASE WHEN p IS NULL OR ts - p > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS nf
+      FROM o
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(nf) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+      FROM f
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q126_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING sessionization (full oracle): native `session_window`
+    (30-minute gap) over a 4-micro-batch availableNow pass, proven equal
+    to the batch gaps-and-islands SQL.
+
+    Sessions MERGE across micro-batches (a bridging event fuses two
+    earlier sessions), and Spark forbids update mode for streaming
+    session windows precisely because a merged emission cannot be folded
+    key-by-key. Complete mode sidesteps it: every trigger re-emits the
+    whole (merge-resolved) session state, so after the final batch the
+    sink table IS the answer — no fold. The cross-batch merge case is
+    pinned by a dedicated test. For production pipelines where complete
+    mode's re-emission is too heavy, the append-mode variant with a real
+    watermark emits each session once it is finalized (bounded
+    lateness); this oracle-gated path intentionally trades that for
+    bit-exact completeness. Session start/end come from exact
+    epoch-nanos (timestamp_micros of ts_ns), so `unix_timestamp` is
+    timezone-independent; the gap boundary is INCLUSIVE (an event at
+    exactly prev + 30 min joins the session — session windows span
+    [ts, ts+gap] and merge on touch), matching the oracle's strict
+    `> INTERVAL 30 MINUTE` island rule — pinned by a unit test.
+
+    Scale: sessionization state shuffles once on user_id (same wide edge
+    the batch q52 plan has)."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="zspark_q126_")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.timestamp_micros(F.expr("ts_ns div 1000")).alias("ts"), "user_id"
+    )
+    src = f"{tmp}/src"
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    sess = (
+        stream.withWatermark("ts", "400 days")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    name = f"q126_sink_{abs(hash(sf_dir)) % 10_000}"
+    # session-state partitions follow spark.sql.shuffle.partitions; a bare
+    # 200-partition default costs ~4x wall on this tiny availableNow pass
+    # with zero benefit, so pin it down for the stream and restore after
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sess.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name).select(
+        F.col("user_id"),
+        F.unix_timestamp(F.col("session_window.start"))
+        .cast("long")
+        .alias("session_start"),
+        F.col("cnt").cast("long").alias("n_events"),
+    )
