@@ -73,6 +73,9 @@ HEADLINE = [
     "q121_suppliers_at_fault",
     "q122_order_value_deciles",
     "q124_cooccurrence_salted",
+    "q127_bucketed_join",
+    "q128_time_weighted_avg",
+    "q129_gapfill_locf",
     "z01_engine_rollup_sketch",
     "z02_engine_shift",
     "z06_engine_crosstab",

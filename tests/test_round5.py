@@ -192,3 +192,113 @@ def test_q126_complete_mode_resolves_cross_batch_merge(spark, tmp_path):
     final = spark.table("t_q126_merge").collect()
     assert len(final) == 1
     assert final[0].cnt == 3
+
+
+def test_q127_bucketed_join_has_no_exchange(spark):
+    """The whole point of bucketed storage: with broadcast disabled (at
+    real scale neither fact side fits), the orderkey join must be a
+    sort-merge join with NO shuffle exchange on either input — the
+    bucket spec proves co-location. Only the final small status
+    aggregate may exchange."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        prev_aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    except Exception:
+        prev_aqe = None
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = Q.QUERIES["q127_bucketed_join"](spark, SF_DIR)
+        plan = _plan(df)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+        assert "SelectedBucketsCount" in plan
+        rows = {r.o_orderstatus: r.n_lines for r in df.collect()}
+        assert sum(rows.values()) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        if prev_aqe:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+        else:
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_write_bucketed_sorted_elides_exchange_and_sort(spark, tmp_path):
+    """With sortBy on the bucket key and broadcast disabled, the
+    sort-merge join needs neither Exchange nor extra Sort for its
+    inputs."""
+    from pyspark.sql import Row
+    from zenodb_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    a = spark.createDataFrame([Row(k=i, va=i * 2) for i in range(100)])
+    b = spark.createDataFrame([Row(k=i, vb=i * 3) for i in range(100)])
+    write_bucketed(a, "t_bk_a", ["k"], 4, sort_cols=["k"], path=str(tmp_path / "a"))
+    write_bucketed(b, "t_bk_b", ["k"], 4, sort_cols=["k"], path=str(tmp_path / "b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        out = read_bucketed(spark, "t_bk_a").join(read_bucketed(spark, "t_bk_b"), "k")
+        plan = _plan(out)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan
+        assert out.count() == 100
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_q129_locf_drops_leading_and_flags_filled(spark):
+    """Buckets before a type's first observation must be absent; filled
+    buckets carry the previous bucket's exact (sum, count) pair."""
+    rows = Q.QUERIES["q129_gapfill_locf"](spark, SF_DIR).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.bucket)
+        # contiguous hourly spine from first observation onward
+        assert all(b.bucket - a.bucket == 3600 for a, b in zip(rs, rs[1:]))
+        # first row of each type is a real observation, never a fill
+        assert rs[0].filled == 0
+        # a filled bucket replicates its predecessor's value exactly
+        for a, b in zip(rs, rs[1:]):
+            if b.filled == 1:
+                assert b.avg_value == a.avg_value
+
+
+def test_q128_twa_weights_by_duration(spark):
+    """Hand series: value 10 held for 3s then 40 for 1s -> TWA 17.5
+    (plain AVG would say 25)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            Row(user_id=1, event_id=1, value=10.0, ts=base),
+            Row(user_id=1, event_id=2, value=40.0, ts=base + dt.timedelta(seconds=3)),
+            Row(user_id=1, event_id=3, value=0.0, ts=base + dt.timedelta(seconds=4)),
+        ]
+    )
+    o = df.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("val_c"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+    )
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ms", "event_id")
+    g = o.withColumn("gap_ms", F.lead("ms").over(w) - F.col("ms")).filter(
+        F.col("gap_ms").isNotNull() & (F.col("gap_ms") > 0)
+    )
+    out = g.groupBy("user_id").agg(
+        (
+            F.sum(F.col("val_c") * F.col("gap_ms")).cast("double")
+            / F.sum("gap_ms")
+            / 100.0
+        ).alias("twa")
+    )
+    assert abs(out.collect()[0].twa - 17.5) < 1e-9

@@ -5943,3 +5943,414 @@ def q126_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("session_start"),
         F.col("cnt").cast("long").alias("n_events"),
     )
+
+
+@query(
+    "q127_bucketed_join",
+    f"""
+    SELECT o.o_orderstatus,
+           sum({C.format(x='l.l_extendedprice * (1 - l.l_discount)')}) / 100.0
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def q127_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join over BUCKETED storage (sources/bucketed): orders
+    and lineitem are materialized once, bucketed+sorted by orderkey with
+    the same bucket count, and the revenue join then runs with NO
+    shuffle exchange on either side — the optimizer proves co-location
+    from the bucket spec (pinned by a plan test).
+
+    This is the write-once/join-forever pattern for the 100 TB fact
+    tables: the one shuffle happens at landing time; every subsequent
+    orderkey join or aggregate reads co-located buckets. The final
+    3-row status rollup still exchanges — that aggregate is on a
+    different key and is tiny. Values are identical to the plain join
+    (the oracle), since bucketing changes layout, not content."""
+    from zenodb_spark.sources.bucketed import read_bucketed, write_bucketed
+
+    tag = abs(hash(sf_dir)) % 10_000
+    ot, lt = f"q127_orders_b{tag}", f"q127_lineitem_b{tag}"
+    if not spark.catalog.tableExists(ot):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_orderstatus"
+            ),
+            ot,
+            ["o_orderkey"],
+            8,
+            sort_cols=["o_orderkey"],
+        )
+    if not spark.catalog.tableExists(lt):
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_extendedprice", "l_discount"
+            ),
+            lt,
+            ["l_orderkey"],
+            8,
+            sort_cols=["l_orderkey"],
+        )
+    o = read_bucketed(spark, ot)
+    l = read_bucketed(spark, lt)
+    return (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            (
+                F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+                / F.lit(100.0)
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q128_time_weighted_avg",
+    f"""
+    WITH o AS (
+      SELECT user_id, event_id,
+             {C.format(x='value')} AS val_c,
+             epoch_ms(ts) AS ms
+      FROM events
+    ),
+    g AS (
+      SELECT user_id, val_c,
+             lead(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) - ms
+               AS gap_ms
+      FROM o
+    )
+    SELECT user_id,
+           round(CAST(sum(val_c * gap_ms) AS DOUBLE)
+                 / CAST(sum(gap_ms) AS DOUBLE) / 100.0, 9) AS twa_value,
+           CAST(sum(gap_ms) AS BIGINT) AS span_ms,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM g WHERE gap_ms IS NOT NULL AND gap_ms > 0
+    GROUP BY 1
+    """,
+)
+def q128_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of `value` per user — each observation
+    weighted by how long it was the LATEST observation (the metric a
+    sampled gauge needs; a plain AVG over-weights bursts). The core
+    irregular-time-series operator the reference's fixed-period buckets
+    cannot express.
+
+    Exact: epoch-ms from the exact nanos column, value in integer cents;
+    Σ(val·gap) accumulates as decimal(38,0) — a hot user's product sum
+    can pass 2^63 at 100 TB (val_c ≤ ~5e6 cents × gaps in ms over years)
+    — and DuckDB's BIGINT sum widens to HUGEINT the same way, so both
+    engines divide the same exact integers. One user-keyed shuffle
+    shared by the lead window and the aggregate (exchange reuse);
+    zero-gap ties (same ms) drop out of both numerator and denominator
+    identically."""
+    ev = load_table(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id",
+        "event_id",
+        cents("value").alias("val_c"),
+        F.expr("ts_ns div 1000000").alias("ms"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    g = o.withColumn("gap_ms", F.lead("ms").over(w) - F.col("ms")).filter(
+        F.col("gap_ms").isNotNull() & (F.col("gap_ms") > 0)
+    )
+    return g.groupBy("user_id").agg(
+        F.round(
+            F.sum((F.col("val_c") * F.col("gap_ms")).cast("decimal(38,0)"))
+            .cast("double")
+            / F.sum(F.col("gap_ms").cast("decimal(38,0)")).cast("double")
+            / F.lit(100.0),
+            9,
+        ).alias("twa_value"),
+        F.sum("gap_ms").cast("long").alias("span_ms"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+
+
+@query(
+    "q129_gapfill_locf",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket,
+             sum({C.format(x='value')}) AS s_c,
+             count(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT min(bucket) AS bmin, max(bucket) AS bmax FROM b
+    ),
+    spine AS (
+      SELECT t.event_type, g.bucket
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(bmin, bmax, 3600)) AS bucket
+        FROM bounds
+      ) g
+    ),
+    joined AS (
+      SELECT sp.event_type, sp.bucket, b.s_c, b.cnt
+      FROM spine sp LEFT JOIN b
+        ON b.event_type = sp.event_type AND b.bucket = sp.bucket
+    ),
+    filled AS (
+      SELECT event_type, bucket,
+             CASE WHEN cnt IS NULL THEN 1 ELSE 0 END AS filled,
+             last_value(s_c IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket) AS f_s,
+             last_value(cnt IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY bucket) AS f_c
+      FROM joined
+    )
+    SELECT event_type, bucket, CAST(filled AS BIGINT) AS filled,
+           round(CAST(f_s AS DOUBLE) / f_c / 100.0, 9) AS avg_value
+    FROM filled WHERE f_c IS NOT NULL
+    """,
+)
+def q129_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill + last-observation-carried-forward: densify the hourly
+    per-type average-value series over the full observed range, filling
+    empty hours with the most recent hour's value (flagged). The
+    standard time-series densification the reference leaves to clients
+    (its buckets simply skip empty periods).
+
+    Plan: per-(type, hour) aggregate (one shuffle, map-side combined);
+    the spine is generated — sequence() over the 1-row global bounds
+    cross-joined with the distinct types, never materialized wider than
+    types × hours; LOCF is `last(..., ignorenulls)` over the type-
+    partitioned window sharing the spine's partitioning. The carried
+    value is the exact integer (Σcents, count) PAIR — carrying a
+    pre-divided float would re-round; the division happens once at the
+    end. Leading buckets before a type's first observation are dropped
+    (no value to carry) in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.select(
+            "event_type",
+            (F.floor(F.expr("ts_ns div 1000000000") / 3600) * 3600)
+            .cast("long")
+            .alias("bucket"),
+            cents("value").alias("val_c"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.sum("val_c").alias("s_c"), F.count(F.lit(1)).alias("cnt"))
+    )
+    bounds = b.agg(
+        F.min("bucket").alias("bmin"), F.max("bucket").alias("bmax")
+    )
+    types = ev.select("event_type").distinct()
+    spine = types.join(F.broadcast(bounds)).select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("bmin"), F.col("bmax"), F.lit(3600))
+        ).alias("bucket"),
+    )
+    joined = spine.join(b, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = joined.select(
+        "event_type",
+        "bucket",
+        F.when(F.col("cnt").isNull(), 1).otherwise(0).cast("long").alias("filled"),
+        F.last("s_c", ignorenulls=True).over(w).alias("f_s"),
+        F.last("cnt", ignorenulls=True).over(w).alias("f_c"),
+    )
+    return filled.filter(F.col("f_c").isNotNull()).select(
+        "event_type",
+        "bucket",
+        "filled",
+        F.round(
+            F.col("f_s").cast("double") / F.col("f_c") / F.lit(100.0), 9
+        ).alias("avg_value"),
+    )
+
+
+@query(
+    "q130_winsorized_mean",
+    f"""
+    WITH v AS (
+      SELECT event_type, {C.format(x='value')} AS val_c FROM events
+    ),
+    p AS (
+      SELECT event_type,
+             quantile_cont(val_c, 0.05) AS p05,
+             quantile_cont(val_c, 0.95) AS p95
+      FROM v GROUP BY 1
+    )
+    SELECT v.event_type,
+           round(CAST(sum(CAST(floor(
+               least(greatest(CAST(v.val_c AS DOUBLE), p.p05), p.p95) * 10000
+               + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 9)
+             AS winsorized_mean,
+           CAST(count(*) AS BIGINT) AS n
+    FROM v JOIN p ON p.event_type = v.event_type
+    GROUP BY 1
+    """,
+)
+def q130_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean of `value` per event type: clamp to the exact
+    [P05, P95] interpolated percentiles, then average — the robust
+    location estimate that, unlike trimming, keeps n constant.
+    Complements the MAD spread panel (q98).
+
+    Determinism: the clamped value is re-quantized to integer
+    micro-cents BEFORE summation (floor(clamped·1e4 + 0.5)) — clamping
+    yields doubles (interpolated bounds), and a float SUM would be
+    partition-order-dependent; the integer sum is exact and
+    order-free. Percentiles are exact-interpolated (quantile_cont
+    parity), computed per type and joined back via the tiny 5-row
+    broadcast."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", cents("value").alias("val_c"))
+    p = v.groupBy("event_type").agg(
+        percentile_exact("val_c", 0.05).alias("p05"),
+        percentile_exact("val_c", 0.95).alias("p95"),
+    )
+    clamped = v.join(F.broadcast(p), "event_type").select(
+        "event_type",
+        F.floor(
+            F.least(
+                F.greatest(F.col("val_c").cast("double"), F.col("p05")),
+                F.col("p95"),
+            )
+            * 10000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w_uc"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.round(
+            F.sum("w_uc").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0), 9
+        ).alias("winsorized_mean"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q131_stream_stream_join",
+    """
+    WITH c AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM c JOIN p ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+def q131_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM JOIN (full oracle): clicks joined to purchases of
+    the same user within the following hour, both sides read as
+    streams, 4 micro-batches each, availableNow — the emitted pair set
+    must equal the batch interval join (the oracle).
+
+    Stream-stream inner joins buffer both sides in state; the time-range
+    conjunct (p.ts ∈ [c.ts, c.ts+1h)) is what lets the state manager
+    evict a buffered click once the purchase-side watermark passes
+    c.ts+1h. Here the watermark delay exceeds the data span, so nothing
+    evicts and the emitted set is bit-complete; production pipelines
+    shrink the delay to bound state at the cost of dropping
+    later-than-delay data — the trade test_streaming exercises. Matches
+    emit as they are found (append semantics), so the sink needs no
+    fold. Scale: state shuffles once per side on user_id — the same
+    exchange the batch join would make; the range conjunct bounds each
+    buffered row's lifetime."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="zspark_q131_")
+    ev = load_table(spark, sf_dir, "events").select(
+        F.timestamp_micros(F.expr("ts_ns div 1000")).alias("ts"),
+        "user_id",
+        "event_type",
+    )
+    src = f"{tmp}/src"
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def _side(tag: str, typ: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .filter(F.col("event_type") == typ)
+            .select(
+                F.col("user_id").alias(f"{tag}_user"),
+                F.col("ts").alias(f"{tag}_ts"),
+            )
+            .withWatermark(f"{tag}_ts", "400 days")
+        )
+
+    clicks, purchases = _side("c", "click"), _side("p", "purchase")
+    pairs = clicks.join(
+        purchases,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    name = f"q131_sink_{abs(hash(sf_dir)) % 10_000}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(name)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query(
+    "q132_cube_rollup",
+    f"""
+    SELECT c.c_mktsegment, o.o_orderpriority,
+           CAST(GROUPING(c.c_mktsegment) * 2 + GROUPING(o.o_orderpriority)
+                AS BIGINT) AS gid,
+           sum({C.format(x='o.o_totalprice')}) / 100.0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY CUBE (c.c_mktsegment, o.o_orderpriority)
+    """,
+)
+def q132_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full CUBE over (market segment, order priority): every subtotal
+    plane plus the grand total in ONE pass, labeled by grouping_id —
+    the dashboard-panel completion of q39's linear ROLLUP.
+
+    Spark expands the cube with a single Expand node feeding one
+    partial+final hash aggregate (4 planes × input rows map-side, but
+    combined before the shuffle), not four separate scans; gid bit
+    order (leftmost column = MSB) matches GROUPING(a)·2 + GROUPING(b).
+    The customer join is left to AQE (SF-scaled dim)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    j = o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+    return (
+        j.cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select("c_mktsegment", "o_orderpriority", "gid", "revenue", "n_orders")
+    )
