@@ -302,3 +302,33 @@ def test_q128_twa_weights_by_duration(spark):
         ).alias("twa")
     )
     assert abs(out.collect()[0].twa - 17.5) < 1e-9
+
+
+def test_dynamic_partition_pruning_on_partitioned_store(spark, tmp_path):
+    """The day-partitioned store layout (engine compact / landing) must
+    benefit from Catalyst's dynamic partition pruning: joining the
+    partitioned fact to a selectively-FILTERED small dim injects a
+    runtime pruning subquery into the fact scan, so only the joined
+    days are read — the mechanism retention/ASOF directory pruning
+    relies on for join-derived predicates at 100 TB. Note the filter
+    must be a literal comparison: a bare boolean attribute is not
+    classified "likely selective" and DPP stays off (pinned here so the
+    knowledge survives)."""
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        Row(day=base + dt.timedelta(days=i % 10), v=float(i)) for i in range(1000)
+    ]
+    path = str(tmp_path / "fact")
+    spark.createDataFrame(rows).write.partitionBy("day").parquet(path)
+    fact = spark.read.parquet(path)
+    dpath = str(tmp_path / "dim")
+    spark.createDataFrame(
+        [Row(day=base + dt.timedelta(days=i), flag=int(i < 2)) for i in range(10)]
+    ).write.parquet(dpath)
+    dim = spark.read.parquet(dpath).filter("flag = 1")
+    out = fact.join(F.broadcast(dim), "day").agg(F.sum("v").alias("s"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert out.collect()[0].s is not None

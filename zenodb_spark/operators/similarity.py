@@ -518,3 +518,46 @@ def pq_assign(
         F.col("pq.code").alias("code"),
         F.col("pq.err_micro").alias("err_micro"),
     )
+
+
+def pq_lut(
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query PQ distance lookup table for ADC (asymmetric distance
+    computation): for every (query, subspace, codeword), the exact
+    squared L2 between the query's subvector and the codeword —
+    micro-quantized to a long so downstream per-document sums are exact
+    integer adds (order-free across partitions).
+
+    m·k rows per query (e.g. 4·8 = 32): O(model) output, broadcastable.
+    Same expression shapes as pq_assign, so the DuckDB oracle replay is
+    bit-identical."""
+    sub = len(codebooks[0][0])
+    rows = []
+    for j, cb in enumerate(codebooks):
+        s = F.slice(F.col(vec_col), j * sub + 1, sub)
+        ss = dot(s, s)
+        for ci, c in enumerate(cb):
+            lit_c = F.array(*[F.lit(x) for x in c])
+            cc = sum((x * x for x in c), 0.0)
+            d = ss - 2.0 * dot(s, lit_c) + F.lit(cc)
+            rows.append(
+                F.struct(
+                    F.lit(j + 1).alias("subspace"),
+                    F.lit(ci + 1).alias("code"),
+                    F.floor(d * F.lit(1_000_000) + F.lit(0.5))
+                    .cast("long")
+                    .alias("d_micro"),
+                )
+            )
+    return queries.select(
+        F.col(id_col).alias("query_id"), F.explode(F.array(*rows)).alias("t")
+    ).select(
+        "query_id",
+        F.col("t.subspace").alias("subspace"),
+        F.col("t.code").alias("code"),
+        F.col("t.d_micro").alias("d_micro"),
+    )

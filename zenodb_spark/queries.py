@@ -6354,3 +6354,103 @@ def q132_cube_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_mktsegment", "o_orderpriority", "gid", "revenue", "n_orders")
     )
+
+
+def _adc_oracle(dim: int = 64, m: int = 4, k: int = 8, seed: int = 101) -> str:
+    from zenodb_spark.operators.similarity import pq_codebooks
+
+    cbs = pq_codebooks(dim, m, k, seed)
+    sub = dim // m
+    # codes CTE: same per-subspace argmin replay as _pq_oracle
+    code_parts = []
+    lut_parts = []
+    for j, cb in enumerate(cbs):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        sl = f"v[{lo}:{hi}]"
+        terms = []
+        for ci, c in enumerate(cb):
+            lit = "[" + ", ".join(repr(x) for x in c) + "]"
+            cc = repr(sum((x * x for x in c), 0.0))
+            term = (
+                f"(list_dot_product({sl}, {sl})"
+                f" - 2.0 * list_dot_product({sl}, {lit}) + {cc})"
+            )
+            terms.append(term)
+            lut_parts.append(
+                f"SELECT vec_id AS query_id, {j + 1} AS subspace,"
+                f" {ci + 1} AS code,"
+                f" CAST(floor({term} * 1000000 + 0.5) AS BIGINT) AS d_micro"
+                f" FROM q"
+            )
+        darr = "[" + ", ".join(terms) + "]"
+        code_parts.append(
+            f"SELECT vec_id, {j + 1} AS subspace,"
+            f" CAST(list_position({darr}, list_min({darr})) AS INTEGER) AS code"
+            f" FROM e"
+        )
+    codes_union = " UNION ALL ".join(code_parts)
+    lut_union = " UNION ALL ".join(lut_parts)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE vec_id <= 3),
+    codes AS ({codes_union}),
+    lut AS ({lut_union}),
+    adc AS (
+      SELECT l.query_id, c.vec_id, sum(l.d_micro) AS adc_micro
+      FROM codes c JOIN lut l
+        ON l.subspace = c.subspace AND l.code = c.code
+      WHERE c.vec_id <> l.query_id
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT query_id, vec_id, adc_micro,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY adc_micro, vec_id) AS rnk
+      FROM adc
+    )
+    SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS BIGINT) AS rnk,
+           round(adc_micro / 1000000.0, 9) AS adc_dist
+    FROM ranked WHERE rnk <= 5
+    """
+
+
+@query("q133_pq_adc_search", _adc_oracle())
+def q133_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k search (asymmetric distance computation): rank the
+    corpus against each query by the sum of per-subspace lookup-table
+    distances to the documents' PQ codes — the memory-bound scan that
+    makes billion-vector ANN affordable (codes are m bytes, the float
+    vectors never leave storage after encoding).
+
+    Plan: codes come from pq_assign (narrow, no shuffle); the per-query
+    LUT (pq_lut, m·k·|queries| rows, O(model)) broadcast-joins onto the
+    code stream; per-(query, doc) ADC distances are exact integer sums
+    of micro-quantized LUT entries (order-free), and the top-5 window
+    runs per query. Production composes this with the IVF probe (q43)
+    to rank only a few lists instead of the whole corpus — this query
+    is the exhaustive-ADC building block, oracle-replayed in DuckDB
+    bit-for-bit."""
+    from zenodb_spark.operators.similarity import pq_assign, pq_codebooks, pq_lut
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(64, 4, 8, 101)
+    codes = pq_assign(emb, cbs).drop("err_micro")
+    lut = pq_lut(emb.filter(F.col("vec_id") <= 3), cbs)
+    adc = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
+    return (
+        adc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rnk").cast("long").alias("rnk"),
+            F.round(F.col("adc_micro") / F.lit(1000000.0), 9).alias("adc_dist"),
+        )
+    )
