@@ -1,0 +1,82 @@
+"""Property-based parity tests (hypothesis): the custom distributed
+operators must agree with their naive single-node forms on ARBITRARY
+inputs, not just the fixtures — randomized key distributions (including
+heavy skew, empty frames, all-ties) are exactly where partitioning bugs
+hide. Example counts are kept small: each example is a full Spark
+round-trip."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Row, functions as F
+
+from zenodb_spark.operators.prefix import running_total
+from zenodb_spark.operators.skew import distinct_count_skew, salted_join
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+keys = st.integers(min_value=0, max_value=4)  # tiny key space → forced skew
+vals = st.integers(min_value=-100, max_value=100)
+
+
+@settings(**_SETTINGS)
+@given(
+    left=st.lists(st.tuples(keys, vals), min_size=1, max_size=40),
+    right=st.lists(st.tuples(keys, vals), min_size=1, max_size=10),
+    n_salts=st.integers(min_value=1, max_value=5),
+)
+def test_salted_join_equals_plain_join(spark, left, right, n_salts):
+    ldf = spark.createDataFrame([Row(k=k, v=v) for k, v in left])
+    rdf = spark.createDataFrame(
+        [Row(k=k, d=d) for k, d in right]
+    ).dropDuplicates(["k"])
+    plain = sorted(
+        map(tuple, ldf.join(rdf, ["k"]).select("k", "v", "d").collect())
+    )
+    salted = sorted(
+        map(
+            tuple,
+            salted_join(ldf, rdf, ["k"], n_salts=n_salts, salt_from="v")
+            .select("k", "v", "d")
+            .collect(),
+        )
+    )
+    assert plain == salted
+
+
+@settings(**_SETTINGS)
+@given(rows=st.lists(st.tuples(keys, vals), min_size=1, max_size=50))
+def test_distinct_count_skew_equals_count_distinct(spark, rows):
+    df = spark.createDataFrame([Row(k=k, v=v) for k, v in rows])
+    safe = {
+        r.k: r.n_distinct for r in distinct_count_skew(df, ["k"], "v").collect()
+    }
+    ref = {
+        r.k: r.n
+        for r in df.groupBy("k").agg(F.count_distinct("v").alias("n")).collect()
+    }
+    assert safe == ref
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(vals, min_size=1, max_size=60),
+    n_parts=st.integers(min_value=1, max_value=6),
+)
+def test_running_total_equals_sequential_cumsum(spark, rows, n_parts):
+    df = spark.createDataFrame([Row(i=i, v=v) for i, v in enumerate(rows)])
+    out = {
+        r.i: r.rt
+        for r in running_total(
+            df, ["i"], "v", out_col="rt", num_partitions=n_parts
+        ).collect()
+    }
+    acc, expected = 0, {}
+    for i, v in enumerate(rows):
+        acc += v
+        expected[i] = acc
+    assert out == expected

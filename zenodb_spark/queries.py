@@ -6454,3 +6454,140 @@ def q133_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("adc_micro") / F.lit(1000000.0), 9).alias("adc_dist"),
         )
     )
+
+
+@query(
+    "q134_incremental_dedup",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source, md5({NORM.format(x='text')}) AS fp
+      FROM documents
+    ),
+    old AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 2 = 0),
+    new AS (SELECT * FROM fp WHERE doc_id % 2 = 1),
+    marked AS (
+      SELECT n.doc_id, n.source,
+             CASE WHEN o.fp IS NOT NULL THEN 'vs_corpus'
+                  WHEN row_number() OVER (
+                    PARTITION BY n.fp ORDER BY n.doc_id) > 1 THEN 'in_batch'
+                  ELSE 'kept' END AS status
+      FROM new n LEFT JOIN old o ON o.fp = n.fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_new,
+           CAST(count(*) FILTER (status = 'kept') AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (status = 'vs_corpus') AS BIGINT)
+             AS n_dup_corpus,
+           CAST(count(*) FILTER (status = 'in_batch') AS BIGINT)
+             AS n_dup_batch
+    FROM marked GROUP BY 1
+    """,
+)
+def q134_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup: a NEW batch (odd doc ids) checked
+    against the EXISTING corpus's fingerprint set (even ids) — the
+    steady-state shape of a production pipeline, where each day's crawl
+    dedups against years of history without ever re-reading the old
+    TEXT (only its fingerprints).
+
+    Classification per new doc: duplicate-vs-corpus (fingerprint already
+    known), duplicate-within-batch (a smaller-id twin in the same
+    batch), else kept. One fp-keyed shuffle serves the corpus join AND
+    the within-batch window (exchange reuse); at 100 TB the corpus side
+    is a pre-materialized fingerprint table (bucketable by fp via
+    sources/bucketed so the daily join is exchange-free on the corpus
+    side)."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(normalize_text("text")).alias("fp")
+    )
+    old = docs.filter(F.col("doc_id") % 2 == 0).select("fp").distinct()
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    marked = (
+        new.join(
+            old.withColumn("known", F.lit(True)), "fp", "left"
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "status",
+            F.when(F.col("known"), "vs_corpus")
+            .when(F.col("rn") > 1, "in_batch")
+            .otherwise("kept"),
+        )
+    )
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.count(F.when(F.col("status") == "kept", 1)).alias("n_kept"),
+        F.count(F.when(F.col("status") == "vs_corpus", 1)).alias("n_dup_corpus"),
+        F.count(F.when(F.col("status") == "in_batch", 1)).alias("n_dup_batch"),
+    )
+
+
+@query(
+    "q135_stream_dedup_builtin",
+    """
+    SELECT source, CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct
+    FROM documents GROUP BY 1
+    """,
+)
+def q135_stream_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING built-in dedup (full oracle): Structured Streaming's
+    native `dropDuplicatesWithinWatermark` over a 4-micro-batch
+    availableNow pass — the engine-provided twin of the custom
+    applyInPandasWithState dedup (q108). Keyed on (source, fp): a
+    fingerprint can appear under several sources, and a GLOBAL dedup
+    would credit the arrival-order-dependent first source — not
+    well-defined across engines. With the watermark delay beyond the
+    data span, every key survives exactly once, so per-source counts
+    equal the batch COUNT(DISTINCT md5) per source.
+
+    The built-in form is what production should prefer when "dedup
+    within a lateness horizon" suffices: state eviction is handled by
+    the watermark (bounded memory), no Python state function on the hot
+    path. The custom stateful op remains for semantics the built-in
+    lacks (TTL by count, first-occurrence payload capture)."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="zspark_q135_")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.col("text")).alias("fp"),
+        # synthetic monotone event time: dedup-within-watermark needs
+        # one. Offset away from epoch 0 — the initial watermark IS 0, and
+        # a row landing exactly on it is discarded as late (cost one row
+        # in testing; pinned here)
+        F.timestamp_micros((F.col("doc_id") + 1) * 1_000_000).alias("ts"),
+    )
+    src = f"{tmp}/src"
+    docs.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    deduped = (
+        stream.withWatermark("ts", "400 days")
+        .dropDuplicatesWithinWatermark(["source", "fp"])
+    )
+    name = f"q135_sink_{abs(hash(sf_dir)) % 10_000}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(name)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
+    )
