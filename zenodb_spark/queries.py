@@ -6591,3 +6591,212 @@ def q135_stream_dedup_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).cast("long").alias("n_distinct"))
     )
+
+
+@query(
+    "q136_jsonl_roundtrip",
+    f"""
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           sum({C.format(x='value')}) AS sum_c
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q136_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source/sink fidelity: events written as JSONL and read
+    back through the JSON reader with an EXPLICIT schema, then
+    aggregated — results must equal the oracle computed on the original
+    parquet, proving the text round-trip loses nothing. Timestamps
+    travel as exact epoch-nanos longs (ISO-string timestamps re-enter
+    through timezone-dependent parsing — the classic JSONL landmine;
+    ship integers). Doubles round-trip via JSON's shortest-repr and are
+    re-quantized to cents after the read, so even a last-ulp textual
+    wobble cannot reach the aggregate.
+
+    Scale: JSONL is the landing format of most crawls; the reader
+    streams per-file (no shuffle), schema-on-read skips inference (a
+    full extra pass at 100 TB), and the aggregate is the usual
+    partial+final pair."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="zspark_q136_")
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts_ns", "event_type", "value"
+    )
+    path = f"{tmp}/events_jsonl"
+    ev.write.json(path)
+    back = spark.read.schema("ts_ns long, event_type string, value double").json(
+        path
+    )
+    return back.groupBy(
+        "event_type",
+        (F.floor(F.expr("ts_ns div 1000000000") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("value")).alias("sum_c"),
+    )
+
+
+@query(
+    "q137_csv_roundtrip",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           sum({C.format(x='l_extendedprice')}) AS price_c,
+           sum({C.format(x='l_quantity')}) AS qty_c
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def q137_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source/sink fidelity: lineitem's measure columns written as
+    headered CSV and read back with an explicit schema (no inference
+    pass), aggregated to the Q1-style panel — equal to the oracle on
+    the original parquet. Doubles survive via shortest-repr round-trip
+    and are re-quantized to cents post-read; strings here are
+    delimiter-safe (real pipelines must also pin quote/escape modes —
+    the reader options are part of the contract, not decoration).
+
+    Scale: CSV remains the interchange format for warehouse dumps; the
+    reader is splittable per file, so parallelism follows file layout.
+    Schema-on-read skips the inference scan."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="zspark_q137_")
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_quantity"
+    )
+    path = f"{tmp}/lineitem_csv"
+    l.write.option("header", True).csv(path)
+    back = (
+        spark.read.option("header", True)
+        .schema(
+            "l_returnflag string, l_linestatus string,"
+            " l_extendedprice double, l_quantity double"
+        )
+        .csv(path)
+    )
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("l_extendedprice")).alias("price_c"),
+        F.sum(cents("l_quantity")).alias("qty_c"),
+    )
+
+
+def _label_noise_oracle(dim: int = 64, k: int = 8, seed: int = 43) -> str:
+    from zenodb_spark.operators.similarity import ivf_centroids
+
+    cents_l = ivf_centroids(dim, k, seed)
+    terms = []
+    for c in cents_l:
+        lit = "[" + ", ".join(repr(x) for x in c) + "]"
+        cc = repr(sum((x * x for x in c), 0.0))
+        terms.append(
+            f"(list_dot_product(v, v) - 2.0 * list_dot_product(v, {lit}) + {cc})"
+        )
+    darr = "[" + ", ".join(terms) + "]"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    assigned AS (
+      SELECT vec_id, label, v,
+             CAST(list_position({darr}, list_min({darr})) AS INTEGER)
+               AS centroid,
+             sqrt(list_dot_product(v, v)) AS nrm
+      FROM e
+    ),
+    pairs AS (
+      SELECT a.vec_id, a.label AS own_label, b.label AS nb_label,
+             row_number() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC,
+                        b.vec_id) AS rnk
+      FROM assigned a JOIN assigned b
+        ON a.centroid = b.centroid AND a.vec_id <> b.vec_id
+    ),
+    votes AS (
+      SELECT vec_id, own_label, nb_label, count(*) AS c
+      FROM pairs WHERE rnk <= 3 GROUP BY 1, 2, 3
+    ),
+    majority AS (
+      SELECT vec_id, own_label, nb_label AS maj_label,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY c DESC, nb_label) AS r
+      FROM votes
+    )
+    SELECT own_label AS label,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(count(*) FILTER (maj_label <> own_label) AS BIGINT)
+             AS n_suspect
+    FROM majority WHERE r = 1
+    GROUP BY 1
+    """
+
+
+@query("q138_label_noise", _label_noise_oracle())
+def q138_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise detection by neighborhood consensus: a vector whose 3
+    nearest same-cell neighbors (cosine) majority-vote a DIFFERENT label
+    is a mislabeling suspect — the embedding-space data-quality audit
+    (Confident-Learning-style signal) a curation pipeline runs before
+    training a classifier.
+
+    The quadratic neighbor search is confined to IVF cells exactly like
+    SemDeDup (q51): one co-partitioned self-join on the centroid key, so
+    cell size — not corpus size — bounds the pair count; cosines use the
+    sequential-order dot (bit-identical to the DuckDB replay), ranking
+    tie-breaks on neighbor id, majority tie-breaks on smaller label. At
+    100 TB, centroid count scales with the corpus to keep cells
+    bounded."""
+    from zenodb_spark.operators.similarity import dot, ivf_assign, ivf_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = (
+        ivf_assign(emb, ivf_centroids(64, 8, 43))
+        .select("vec_id", "embedding", "centroid")
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .withColumn("nrm", F.sqrt(dot("embedding", "embedding")))
+    )
+    a = assigned.select(
+        F.col("centroid"),
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("own_label"),
+        F.col("embedding").alias("a_v"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = assigned.select(
+        F.col("centroid"),
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("nb_label"),
+        F.col("embedding").alias("b_v"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pairs = (
+        a.join(b, "centroid")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(
+            "a_id",
+            "own_label",
+            "nb_label",
+            "b_id",
+            (dot("a_v", "b_v") / (F.col("a_nrm") * F.col("b_nrm"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
+    top = pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
+    votes = top.groupBy("a_id", "own_label", "nb_label").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wm = Window.partitionBy("a_id").orderBy(F.col("c").desc(), F.col("nb_label"))
+    majority = votes.withColumn("r", F.row_number().over(wm)).filter(
+        F.col("r") == 1
+    )
+    return majority.groupBy(F.col("own_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_checked"),
+        F.count(F.when(F.col("nb_label") != F.col("own_label"), 1)).alias(
+            "n_suspect"
+        ),
+    )
