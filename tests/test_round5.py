@@ -332,3 +332,66 @@ def test_dynamic_partition_pruning_on_partitioned_store(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower()
     assert out.collect()[0].s is not None
+
+
+def _files_overlapping(path, col, lo, hi):
+    """Count parquet files whose footer min/max for `col` overlaps
+    [lo, hi] — the same stats the scan planner consults for skipping."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    n_total, n_overlap = 0, 0
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        fmin, fmax = None, None
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                c = md.row_group(rg).column(ci)
+                if c.path_in_schema == col and c.statistics is not None:
+                    s = c.statistics
+                    fmin = s.min if fmin is None else min(fmin, s.min)
+                    fmax = s.max if fmax is None else max(fmax, s.max)
+        n_total += 1
+        if fmin is None or not (fmax < lo or fmin > hi):
+            n_overlap += 1
+    return n_total, n_overlap
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """A layout sorted linearly by x answers x-filters from file stats
+    but scans everything for y; the z-ordered layout must let a narrow
+    filter on EITHER dimension exclude a majority of files."""
+    import random
+
+    from zenodb_spark.sources.layout import zorder_write
+
+    rng = random.Random(7)
+    rows = [
+        Row(x=rng.randrange(10_000), y=rng.randrange(10_000)) for _ in range(20_000)
+    ]
+    df = spark.createDataFrame(rows)
+    linear, zpath = str(tmp_path / "linear"), str(tmp_path / "zorder")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(linear)
+    zorder_write(df, zpath, ["x", "y"], n_files=16)
+    lo, hi = 4_000, 4_999  # a 10% slice of either dimension
+    for col in ("x", "y"):
+        n, k = _files_overlapping(zpath, col, lo, hi)
+        assert n == 16
+        assert k <= n // 2, f"z-order failed to prune on {col}: {k}/{n}"
+    # the linear layout cannot prune on y at all
+    n, k_lin_y = _files_overlapping(linear, "y", lo, hi)
+    _, k_z_y = _files_overlapping(zpath, "y", lo, hi)
+    assert k_lin_y == n and k_z_y < k_lin_y
+
+
+def test_zorder_roundtrip_content_identical(spark, tmp_path):
+    """Layout changes bytes-on-disk order only: the multiset of rows
+    must survive exactly."""
+    from zenodb_spark.sources.layout import zorder_write
+
+    df = spark.createDataFrame([Row(x=i % 50, y=(i * 7) % 50) for i in range(5000)])
+    zpath = str(tmp_path / "z")
+    zorder_write(df, zpath, ["x", "y"], n_files=8)
+    back = spark.read.parquet(zpath)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

@@ -6800,3 +6800,60 @@ def q138_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_suspect"
         ),
     )
+
+
+@query(
+    "q139_zorder_scan",
+    f"""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           sum({C.format(x='value')}) AS sum_c
+    FROM events
+    WHERE user_id BETWEEN 40 AND 80
+      AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-20'
+    GROUP BY 1
+    """,
+)
+def q139_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a Z-ORDERED store (sources/layout): events are
+    rewritten once, Morton-clustered on (ts_ns, user_id), and a query
+    filtering BOTH dimensions reads it back — values must equal the
+    oracle on the original table (layout changes bytes-on-disk order,
+    never content).
+
+    Why it matters at 100 TB: a day-partitioned store prunes time but
+    scans every file for a user predicate; the z-ordered files are tight
+    hyper-rectangles in (time, user) at once, so parquet min/max stats
+    skip most files for EITHER filter (quantified by the pruning test in
+    test_round5). The rewrite runs per ingest partition in production —
+    locality only needs to hold within the files one scan considers."""
+    import tempfile
+
+    from zenodb_spark.sources.layout import zorder_write
+
+    tag = abs(hash(("q139", sf_dir))) % 10_000
+    path = f"{tempfile.gettempdir()}/zspark_q139_store_{tag}"
+    import os
+
+    # _SUCCESS gates the cache: a crashed partial write must not be
+    # mistaken for a complete store on the next run
+    if not os.path.isfile(f"{path}/_SUCCESS"):
+        ev = load_table(spark, sf_dir, "events").select(
+            "ts_ns", "user_id", "event_type", "value"
+        )
+        zorder_write(ev, path, ["ts_ns", "user_id"], n_files=16)
+    back = spark.read.parquet(path)
+    lo = 1704844800 * 1_000_000_000  # 2024-01-10 UTC as epoch-nanos
+    hi = 1705708800 * 1_000_000_000  # 2024-01-20
+    return (
+        back.filter(
+            F.col("user_id").between(40, 80)
+            & (F.col("ts_ns") >= lo)
+            & (F.col("ts_ns") < hi)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents("value")).alias("sum_c"),
+        )
+    )

@@ -1,0 +1,85 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering for file
+skipping.
+
+Partitioning and sorting prune on ONE dimension: a store sorted by day
+answers day filters from file min/max stats but scans everything for a
+user filter. Z-ordering interleaves the bits of several rank-bucketed
+columns into one sort key, so files become tight hyper-rectangles in ALL
+clustered dimensions at once — a filter on ANY of them overlaps only a
+small fraction of files, and the parquet reader's row-group/file stats
+skip the rest. This is the OPTIMIZE ZORDER of Delta/Iceberg, expressed
+with plain Spark: bucket → interleave (JVM bit ops, no UDF) →
+repartitionByRange on the z-value → sortWithinPartitions → write.
+
+The win is measurable, not aesthetic: tests/test_round5 counts, from the
+written files' own parquet footers, how many files a single-dimension
+filter can exclude under a z-ordered layout vs a linear sort — the same
+stats the scan planner consults.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["zorder_value", "zorder_write"]
+
+BITS = 16  # per-dimension resolution: 65536 rank buckets
+
+
+def zorder_value(df: DataFrame, cols: list[str]) -> Column:
+    """Morton (Z-order) key over ``cols``: each column is scaled to a
+    16-bit bucket by its (min, max) range — computed in one tiny
+    aggregate and folded in as literals — and the buckets' bits are
+    interleaved, LSB-first, into one long.
+
+    Rank-bucketing by range (not quantiles) keeps the key a pure
+    per-row expression; heavily skewed columns can be pre-transformed
+    (ln, bucket id) by the caller. Only numeric/date/timestamp columns
+    make sense here."""
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"lo_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    buckets = []
+    for c in cols:
+        lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+        span = (hi - lo) or 1.0
+        scaled = (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(
+            float((1 << BITS) - 1)
+        )
+        buckets.append(F.least(F.floor(scaled).cast("long"), F.lit((1 << BITS) - 1)))
+    one = F.lit(1).cast("long")
+    z = F.lit(0).cast("long")
+    for bit in range(BITS):
+        for i, bk in enumerate(buckets):
+            pos = bit * len(buckets) + i
+            # Column & / | are BOOLEAN ops in PySpark; bit math needs
+            # the explicit bitwiseAND/bitwiseOR methods
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(bk, bit).bitwiseAND(one), pos)
+            )
+    return z
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    n_files: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` as ``n_files`` parquet files clustered by the
+    Z-order of ``cols``: range-partition on the z-value (balanced
+    files), sort within each partition (tight row-group stats), drop
+    the key. At 100 TB this runs per ingest partition (e.g. per day),
+    not globally — the z-locality only needs to hold within the files a
+    single scan considers."""
+    z = df.withColumn("__z", zorder_value(df, cols))
+    (
+        z.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .parquet(path)
+    )
