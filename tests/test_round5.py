@@ -395,3 +395,34 @@ def test_zorder_roundtrip_content_identical(spark, tmp_path):
     zorder_write(df, zpath, ["x", "y"], n_files=8)
     back = spark.read.parquet(zpath)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_kmv_sketch_is_global_kmin_and_mergeable(spark):
+    """The salted two-phase k-min must equal the true k smallest hashes,
+    and merging two groups' sketches must equal the sketch of the
+    union — the mergeability HLL-style state relies on."""
+    import hashlib
+
+    from zenodb_spark.operators.sketch import kmv_sketch
+
+    rows = [Row(g="a", v=i) for i in range(300)] + [
+        Row(g="b", v=i) for i in range(150, 450)
+    ]
+    df = spark.createDataFrame(rows)
+    sk = {r.g: r.kmin for r in kmv_sketch(df, ["g"], "v", k=16).collect()}
+    truth = sorted(hashlib.md5(str(i).encode()).hexdigest() for i in range(300))[:16]
+    assert sk["a"] == truth
+    merged = sorted(set(sk["a"]) | set(sk["b"]))[:16]
+    union_truth = sorted(
+        hashlib.md5(str(i).encode()).hexdigest() for i in range(450)
+    )[:16]
+    assert merged == union_truth
+
+
+def test_q140_estimate_tracks_exact(spark):
+    """At k=64 over ~150 users the estimate should land near the exact
+    Jaccard (±0.25 absolute — the audit, not a proof of error bounds)."""
+    rows = Q.QUERIES["q140_kmv_overlap"](spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert abs(r.est_jaccard - r.exact_jaccard) < 0.25

@@ -6857,3 +6857,107 @@ def q139_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(cents("value")).alias("sum_c"),
         )
     )
+
+
+@query(
+    "q140_kmv_overlap",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events
+    ),
+    sk AS (
+      SELECT event_type, list_sort(list(hx))[1:64] AS kmin
+      FROM h GROUP BY 1
+    ),
+    ex AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.kmin AS ka, b.kmin AS kb
+      FROM sk a JOIN sk b ON a.event_type < b.event_type
+    ),
+    est AS (
+      SELECT type_a, type_b,
+             len(list_filter(list_sort(list_distinct(ka || kb))[1:64],
+                 x -> list_contains(ka, x) AND list_contains(kb, x)))
+               AS n_shared,
+             len(list_sort(list_distinct(ka || kb))[1:64]) AS n_union_k
+      FROM pairs
+    ),
+    exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(DISTINCT CASE WHEN a.user_id = b.user_id
+                                 THEN a.user_id END) AS n_inter,
+             count(DISTINCT a.user_id) + count(DISTINCT b.user_id) AS n_sum
+      FROM ex a JOIN ex b ON a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT e.type_a, e.type_b, CAST(64 AS BIGINT) AS k,
+           CAST(e.n_shared AS BIGINT) AS n_shared,
+           round(e.n_shared / CAST(e.n_union_k AS DOUBLE), 9) AS est_jaccard,
+           round(CAST(x.n_inter AS DOUBLE)
+                 / (x.n_sum - x.n_inter), 9) AS exact_jaccard
+    FROM est e JOIN exact x
+      ON x.type_a = e.type_a AND x.type_b = e.type_b
+    """,
+)
+def q140_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation via KMV sketches (operators/sketch):
+    Jaccard similarity of the user sets of every event-type pair,
+    estimated from O(k)-state k-minimum-values sketches and compared
+    against the exact Jaccard in the same panel — the sketch answers
+    the set-INTERSECTION question HLL (z14) cannot.
+
+    Determinism: the sketch is the k lexicographically-smallest md5 hex
+    digests — string order IS numeric order at fixed width, so DuckDB
+    replays the identical sketch; the estimate n_shared/|U_k| is an
+    exact rational (|U_k|, not k: on small sets the sketch is
+    exhaustive and /k would underestimate). Scale: the two-phase salted k-min bounds every
+    intermediate at k elements (a hot key never materializes its
+    distinct set); the pair join moves k-element arrays, not users.
+    The exact panel exists for accuracy audit at test scale — at 100 TB
+    one runs only the sketch side."""
+    from zenodb_spark.operators.sketch import kmv_jaccard, kmv_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=64)
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("kmin"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("kmin"))
+    est = kmv_jaccard(a, b, F.col("type_a") < F.col("type_b"), k=64).select(
+        "type_a", "type_b", "n_shared", "est_jaccard"
+    )  # n_union_k folds into est_jaccard; not carried to the panel
+    ex = ev.select("event_type", "user_id").distinct()
+    exact = (
+        ex.alias("x")
+        .join(ex.alias("y"), F.col("x.event_type") < F.col("y.event_type"))
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(
+            F.count_distinct(
+                F.when(F.col("x.user_id") == F.col("y.user_id"), F.col("x.user_id"))
+            ).alias("n_inter"),
+            (
+                F.count_distinct(F.col("x.user_id"))
+                + F.count_distinct(F.col("y.user_id"))
+            ).alias("n_sum"),
+        )
+    )
+    return (
+        est.join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            F.lit(64).cast("long").alias("k"),
+            F.col("n_shared").cast("long").alias("n_shared"),
+            "est_jaccard",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_sum") - F.col("n_inter")),
+                9,
+            ).alias("exact_jaccard"),
+        )
+    )
