@@ -6961,3 +6961,181 @@ def q140_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+def _cov_oracle(d: int = 8) -> str:
+    terms = []
+    for i in range(d):
+        for j in range(i, d):
+            terms.append(
+                f"SELECT {i} AS i, {j} AS j,"
+                f" sum(CAST(floor(v[{i + 1}] * v[{j + 1}] * 1000000 + 0.5)"
+                f" AS BIGINT)) AS sxy_u,"
+                f" sum(CAST(floor(v[{i + 1}] * 1000000 + 0.5) AS BIGINT))"
+                f" AS sx_u,"
+                f" sum(CAST(floor(v[{j + 1}] * 1000000 + 0.5) AS BIGINT))"
+                f" AS sy_u"
+                f" FROM e"
+            )
+    union = " UNION ALL ".join(terms)
+    return f"""
+    WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT count(*) AS n FROM e),
+    m AS ({union})
+    SELECT m.i, m.j,
+           round((CAST(m.sxy_u AS DOUBLE) / 1e6
+                  - CAST(m.sx_u AS DOUBLE) * m.sy_u / 1e12 / n.n)
+                 / n.n, 9) AS cov
+    FROM m, n
+    """
+
+
+@query("q141_embedding_covariance", _cov_oracle())
+def q141_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance panel (first 8 dimensions): the upper
+    triangle of the covariance matrix from exact integer sums —
+    cov(i,j) = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n with every per-row product
+    micro-quantized BEFORE summation, so the aggregate is
+    order-independent across any partitioning (a float covariance sum
+    is not). The multivariate completion of q105's per-dimension
+    stats — feeds whitening / PCA decisions for the ANN index.
+
+    Plan: one narrow projection emits the 36 upper-triangle products
+    per row; a single global aggregate (partial+final) reduces them;
+    n is a 1-row broadcast. At the full 64 dims the same shape emits
+    2080 columns — still one pass, no shuffle of vectors."""
+    d = 8
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    cols = []
+    for i in range(d):
+        for j in range(i, d):
+            xi, xj = v[i].cast("double"), v[j].cast("double")
+            cols.append(
+                F.struct(
+                    F.lit(i).alias("i"),
+                    F.lit(j).alias("j"),
+                    F.floor(xi * xj * 1_000_000 + F.lit(0.5))
+                    .cast("long")
+                    .alias("xy_u"),
+                    F.floor(xi * 1_000_000 + F.lit(0.5)).cast("long").alias("x_u"),
+                    F.floor(xj * 1_000_000 + F.lit(0.5)).cast("long").alias("y_u"),
+                )
+            )
+    exploded = emb.select(F.explode(F.array(*cols)).alias("t")).select(
+        "t.i", "t.j", "t.xy_u", "t.x_u", "t.y_u"
+    )
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        exploded.groupBy("i", "j")
+        .agg(
+            F.sum("xy_u").alias("sxy_u"),
+            F.sum("x_u").alias("sx_u"),
+            F.sum("y_u").alias("sy_u"),
+        )
+        .join(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("sxy_u").cast("double") / F.lit(1e6)
+                    - F.col("sx_u").cast("double")
+                    * F.col("sy_u")
+                    / F.lit(1e12)
+                    / F.col("n")
+                )
+                / F.col("n"),
+                9,
+            ).alias("cov"),
+        )
+    )
+
+
+@query(
+    "q142_diurnal_profile",
+    """
+    SELECT event_type,
+           CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY event_type)
+                            AS DOUBLE), 9) AS share
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q142_diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diurnal activity profile: event share by hour-of-day per type —
+    the seasonality panel behind anomaly baselines (q70's z-scores
+    assume you know the daily shape). Hour is extracted from the NTZ
+    wall time (matching the oracle's EXTRACT); the share divides exact
+    integer counts once at the end. One aggregate plus a 24-row-per-type
+    window that reuses the aggregate's partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(
+        "event_type", F.hour("ts").cast("long").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type")
+    return agg.select(
+        "event_type",
+        "hour_of_day",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 9).alias("share"),
+    )
+
+
+@query(
+    "q143_conversion_latency",
+    """
+    WITH v AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'view'
+    ),
+    p AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ),
+    m AS (
+      SELECT p.event_id,
+             CAST(floor(epoch_ms(p.ts)) AS BIGINT)
+               - max(CAST(floor(epoch_ms(v.ts)) AS BIGINT)) AS lat_ms
+      FROM p JOIN v ON v.user_id = p.user_id AND v.ts <= p.ts
+      GROUP BY p.event_id, p.ts
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+           round(quantile_cont(lat_ms, 0.5) / 1000.0, 9) AS p50_s,
+           round(quantile_cont(lat_ms, 0.95) / 1000.0, 9) AS p95_s,
+           round(max(lat_ms) / 1000.0, 9) AS max_s
+    FROM m
+    """,
+)
+def q143_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase latency distribution: for every purchase, the time
+    since that user's MOST RECENT prior view (as-of semantics), then
+    exact interpolated P50/P95/max over all conversions — the
+    time-to-convert panel that q68's step counts don't give.
+
+    The as-of match is operators/timeops.asof_join — union + one
+    running-max window over a single user-keyed shuffle, no range join,
+    no per-row subquery; latencies are exact integer milliseconds from
+    the nanos column. The oracle brute-forces the same match with a
+    correlated join."""
+    from zenodb_spark.operators.timeops import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.expr("ts_ns div 1000000").alias("t")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.expr("ts_ns div 1000000").alias("t")
+    )
+    matched = asof_join(
+        purchases, views, ("user_id",), "t", strict=False
+    ).filter(F.col("asof_t").isNotNull())
+    lat = matched.select((F.col("t") - F.col("asof_t")).alias("lat_ms"))
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_conversions"),
+        F.round(percentile_exact("lat_ms", 0.5) / F.lit(1000.0), 9).alias("p50_s"),
+        F.round(percentile_exact("lat_ms", 0.95) / F.lit(1000.0), 9).alias(
+            "p95_s"
+        ),
+        F.round(F.max("lat_ms") / F.lit(1000.0), 9).alias("max_s"),
+    )
