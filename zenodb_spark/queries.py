@@ -7139,3 +7139,90 @@ def q143_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.max("lat_ms") / F.lit(1000.0), 9).alias("max_s"),
     )
+
+
+@query(
+    "q144_hopping_window",
+    """
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS slot
+      FROM events
+    ),
+    fanout AS (
+      SELECT event_type, slot - o.off * 900 AS win_start
+      FROM e CROSS JOIN (
+        SELECT unnest(generate_series(0, 3)) AS off) o
+    )
+    SELECT event_type, win_start,
+           CAST(count(*) AS BIGINT) AS n
+    FROM fanout GROUP BY 1, 2
+    """,
+)
+def q144_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) window aggregation: 1-hour windows advancing
+    every 15 minutes — each event lands in 4 overlapping windows, the
+    standard smoothing form for rate dashboards that tumbling buckets
+    (every z-query) cannot express. Native `F.window(ts, '1 hour',
+    '15 minutes')`; the oracle replays the fan-out arithmetically
+    (slot − k·900 for k in 0..3).
+
+    Scale: the window expands each row 4× BEFORE the partial aggregate,
+    so map-side combine still applies and the shuffle carries only
+    (type, window) cells — overlap factor × cell count, not overlap ×
+    rows. Window starts are exact epoch seconds from the instant
+    rebuilt off ts_ns (timezone-free both engines). The same expression
+    runs unchanged under readStream with a watermark — this is the
+    batch twin of the streaming hop."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.timestamp_micros(F.expr("ts_ns div 1000")).alias("t"),
+    )
+    return (
+        ev.groupBy(
+            "event_type", F.window("t", "1 hour", "15 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("win_start"),
+            "n",
+        )
+    )
+
+
+@query(
+    "q145_unpivot_measures",
+    f"""
+    SELECT l_returnflag, measure,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST(floor(val * 100 + 0.5) AS BIGINT)) AS sum_c
+    FROM (
+      UNPIVOT (SELECT l_returnflag, l_extendedprice, l_discount, l_tax
+               FROM lineitem)
+      ON l_extendedprice, l_discount, l_tax
+      INTO NAME measure VALUE val
+    )
+    GROUP BY 1, 2
+    """,
+)
+def q145_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): lineitem's three money columns melted into
+    (measure, value) rows and aggregated per return flag — the inverse
+    of crosstab/pivot, the reshape every metrics store needs when
+    columns must become series. Native `DataFrame.unpivot` (Spark's
+    Expand node: rows multiply by the measure count BEFORE the partial
+    aggregate, so map-side combine holds and no shuffle carries wide
+    rows). Values re-quantize to cents after the melt in both
+    engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    melted = l.unpivot(
+        ["l_returnflag"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return melted.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("val")).alias("sum_c"),
+    )
