@@ -89,3 +89,48 @@ def test_distinct_count_skew_dedupe_exchange_is_wide(spark):
     plan = _plan(distinct_count_skew(fact, ["k"], "v"))
     # first exchange on (k, v) — the wide key — then one on k
     assert re.search(r"hashpartitioning\(k[^)]*, v", plan)
+
+
+def test_aqe_skew_join_split_fires(spark):
+    """The FIRST skew defense is AQE's runtime split (session.py enables
+    it): a hot-key sort-merge join must show SortMergeJoin(skew=true)
+    with an 'AQEShuffleRead … skewed' input in the FINAL adaptive plan.
+    Pinned details that cost a debug cycle: the final plan is only
+    attached to the DataFrame you EXECUTE (count() runs a different
+    QueryExecution — collect this df and re-read its plan), and the
+    skew thresholds must be tuned down to fixture scale."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(0, 220_000).select(
+            F.when(F.col("id") < 200_000, 0)
+            .otherwise((F.col("id") % 1000) + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1001).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("d")
+        )
+        out = left.join(right, "k")
+        assert len(out.collect()) == 220_000
+        plan = _plan(out)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
