@@ -7226,3 +7226,55 @@ def q145_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(cents("val")).alias("sum_c"),
     )
+
+
+def _ivf_recall_oracle() -> str:
+    brute = ORACLE["q27_ann_cosine"]
+    ivf = _ivf_search_oracle()
+    return f"""
+    SELECT b.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+           CAST(5 AS BIGINT) AS k,
+           round(count(i.neighbor_id) / 5.0, 9) AS recall
+    FROM ({brute}) b
+    LEFT JOIN ({ivf}) i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    GROUP BY 1
+    """
+
+
+@query("q146_ivf_recall", _ivf_recall_oracle())
+def q146_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness, IVF edition: recall@5 of the nprobe=2
+    inverted-file search (q43) against the exact brute-force top-5
+    (q27) — the companion of q109 (LSH recall), so BOTH approximate
+    index families carry a measured, oracle-replayed quality number.
+    At 100 TB this is the dial: raise nprobe (or centroid count) until
+    recall clears the product bar; the harness joins only the tiny
+    top-k outputs."""
+    from zenodb_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qside = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk(emb, qside, "vec_id", "embedding", k=5, dim=64)
+    ivf = similarity.ivf_search(
+        emb,
+        qside,
+        similarity.ivf_centroids(64, 8, 43),
+        "vec_id",
+        "embedding",
+        k=5,
+        nprobe=2,
+    )
+    b = brute.select("query_id", "neighbor_id")
+    i = ivf.select("query_id", F.col("neighbor_id").alias("i_neighbor"))
+    joined = b.join(
+        i,
+        (b.query_id == i.query_id) & (b.neighbor_id == i.i_neighbor),
+        "left",
+    ).select(b.query_id.alias("qid"), "i_neighbor")
+    return joined.groupBy(F.col("qid").alias("query_id")).agg(
+        F.count("i_neighbor").cast("long").alias("n_matched"),
+        F.lit(5).cast("long").alias("k"),
+        F.round(F.count("i_neighbor") / F.lit(5.0), 9).alias("recall"),
+    )
