@@ -7278,3 +7278,176 @@ def q146_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(5).cast("long").alias("k"),
         F.round(F.count("i_neighbor") / F.lit(5.0), 9).alias("recall"),
     )
+
+
+@query(
+    "q147_boilerplate_removal",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {NORM.format(x='text')} AS norm
+      FROM documents
+    ),
+    lines AS (
+      SELECT doc_id, source, ls.line, ls.pos
+      FROM d, LATERAL (
+        SELECT unnest(string_split(norm, '. ')) AS line,
+               generate_subscripts(string_split(norm, '. '), 1) AS pos
+      ) ls
+      WHERE length(ls.line) > 0
+    ),
+    docs_per_source AS (
+      SELECT source, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY 1
+    ),
+    freq AS (
+      SELECT source, line, count(DISTINCT doc_id) AS df
+      FROM lines GROUP BY 1, 2
+    ),
+    boiler AS (
+      SELECT f.source, f.line
+      FROM freq f JOIN docs_per_source s USING (source)
+      WHERE f.df * 5 > s.n_docs AND f.df >= 3
+    )
+    SELECT l.source,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (b.line IS NOT NULL) AS BIGINT)
+             AS n_boiler_lines,
+           CAST(count(DISTINCT CASE WHEN b.line IS NOT NULL
+                                    THEN l.doc_id END) AS BIGINT)
+             AS n_docs_affected,
+           CAST(coalesce(sum(length(l.line))
+                         FILTER (b.line IS NOT NULL), 0) AS BIGINT)
+             AS chars_removed
+    FROM lines l
+    LEFT JOIN boiler b ON b.source = l.source AND b.line = l.line
+    GROUP BY 1
+    """,
+)
+def q147_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate line removal (C4/RefinedWeb-style): a sentence that
+    appears in >20% of a source's documents (and ≥3 of them) is
+    boilerplate — headers, footers, cookie banners — and is struck from
+    EVERY document, unlike q60's keep-first paragraph dedup. The panel
+    reports lines/boilerplate/affected-docs/chars-removed per source.
+
+    Plan: one explode to (doc, line), a (source, line) doc-frequency
+    aggregate, the boilerplate set joined back on the same (source,
+    line) shuffle (exchange reuse). Line identity travels as the
+    normalized sentence itself here; at 100 TB substitute md5(line) so
+    the df shuffle carries 16-byte keys instead of text."""
+    docs = load_table(spark, sf_dir, "documents")
+    from zenodb_spark.operators.dedup import normalize_text
+
+    lines = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.posexplode(F.split(normalize_text("text"), "\\. ")).alias(
+                "pos", "line"
+            ),
+        )
+        .filter(F.length("line") > 0)
+    )
+    dps = lines.groupBy("source").agg(
+        F.count_distinct("doc_id").alias("n_docs")
+    )
+    freq = lines.groupBy("source", "line").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    boiler = (
+        freq.join(dps, "source")
+        .filter((F.col("df") * 5 > F.col("n_docs")) & (F.col("df") >= 3))
+        .select("source", "line", F.lit(True).alias("is_boiler"))
+    )
+    marked = lines.join(boiler, ["source", "line"], "left")
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("is_boiler"), 1)).alias("n_boiler_lines"),
+        F.count_distinct(
+            F.when(F.col("is_boiler"), F.col("doc_id"))
+        ).alias("n_docs_affected"),
+        F.coalesce(
+            F.sum(F.when(F.col("is_boiler"), F.length("line"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("chars_removed"),
+    )
+
+
+@query(
+    "q148_temperature_mixing",
+    f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(sum(len(list_filter(
+               string_split({NORM.format(x='text')}, ' '),
+               t -> len(t) > 0))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(n_tokens) AS t FROM tok),
+    w AS (
+      SELECT source, n_tokens,
+             CAST(floor(pow(CAST(n_tokens AS DOUBLE) / tot.t, 0.7)
+                        * 1000000000 + 0.5) AS BIGINT) AS w_nano
+      FROM tok, tot
+    ),
+    wt AS (SELECT sum(w_nano) AS s FROM w)
+    SELECT w.source, w.n_tokens,
+           round(w.w_nano / CAST(wt.s AS DOUBLE), 9) AS mix_weight,
+           CAST(floor(w.w_nano * 1000000.0 / wt.s + 0.5) AS BIGINT)
+             AS tokens_per_million
+    FROM w, wt
+    """,
+)
+def q148_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source rebalancing (multilingual-T5 style,
+    α = 0.7): sampling weight ∝ share^α flattens the source
+    distribution so small sources are up-sampled without exploding
+    epochs on large ones. Emits the per-source mixing weight and a
+    tokens-per-million budget.
+
+    Determinism: share^α is quantized to integer nano-weights BEFORE
+    normalization, so the final ratios are ratios of exact integers —
+    pow() itself is evaluated once per source (5 rows), not per row.
+    Composes with q58 (budget mixing) and q65 (quality resampling):
+    this decides how much of each source, those decide which
+    documents."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("source").agg(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(normalize_text("text"), " "),
+                    lambda t: F.length(t) > 0,
+                )
+            )
+        )
+        .cast("long")
+        .alias("n_tokens")
+    )
+    tot = tok.agg(F.sum("n_tokens").alias("t"))
+    w = tok.join(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.floor(
+            F.pow(F.col("n_tokens").cast("double") / F.col("t"), F.lit(0.7))
+            * F.lit(1_000_000_000)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("w_nano"),
+    )
+    wt = w.agg(F.sum("w_nano").alias("s"))
+    return w.join(F.broadcast(wt)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("w_nano") / F.col("s").cast("double"), 9).alias(
+            "mix_weight"
+        ),
+        F.floor(
+            F.col("w_nano") * F.lit(1_000_000.0) / F.col("s") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("tokens_per_million"),
+    )
