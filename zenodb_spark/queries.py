@@ -7451,3 +7451,92 @@ def q148_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens_per_million"),
     )
+
+
+@query(
+    "q149_frame_sample",
+    """
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id, text,
+             length(text) AS nb
+      FROM documents
+    ),
+    f AS (
+      SELECT media_id, text,
+             CAST(greatest((nb + 4095) // 4096, 1) AS BIGINT) AS n_frames
+      FROM m
+    )
+    SELECT media_id,
+           CAST(u.frame_idx AS BIGINT) AS frame_idx,
+           n_frames,
+           md5(substring(text, u.frame_idx * 4096 + 1, 4096)) AS frame_md5
+    FROM f, LATERAL (
+      SELECT unnest(range(0, f.n_frames, 2)) AS frame_idx
+    ) u
+    """,
+)
+def q149_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame sampling, oracle-gated end-to-end: payloads
+    chunked into 4 KiB "frames", every 2nd frame extracted through the
+    Arrow mapInPandas fan-out (operators/multimodal.frame_sample — the
+    ffmpeg-keyframe stand-in; the extractor is pluggable, the Spark
+    plumbing is what's under test) and digest-verified against DuckDB's
+    byte-exact replay. The corpus is ASCII so the oracle's VARCHAR
+    slicing equals byte slicing (asserted against octet_length);
+    non-ASCII corpora keep the binary path on the Spark side untouched
+    — only this oracle form would need a blob-capable slicer.
+
+    Scale: fan-out happens inside the Arrow batch (rows out ≫ rows in,
+    no shuffle); frame digests, not frame bytes, leave the stage when
+    only fingerprints are needed downstream."""
+    from zenodb_spark.operators.multimodal import attach_media, frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs, "text", "doc_id")
+    frames = frame_sample(media, every_k=2, frame_bytes=4096)
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.md5("frame_payload").alias("frame_md5"),
+    )
+
+
+@query(
+    "q150_resize_digest",
+    """
+    WITH m AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id, text FROM documents
+    )
+    SELECT media_id,
+           CAST(78 AS BIGINT) AS n_bytes,
+           md5(hex(encode('RESIZED:64x64:')
+               || unhex(md5(text)) || unhex(md5(text))
+               || unhex(md5(text)) || unhex(md5(text)))) AS resized_md5
+    FROM m
+    """,
+)
+def q150_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize path, oracle-gated byte-for-byte: every payload
+    goes through the Arrow-batched resize stage (pluggable pixel
+    transform; the default deterministic fake emits a 'RESIZED:WxH:'
+    header + 4 repeated content digests for 64x64) and the resized
+    BYTES are verified against DuckDB's blob reconstruction. DuckDB's
+    md5() only takes VARCHAR, so the comparison digest is md5(hex(…)) —
+    hex casing is identical across the engines (probed). This gates the
+    full binary round-trip of the resize plumbing: batch shape, schema,
+    metadata update, payload bytes.
+
+    Scale: the transform is mapInPandas over Arrow batches — no
+    shuffle, payload bytes stay columnar; a real pixel transform drops
+    in via register_decoder('resize', fn) with the identical plan."""
+    from zenodb_spark.operators.multimodal import attach_media, resize
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs, "text", "doc_id")
+    resized = resize(media, 64, 64)
+    return resized.select(
+        "media_id",
+        F.col("meta_bytes").cast("long").alias("n_bytes"),
+        F.md5(F.hex("payload")).alias("resized_md5"),
+    )
