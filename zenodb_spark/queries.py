@@ -7540,3 +7540,85 @@ def q150_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta_bytes").cast("long").alias("n_bytes"),
         F.md5(F.hex("payload")).alias("resized_md5"),
     )
+
+
+@query(
+    "q151_media_embed_ann",
+    """
+    WITH ch AS (
+      SELECT CAST(doc_id AS VARCHAR) AS media_id,
+             ascii(u.c) // 4 AS bucket
+      FROM documents, LATERAL (
+        SELECT unnest(string_split(text, '')) AS c) u
+    ),
+    hist AS (
+      SELECT media_id, bucket, count(*) AS n FROM ch GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT m.media_id, g.bucket
+      FROM (SELECT CAST(doc_id AS VARCHAR) AS media_id FROM documents) m
+      CROSS JOIN (SELECT unnest(range(0, 64)) AS bucket) g
+    ),
+    dense AS (
+      SELECT grid.media_id, grid.bucket,
+             CAST(coalesce(hist.n, 0) AS DOUBLE) AS n
+      FROM grid LEFT JOIN hist USING (media_id, bucket)
+    ),
+    norms AS (SELECT media_id, sqrt(sum(n * n)) AS nrm FROM dense GROUP BY 1),
+    vecs AS (
+      SELECT d.media_id,
+             list(CAST(CAST(d.n / norms.nrm AS FLOAT) AS DOUBLE)
+                  ORDER BY d.bucket) AS v
+      FROM dense d JOIN norms USING (media_id)
+      GROUP BY d.media_id
+    ),
+    q AS (
+      SELECT media_id AS query_id, v AS qv FROM vecs
+      WHERE media_id IN ('1', '2', '3')
+    ),
+    scored AS (
+      SELECT query_id, c.media_id AS neighbor_id,
+             list_dot_product(qv, c.v) /
+               (sqrt(list_dot_product(qv, qv))
+                * sqrt(list_dot_product(c.v, c.v))) AS cosine
+      FROM q JOIN vecs c ON query_id <> c.media_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(cosine, 9) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q151_media_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media → embedding → ANN, the full multimodal retrieval loop
+    oracle-gated end-to-end: payloads are encoded by the deterministic
+    byte-histogram feature map (operators/multimodal.embed_media —
+    256 bins folded to 64, L2-normalized, float32; a CLIP/wav2vec
+    encoder plugs in via ``encoder=`` with the identical plan), then
+    brute-force cosine top-5 runs over the embedding column. The oracle
+    rebuilds the same histograms character-by-character, replays the
+    identical float32 quantization (CAST to FLOAT then DOUBLE), and
+    ranks with the same tie rule — so the gate covers the encoder
+    arithmetic, the Arrow batch path, AND the ANN ranking in one.
+
+    Scale: encoding runs where the bytes are (no shuffle); the ANN
+    stage reads a 64-float column, thousands of times smaller than the
+    media table; swap cosine_topk for the IVF/LSH path (q33/q43) above
+    broadcastable query counts."""
+    from zenodb_spark.operators.multimodal import attach_media, embed_media
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs, "text", "doc_id")
+    emb = embed_media(media, dim=64)
+    qs = emb.filter(F.col("media_id").isin("1", "2", "3"))
+    out = similarity.cosine_topk(emb, qs, "media_id", "embedding", k=5, dim=64)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 9).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
