@@ -7622,3 +7622,84 @@ def q151_media_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cosine", 9).alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@query(
+    "q152_weighted_median",
+    f"""
+    WITH d AS (
+      SELECT source,
+             length(text) AS n_chars,
+             CAST(len(list_filter(string_split({NORM.format(x='text')}, ' '),
+                                  t -> len(t) > 0)) AS BIGINT) AS w
+      FROM documents
+    ),
+    o AS (
+      SELECT source, n_chars, w,
+             sum(w) OVER (PARTITION BY source
+                          ORDER BY n_chars, w
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(w) OVER (PARTITION BY source) AS tot
+      FROM d
+    )
+    SELECT source,
+           CAST(min(CASE WHEN cum * 2 >= tot THEN n_chars END) AS BIGINT)
+             AS w_median_chars,
+           CAST(min(CASE WHEN cum * 10 >= tot * 9 THEN n_chars END)
+                AS BIGINT) AS w_p90_chars,
+           CAST(sum(w) AS BIGINT) AS total_tokens
+    FROM o GROUP BY 1
+    """,
+)
+def q152_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted quantiles (token-weighted document length per source):
+    the median CHARACTER a training run actually sees — each document
+    weighted by its token count, so one 10k-token document counts as
+    much as a hundred 100-token ones. Spark has no weighted-percentile
+    builtin; the exact lower-weighted-quantile comes from a cumulative
+    weight window (source-partitioned — parallel across sources; the
+    single-key form would swap in the prefix scan of q122) and a
+    conditional min. All arithmetic is integer (cum·2 ≥ tot), so the
+    cut is exact and order ties are broken by (length, weight)
+    identically in both engines."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(
+            F.filter(
+                F.split(normalize_text("text"), " "),
+                lambda t: F.length(t) > 0,
+            )
+        )
+        .cast("long")
+        .alias("w"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars", "w")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("source")
+    o = d.select(
+        "source",
+        "n_chars",
+        "w",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_tot).alias("tot"),
+    )
+    return o.groupBy("source").agg(
+        F.min(
+            F.when(F.col("cum") * 2 >= F.col("tot"), F.col("n_chars"))
+        )
+        .cast("long")
+        .alias("w_median_chars"),
+        F.min(
+            F.when(F.col("cum") * 10 >= F.col("tot") * 9, F.col("n_chars"))
+        )
+        .cast("long")
+        .alias("w_p90_chars"),
+        F.sum("w").alias("total_tokens"),
+    )
