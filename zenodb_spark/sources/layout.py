@@ -68,18 +68,42 @@ def zorder_write(
     cols: list[str],
     n_files: int = 16,
     mode: str = "overwrite",
+    sample_size_per_partition: int = 20_000,
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files clustered by the
     Z-order of ``cols``: range-partition on the z-value (balanced
     files), sort within each partition (tight row-group stats), drop
     the key. At 100 TB this runs per ingest partition (e.g. per day),
     not globally — the z-locality only needs to hold within the files a
-    single scan considers."""
-    z = df.withColumn("__z", zorder_value(df, cols))
-    (
-        z.repartitionByRange(n_files, "__z")
-        .sortWithinPartitions("__z")
-        .drop("__z")
-        .write.mode(mode)
-        .parquet(path)
-    )
+    single scan considers.
+
+    The range exchange estimates its partition boundaries from a
+    per-partition reservoir sample whose seed is derived from the RDD id
+    — i.e. the boundaries (and thus the pruning quality of the layout)
+    vary run-to-run with default settings (100 rows/partition). A data
+    LAYOUT should be reproducible, so we raise the sample size while
+    writing: the boundary-sketch pass reads only the z column and the
+    reservoir is capped at ``sample_size_per_partition`` longs
+    (~160 KB/partition at 20k), which is noise next to the write
+    itself."""
+    spark = df.sparkSession
+    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, str(sample_size_per_partition))
+    try:
+        z = df.withColumn("__z", zorder_value(df, cols))
+        (
+            z.repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode(mode)
+            .parquet(path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
