@@ -1,0 +1,82 @@
+"""Round-6 additions: interval join, heavy hitters, graph iteration."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _pairs(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestIntervalJoin:
+    def test_basic_containment_and_exclusive_end(self, spark):
+        from zenodb_spark.operators.timeops import interval_join
+
+        left = spark.createDataFrame(
+            [Row(pid=i, p=p) for i, p in enumerate([0, 99, 100, 150, 199, 200, 5000])]
+        )
+        right = spark.createDataFrame([Row(rid=1, s=100, e=200)])
+        out = interval_join(left, right, "p", "s", "e", bin_width=64)
+        # [100, 200): 100 and 150 and 199 in; 99 and 200 (exclusive end) out
+        assert sorted(r.p for r in out.collect()) == [100, 150, 199]
+
+    def test_interval_spanning_many_bins(self, spark):
+        from zenodb_spark.operators.timeops import interval_join
+
+        left = spark.createDataFrame([Row(p=i * 10) for i in range(100)])
+        right = spark.createDataFrame([Row(rid=7, s=5, e=995)])
+        out = interval_join(left, right, "p", "s", "e", bin_width=10)
+        assert out.count() == 99  # 10..990 inclusive by tens
+
+    def test_empty_and_inverted_intervals_drop(self, spark):
+        from zenodb_spark.operators.timeops import interval_join
+
+        left = spark.createDataFrame([Row(p=50)])
+        right = spark.createDataFrame(
+            [Row(rid=1, s=50, e=50), Row(rid=2, s=60, e=40)]
+        )
+        out = interval_join(left, right, "p", "s", "e", bin_width=16)
+        assert out.count() == 0
+
+    def test_keys_scope_the_join(self, spark):
+        from zenodb_spark.operators.timeops import interval_join
+
+        left = spark.createDataFrame(
+            [Row(k="a", p=10), Row(k="b", p=10), Row(k="a", p=99)]
+        )
+        right = spark.createDataFrame([Row(k="a", s=0, e=50)])
+        out = interval_join(left, right, "p", "s", "e", bin_width=32, keys=["k"])
+        assert _pairs(out.select("k", "p")) == [("a", 10)]
+
+    def test_matches_theta_join_on_random_data(self, spark):
+        import random
+
+        from zenodb_spark.operators.timeops import interval_join
+
+        rng = random.Random(11)
+        left = spark.createDataFrame(
+            [Row(pid=i, p=rng.randrange(1000)) for i in range(300)]
+        )
+        right = spark.createDataFrame(
+            [
+                Row(rid=i, s=s, e=s + rng.randrange(1, 120))
+                for i in range(40)
+                for s in [rng.randrange(1000)]
+            ]
+        )
+        got = interval_join(left, right, "p", "s", "e", bin_width=50)
+        want = left.join(
+            right, (F.col("p") >= F.col("s")) & (F.col("p") < F.col("e"))
+        )
+        assert _pairs(got.select("pid", "rid")) == _pairs(want.select("pid", "rid"))
+
+    def test_plan_is_hash_join_not_nested_loop(self, spark):
+        from zenodb_spark.operators.timeops import interval_join
+
+        left = spark.createDataFrame([Row(p=i) for i in range(100)])
+        right = spark.createDataFrame([Row(s=0, e=10)])
+        out = interval_join(left, right, "p", "s", "e", bin_width=8)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "Cartesian" not in plan

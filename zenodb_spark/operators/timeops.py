@@ -41,6 +41,7 @@ __all__ = [
     "crosshift",
     "sessionize",
     "asof_join",
+    "interval_join",
 ]
 
 
@@ -244,3 +245,55 @@ def asof_join(
     cols.append(F.col(f"_asof_last.{ts_col}").alias(f"asof_{ts_col}"))
     cols.extend(F.col(f"_asof_last.{c}").alias(f"asof_{c}") for c in payload)
     return out.select(*cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_start: str,
+    right_end: str,
+    bin_width: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval join: pair each left row with every right row whose
+    half-open interval [start, end) contains the left row's point column.
+    All three columns are BIGINT points on the same axis (epoch seconds,
+    epoch ns — any integer axis).
+
+    Spark has no native range join: expressing this as a theta-join
+    (`l.point >= r.start AND l.point < r.end`) plans a BroadcastNestedLoop /
+    cartesian — O(|L|·|R|) comparisons, a non-starter at scale. The standard
+    fix (used by the Databricks range-join hint and by Flink's interval
+    join) is binning: quantize the axis into bins of ``bin_width``, emit
+    each interval once per bin it overlaps (``sequence`` + explode — cost
+    |R| · avg_interval_len / bin_width rows), emit each point once into its
+    single bin, then equi-join on (keys…, bin) and re-check the exact
+    predicate. Every comparison now happens inside one bin of one key — a
+    plain shuffle/broadcast HASH join that AQE can size, skew-split, or
+    broadcast like any other.
+
+    ``bin_width`` trades explode factor against bin selectivity: pick it
+    near the MEDIAN interval length, so typical intervals explode to ~1-2
+    rows while a rare giant interval costs len/bin_width rows rather than
+    pairing with the whole table. ``keys`` adds equi-key columns (join
+    within user_id, within event_type, …) that ride along in the join key.
+    """
+    keys = keys or []
+    b = F.lit(int(bin_width))
+
+    def _bin(c: Column) -> Column:
+        return ((c - c % b) / b).cast("long")
+
+    # end is exclusive: an interval ending exactly on a bin edge does not
+    # reach into that bin
+    bins = F.sequence(_bin(F.col(right_start)), _bin(F.col(right_end) - F.lit(1)))
+    r = right.filter(F.col(right_end) > F.col(right_start)).withColumn(
+        "__bin", F.explode(bins)
+    )
+    l_binned = left.withColumn("__bin", _bin(F.col(left_point)))
+    joined = l_binned.join(r, keys + ["__bin"]).filter(
+        (F.col(left_point) >= F.col(right_start))
+        & (F.col(left_point) < F.col(right_end))
+    )
+    return joined.drop("__bin")

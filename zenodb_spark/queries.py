@@ -7703,3 +7703,79 @@ def q152_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w_p90_chars"),
         F.sum("w").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 additions: range join, heavy hitters, graph iteration, TPC-H
+# Q8/Q9 shapes, encoding QC
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q153_interval_join",
+    f"""
+    WITH ev AS (
+      SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             {C.format(x='value')} AS vc
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, {BUCKET.format(p=3600)} AS bucket, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    hot AS (
+      SELECT event_type, bucket FROM (
+        SELECT event_type, bucket,
+               row_number() OVER (
+                 PARTITION BY event_type ORDER BY c DESC, bucket
+               ) AS rn
+        FROM counts
+      ) WHERE rn <= 5
+    ),
+    win AS (
+      SELECT event_type AS window_type,
+             bucket - 1800 AS ws, bucket + 5400 AS we
+      FROM hot
+    )
+    SELECT w.window_type, w.ws AS window_start, e.event_type,
+           count(*) AS n_events, sum(e.vc)/100.0 AS sum_value
+    FROM win w JOIN ev e ON e.es >= w.ws AND e.es < w.we
+    GROUP BY 1, 2, 3
+    """,
+)
+def q153_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval (range) join, binned: each event type's 5 busiest
+    hours widen to unaligned 2-hour windows [hour−30m, hour+90m), and every
+    raw event landing in a window is attributed to it, cross-type.
+
+    The oracle joins on the raw BETWEEN predicate — in Spark that theta-join
+    would plan a BroadcastNestedLoopJoin (O(|ev|·|win|) comparisons), so
+    ``timeops.interval_join`` quantizes the axis into 1-hour bins, explodes
+    each window to the ~3 bins it overlaps, and equi-joins on the bin before
+    re-checking the exact predicate — a plain hash join at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", timeops.bucket_epoch("ts", 3600).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("c"), "bucket")
+    win = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select(
+            F.col("event_type").alias("window_type"),
+            (F.col("bucket") - 1800).alias("ws"),
+            (F.col("bucket") + 5400).alias("we"),
+        )
+    )
+    pts = ev.select(
+        "event_type",
+        timeops.bucket_epoch("ts", 1).alias("es"),
+        cents("value").alias("vc"),
+    )
+    j = timeops.interval_join(pts, win, "es", "ws", "we", bin_width=3600)
+    return j.groupBy(
+        "window_type", F.col("ws").alias("window_start"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum("vc") / F.lit(100.0)).alias("sum_value"),
+    )
