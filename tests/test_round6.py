@@ -80,3 +80,53 @@ class TestIntervalJoin:
         out = interval_join(left, right, "p", "s", "e", bin_width=8)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+class TestHeavyHitters:
+    def _truth(self, df, key, k):
+        n = df.count()
+        return sorted(
+            tuple(r)
+            for r in df.groupBy(key)
+            .count()
+            .filter(F.col("count") * k >= n)
+            .withColumnRenamed("count", "n_occurrences")
+            .collect()
+        )
+
+    def test_matches_exact_groupby_under_prune_pressure(self, spark):
+        from zenodb_spark.operators.sketch import heavy_hitters
+
+        # 50k rows, ~10k distinct keys, two planted heavy keys; k=20 with
+        # capacity 40 forces constant MG pruning in every partition
+        base = spark.range(0, 50_000, 1, 8).select(
+            F.when(F.col("id") % 10 == 0, F.lit(-1))
+            .when(F.col("id") % 7 == 0, F.lit(-2))
+            .otherwise(F.col("id") % 10_000)
+            .alias("key")
+        )
+        got = sorted(tuple(r) for r in heavy_hitters(base, "key", 20).collect())
+        assert got == self._truth(base, "key", 20)
+        assert {-1, -2} == {key for key, _ in got}
+
+    def test_heavy_key_spread_thin_across_partitions(self, spark):
+        from zenodb_spark.operators.sketch import heavy_hitters
+
+        # the planted key is only ~6% of EVERY partition (never locally
+        # dominant) but globally ≥ N/16 — MG must still surface it
+        base = spark.range(0, 64_000, 1, 32).select(
+            F.when(F.col("id") % 16 == 0, F.lit(-7))
+            .otherwise(F.col("id"))
+            .alias("key")
+        )
+        got = heavy_hitters(base, "key", 16).collect()
+        assert [(r["key"], r["n_occurrences"]) for r in got] == [(-7, 4000)]
+
+    def test_nulls_ignored_and_strings_work(self, spark):
+        from zenodb_spark.operators.sketch import heavy_hitters
+
+        df = spark.createDataFrame(
+            [Row(k="a")] * 30 + [Row(k="b")] * 5 + [Row(k=None)] * 10
+        )
+        got = sorted(tuple(r) for r in heavy_hitters(df, "k", 2).collect())
+        assert got == [("a", 30)]

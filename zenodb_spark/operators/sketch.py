@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmv_sketch", "kmv_jaccard"]
+__all__ = ["kmv_sketch", "kmv_jaccard", "heavy_hitters"]
 
 
 def kmv_sketch(
@@ -91,4 +91,53 @@ def kmv_jaccard(
             "est_jaccard",
             F.round(F.col("n_shared") / F.col("n_union_k").cast("double"), 9),
         )
+    )
+
+
+def heavy_hitters(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """EXACT φ-heavy hitters — every key with global count ≥ N/k, with its
+    exact count — via the two-pass pattern that works at any scale:
+
+    Pass 1 (candidates, no shuffle): each partition streams its Arrow
+    batches through one Misra-Gries summary of capacity 2k (mapInPandas;
+    k counters merged batch-by-batch with the standard subtract-the-
+    (cap+1)-th-largest merge, Agarwal et al., "Mergeable Summaries",
+    PODS'12). MG's deterministic guarantee: a key with partition frequency
+    > n_p/(2k+1) always survives. Any globally-heavy key (freq ≥ N/k) has,
+    by weighted averaging, SOME partition where freq_p/n_p ≥ 1/k >
+    1/(2k+1) — so the union of per-partition summaries provably contains
+    every true heavy hitter. At most 2k·partitions candidate keys ever
+    exist — the full key space is never shuffled or held anywhere.
+
+    Pass 2 (exact recount): broadcast the candidate set, semi-join the
+    corpus, count exactly, keep count·k ≥ N. False candidates die here;
+    true ones emerge with exact counts — approximation bounds the WORK,
+    never the ANSWER.
+
+    Returns (key_col, n_occurrences), exact. Null keys are ignored.
+    """
+    cap = 2 * int(k)
+    dtype = dict(df.dtypes)[key_col]
+    src = df.select(F.col(key_col).alias("key")).filter(F.col("key").isNotNull())
+
+    def _mg_partition(batches):
+        import pandas as pd
+
+        counters: dict = {}
+        for pdf in batches:
+            for key, c in pdf["key"].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > cap:
+                kth = sorted(counters.values(), reverse=True)[cap]
+                counters = {x: c - kth for x, c in counters.items() if c > kth}
+        yield pd.DataFrame({"key": list(counters.keys())})
+
+    cands = src.mapInPandas(_mg_partition, schema=f"key {dtype}").distinct()
+    total = src.count()
+    return (
+        src.join(F.broadcast(cands), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") * F.lit(int(k)) >= F.lit(total))
+        .select(F.col("key").alias(key_col), "n_occurrences")
     )

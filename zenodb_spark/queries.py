@@ -7779,3 +7779,30 @@ def q153_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.sum("vc") / F.lit(100.0)).alias("sum_value"),
     )
+
+
+@query(
+    "q154_heavy_hitters",
+    """
+    WITH v AS (
+      SELECT CAST(floor(value) AS BIGINT) AS value_bin
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT value_bin, count(*) AS n_occurrences
+    FROM v GROUP BY 1
+    HAVING count(*) * 60 >= (SELECT count(*) FROM v)
+    """,
+)
+def q154_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent items: integer value bins occurring in ≥ 1/60 of all
+    events. The oracle is the textbook full groupBy+HAVING; the Spark side
+    is sketch.heavy_hitters — per-partition Misra-Gries candidate summaries
+    (no shuffle of the key space) + an exact broadcast recount, so the same
+    answer costs O(candidates) state instead of O(distinct keys) at 100 TB."""
+    from zenodb_spark.operators.sketch import heavy_hitters
+
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("value").isNotNull()).select(
+        F.floor("value").cast("long").alias("value_bin")
+    )
+    return heavy_hitters(v, "value_bin", 60)
