@@ -7806,3 +7806,274 @@ def q154_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("value").cast("long").alias("value_bin")
     )
     return heavy_hitters(v, "value_bin", 60)
+
+
+def _pagerank_oracle(iters: int = 4) -> str:
+    edges = f"""
+    edges AS (
+      SELECT sn.n_name AS src, cn.n_name AS dst,
+             sum({C.format(x='l.l_extendedprice * (1 - l.l_discount)')}) AS w
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    ow AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+    e AS (SELECT edges.src, edges.dst, edges.w, ow.outw
+          FROM edges JOIN ow USING (src)),
+    r0 AS (SELECT n_name AS node, 1.0/25.0 AS pr FROM nation)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""
+    m{i} AS (
+      SELECT e.dst,
+             sum(CAST(floor(0.85 * r.pr * e.w / e.outw * 1000000.0 + 0.5)
+                      AS BIGINT)) AS m
+      FROM e JOIN r{i-1} r ON r.node = e.src GROUP BY 1
+    ),
+    r{i} AS (
+      SELECT n.n_name AS node,
+             0.006 + CAST(coalesce(m{i}.m, 0) AS DOUBLE)/1000000.0 AS pr
+      FROM nation n LEFT JOIN m{i} ON m{i}.dst = n.n_name
+    )"""
+        )
+    return (
+        "WITH" + edges + "," + ",".join(steps) +
+        f"\n    SELECT node AS nation, pr AS pagerank FROM r{iters}"
+    )
+
+
+@query("q155_pagerank", _pagerank_oracle(4))
+def q155_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the nation-level trade graph (edges = supplier-nation →
+    customer-nation, weighted by exact cents revenue): 4 synchronous power
+    iterations, damping 0.85, uniform init.
+
+    The iterative-with-caching pattern: the edge list (the expensive 5-way
+    join) is built ONCE and persisted; each iteration is then one broadcast
+    join of the 25-row rank vector onto the cached edges plus one map-side-
+    combined aggregate — at 100 TB the edge list lives partitioned by src
+    across the cluster and the rank vector stays a broadcast variable, so
+    per-iteration cost is a single co-located pass, no fact re-join.
+
+    Cross-engine determinism: per-edge contributions are quantized to
+    integer micro-units BEFORE the per-node sum (integer addition is
+    associative under any partitioning), and each new rank is the same
+    fixed IEEE expression over those exact integers; 1e-6 quantization per
+    iteration is ~1e5 times below any rank gap. Dangling nations leak mass
+    identically in both engines (none exist in this graph's 25×25 matrix)."""
+    from pyspark import StorageLevel
+
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("src"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("dst"))
+    edges = (
+        l.join(s.select("s_suppkey", "s_nationkey"),
+               F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(o.select("o_orderkey", "o_custkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"),
+              F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .groupBy("src", "dst")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("w"))
+    )
+    ow = edges.groupBy("src").agg(F.sum("w").alias("outw"))
+    e = edges.join(ow, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    nodes = n.select(F.col("n_name").alias("node"))
+    r = nodes.withColumn("pr", F.lit(1.0) / F.lit(25.0))
+    for _ in range(4):
+        contrib = e.join(F.broadcast(r), F.col("node") == F.col("src")).select(
+            "dst",
+            F.floor(
+                F.lit(0.85) * F.col("pr") * F.col("w") / F.col("outw")
+                * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("long").alias("m"),
+        )
+        agg = contrib.groupBy("dst").agg(F.sum("m").alias("m"))
+        r = nodes.join(agg, F.col("node") == F.col("dst"), "left").select(
+            "node",
+            (F.lit(0.006) + F.coalesce(F.col("m"), F.lit(0)).cast("double")
+             / F.lit(1000000.0)).alias("pr"),
+        )
+    return r.select(F.col("node").alias("nation"), F.col("pr").alias("pagerank"))
+
+
+@query(
+    "q156_market_share",
+    f"""
+    WITH base AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             sn.n_name AS supp_nation,
+             {C.format(x='l.l_extendedprice * (1 - l.l_discount)')} AS vc
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = cn.n_regionkey AND r.r_name = 'EUROPE'
+    ),
+    tot AS (SELECT o_year, sum(vc) AS t FROM base GROUP BY 1)
+    SELECT b.o_year, b.supp_nation,
+           sum(b.vc)/100.0 AS revenue,
+           CAST(sum(b.vc) AS DOUBLE) / CAST(max(t.t) AS DOUBLE) AS mkt_share
+    FROM base b JOIN tot t ON t.o_year = b.o_year
+    GROUP BY 1, 2
+    """,
+)
+def q156_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (adapted to available columns): each supplier
+    nation's share of PROMO-part revenue sold into the EUROPE market, by
+    order year. Share is a ratio of exact integer cent sums.
+
+    Plan: part/nation/region dims broadcast; supplier and customer left to
+    AQE; one orders⋈lineitem orderkey shuffle; the yearly total reuses the
+    small per-(year, nation) aggregate rather than re-scanning the facts —
+    a second pass over 25×7 rows, not 100 TB."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_rkey"))
+    base = (
+        l.join(F.broadcast(p.select("p_partkey")), F.col("p_partkey") == F.col("l_partkey"))
+        .join(s.select("s_suppkey", "s_nationkey"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey")), F.col("r_regionkey") == F.col("cn_rkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            "supp_nation",
+            cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vc"),
+        )
+    )
+    per = base.groupBy("o_year", "supp_nation").agg(F.sum("vc").alias("v"))
+    tot = per.groupBy("o_year").agg(F.sum("v").alias("t"))
+    return per.join(tot, "o_year").select(
+        "o_year",
+        "supp_nation",
+        (F.col("v") / F.lit(100.0)).alias("revenue"),
+        (F.col("v").cast("double") / F.col("t").cast("double")).alias("mkt_share"),
+    )
+
+
+@query(
+    "q157_profit_by_nation_year",
+    f"""
+    SELECT sn.n_name AS supp_nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           sum({C.format(x='l.l_extendedprice * (1 - l.l_discount)')}
+               - {C.format(x='p.p_retailprice * l.l_quantity * 0.1')})/100.0
+             AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE contains(lower(p.p_name), 'a')
+    GROUP BY 1, 2
+    """,
+)
+def q157_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted: supply cost modeled as 10% of retail price
+    per unit — the schema has no partsupp): profit per supplier nation per
+    year over parts whose name contains 'a'. Exact integer cents on both
+    revenue and cost terms before the sum."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        F.lower(F.col("p_name")).contains("a")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    return (
+        l.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+               F.col("p_partkey") == F.col("l_partkey"))
+        .join(s.select("s_suppkey", "s_nationkey"),
+              F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("supp_nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    - cents(F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1))
+                ) / F.lit(100.0)
+            ).alias("profit")
+        )
+    )
+
+
+@query(
+    "q158_encoding_qc",
+    """
+    WITH d AS (
+      SELECT source,
+             length(text) AS n_chars,
+             length(regexp_replace(text, '[ -~]', '', 'g')) AS n_nonprint,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_sym,
+             length(regexp_replace(text, '[^\\x{FFFD}]', '', 'g')) AS n_repl
+      FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           sum(n_chars) AS total_chars,
+           CAST(sum(n_nonprint) AS DOUBLE) / sum(n_chars) AS nonprintable_frac,
+           CAST(sum(n_sym) AS DOUBLE) / sum(n_chars) AS symbol_frac,
+           sum(CASE WHEN n_repl > 0 OR n_nonprint > 0 THEN 1 ELSE 0 END)
+             AS n_suspect_docs
+    FROM d GROUP BY 1
+    """,
+)
+def q158_encoding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding / mojibake QC panel per source: characters outside printable
+    ASCII, U+FFFD replacement characters (the scar UTF-8 decoding leaves on
+    mis-encoded bytes), and symbol density — the standard pre-training
+    corpus hygiene signals. Pure JVM regex counting (whole-stage codegen,
+    no UDF); ratios are ratios of exact integer sums. Patterns restrict to
+    explicit character ranges that Java regex and RE2 interpret
+    identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace(F.col("text"), r"[ -~]", "")).alias("n_nonprint"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9 ]", "")).alias(
+            "n_sym"
+        ),
+        F.length(F.regexp_replace(F.col("text"), "[^�]", "")).alias("n_repl"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_nonprint").cast("double") / F.sum("n_chars")).alias(
+            "nonprintable_frac"
+        ),
+        (F.sum("n_sym").cast("double") / F.sum("n_chars")).alias("symbol_frac"),
+        F.sum(
+            F.when((F.col("n_repl") > 0) | (F.col("n_nonprint") > 0), 1).otherwise(0)
+        ).alias("n_suspect_docs"),
+    )
