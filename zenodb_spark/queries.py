@@ -8077,3 +8077,277 @@ def q158_encoding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("n_repl") > 0) | (F.col("n_nonprint") > 0), 1).otherwise(0)
         ).alias("n_suspect_docs"),
     )
+
+
+@query(
+    "q159_int8_quantization",
+    """
+    WITH v AS (
+      SELECT vec_id, i AS dim, CAST(embedding[i+1] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+    ),
+    stats AS (
+      SELECT dim, min(val) AS lo, max(val) AS hi FROM v GROUP BY 1
+    ),
+    q AS (
+      SELECT v.dim, v.val, s.lo, s.hi,
+             least(127, greatest(-127,
+               CAST(floor((v.val - s.lo) / (s.hi - s.lo) * 254.0 - 127.0 + 0.5)
+                    AS INT))) AS qi
+      FROM v JOIN stats s ON s.dim = v.dim WHERE s.hi > s.lo
+    ),
+    e AS (
+      SELECT dim, lo, hi,
+             CAST(floor(
+               (val - (lo + (qi + 127) * (hi - lo) / 254.0))
+               * (val - (lo + (qi + 127) * (hi - lo) / 254.0))
+               * 1000000000000.0 + 0.5) AS BIGINT) AS se_pico
+      FROM q
+    )
+    SELECT CAST(dim AS BIGINT) AS dim, lo, hi,
+           count(*) AS n,
+           sum(se_pico) AS sse_pico
+    FROM e GROUP BY 1, 2, 3
+    """,
+)
+def q159_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization audit: per-dimension min/max-scaled 8-bit
+    codes (the 4× embedding compression every large vector store applies
+    before ANN) and the exact reconstruction squared error they cost.
+
+    Scale shape: one posexplode → per-dim min/max (64-row aggregate,
+    map-side combined) → broadcast stats back onto the exploded values.
+    Determinism: float32 inputs widen exactly to double in both engines;
+    per-value squared errors quantize to integer picounits BEFORE the sum
+    (associative), per the file-wide rule."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "fval")
+    ).select("vec_id", "dim", F.col("fval").cast("double").alias("val"))
+    stats = v.groupBy("dim").agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+    q = (
+        v.join(F.broadcast(stats.filter(F.col("hi") > F.col("lo"))), "dim")
+        .withColumn(
+            "qi",
+            F.least(
+                F.lit(127),
+                F.greatest(
+                    F.lit(-127),
+                    F.floor(
+                        (F.col("val") - F.col("lo"))
+                        / (F.col("hi") - F.col("lo"))
+                        * F.lit(254.0)
+                        - F.lit(127.0)
+                        + F.lit(0.5)
+                    ).cast("int"),
+                ),
+            ),
+        )
+    )
+    deq = F.col("lo") + (F.col("qi") + F.lit(127)) * (F.col("hi") - F.col("lo")) / F.lit(254.0)
+    e = q.withColumn(
+        "se_pico",
+        F.floor(
+            (F.col("val") - deq) * (F.col("val") - deq) * F.lit(1000000000000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return e.groupBy(F.col("dim").cast("long").alias("dim"), "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("se_pico").alias("sse_pico")
+    )
+
+
+@query(
+    "q160_quality_classifier",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(string_split({NORM.format(x='text')}, ' '),
+                         x -> len(x) > 0) AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_sym,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_dig
+      FROM documents
+    ), f AS (
+      SELECT doc_id, source,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+             CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_tok,
+             CAST(n_sym AS DOUBLE) / n_chars AS sym_frac,
+             CAST(n_dig AS DOUBLE) / n_chars AS dig_frac
+      FROM t WHERE len(toks) > 0 AND n_chars > 0
+    )
+    SELECT doc_id AS doc, source,
+           -1.5 + 3.0 * ttr - 0.2 * chars_per_tok - 4.0 * sym_frac
+                - 2.0 * dig_frac AS logit,
+           CASE WHEN -1.5 + 3.0 * ttr - 0.2 * chars_per_tok - 4.0 * sym_frac
+                     - 2.0 * dig_frac > 0.0 THEN 1 ELSE 0 END AS keep
+    FROM f
+    """,
+)
+def q160_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality classifier (the fastText-style corpus
+    filter, with the model baked in as literals): per-doc features →
+    logit → keep decision. Features are ratios of exact integers; the
+    logit is one fixed left-associated IEEE expression, so both engines
+    agree bit-for-bit without quantization. Entirely codegen — scoring
+    100 TB is a single scan, no shuffle at all."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text("text"), " "), lambda x: F.length(x) > 0)
+    t = docs.select(
+        F.col("doc_id").alias("doc"),
+        "source",
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(toks).alias("n_tok"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9 ]", "")).alias(
+            "n_sym"
+        ),
+        F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).alias("n_dig"),
+    ).filter((F.col("n_tok") > 0) & (F.col("n_chars") > 0))
+    logit = (
+        F.lit(-1.5)
+        + F.lit(3.0) * (F.col("n_uniq").cast("double") / F.col("n_tok"))
+        - F.lit(0.2) * (F.col("n_chars").cast("double") / F.col("n_tok"))
+        - F.lit(4.0) * (F.col("n_sym").cast("double") / F.col("n_chars"))
+        - F.lit(2.0) * (F.col("n_dig").cast("double") / F.col("n_chars"))
+    )
+    return t.select(
+        "doc",
+        "source",
+        logit.alias("logit"),
+        F.when(logit > 0.0, 1).otherwise(0).alias("keep"),
+    )
+
+
+@query(
+    "q161_sliding_distinct",
+    """
+    WITH ev AS (
+      SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM ev)
+    SELECT d.day, count(DISTINCT e.user_id) AS users_7d
+    FROM days d JOIN ev e
+      ON e.day BETWEEN d.day - 6*86400 AND d.day
+    GROUP BY 1
+    """,
+)
+def q161_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day sliding distinct users per day — the rolling-MAU shape.
+    COUNT(DISTINCT) cannot ride a RANGE window frame, and the oracle's
+    interval self-join is quadratic-ish; the scale form dedups to
+    (user, day) pairs first, then explodes each pair to the ≤7 windows it
+    can serve (bounded fan-out), semi-joins to observed days, and counts
+    distinct per window — every stage linear in distinct (user, day)."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        timeops.bucket_epoch("ts", 86400).alias("day"), "user_id"
+    ).distinct()
+    days = ud.select("day").distinct()
+    tgt = ud.select(
+        F.explode(
+            F.sequence(
+                F.col("day"), F.col("day") + F.lit(6 * 86400), F.lit(86400)
+            )
+        ).alias("day_t"),
+        "user_id",
+    )
+    return (
+        tgt.join(days, tgt["day_t"] == days["day"])
+        .select("day", "user_id")
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("users_7d"))
+    )
+
+
+@query(
+    "q162_cdc_chunks",
+    """
+    WITH d AS (
+      SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents WHERE length(text) >= 8
+    ),
+    pos AS (
+      SELECT doc_id, i
+      FROM d, unnest(range(8, n + 1)) AS u(i)
+      WHERE CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER) - 7, 8)),
+                                 1, 4)) AS INTEGER) % 16 = 0
+    ),
+    b AS (SELECT doc_id, list_sort(list(i)) AS bps FROM pos GROUP BY 1),
+    db AS (
+      SELECT d.doc_id, d.source, d.text,
+             list_prepend(CAST(0 AS BIGINT),
+                          list_append(coalesce(b.bps, []), d.n)) AS cuts
+      FROM d LEFT JOIN b USING (doc_id)
+    ),
+    ch AS (
+      SELECT doc_id, source,
+             substr(text, CAST(cuts[j+1] AS INTEGER) + 1,
+                    CAST(cuts[j+2] - cuts[j+1] AS INTEGER)) AS chunk
+      FROM db, unnest(range(0, len(cuts) - 1)) AS u(j)
+    ),
+    f AS (SELECT source, doc_id, md5(chunk) AS h FROM ch WHERE chunk <> ''),
+    g AS (SELECT h, count(DISTINCT doc_id) AS nd FROM f GROUP BY 1)
+    SELECT f.source,
+           count(*) AS n_chunks,
+           count(DISTINCT f.h) AS n_distinct_chunks,
+           sum(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS n_crossdoc_chunks
+    FROM f JOIN g ON g.h = f.h
+    GROUP BY 1
+    """,
+)
+def q162_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup audit: chunk boundaries fall where the
+    hash of the trailing 8-char window ≡ 0 (mod 16) — so boundaries move
+    WITH the content, and an insertion early in a document shifts chunk
+    edges only locally instead of re-aligning every fixed-width block (the
+    rsync/LBFS trick storage dedup is built on, here as the substring-level
+    dedup signal doc-level fingerprints miss). Per source: chunk count,
+    distinct chunks, and chunks recurring across ≥2 documents.
+
+    All boundary detection is per-row array expressions (sequence →
+    filter → transform), codegen'd, zero shuffle until the final chunk-
+    fingerprint aggregate; md5 stands in for a cheap rolling hash so both
+    engines derive identical boundaries."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.filter(F.length("text") >= 8).select(
+        "doc_id", "source", "text", F.length("text").cast("long").alias("n")
+    )
+    d = d.withColumn(
+        "cuts",
+        F.expr(
+            "concat(array(0L), "
+            " filter(sequence(8L, n), i ->"
+            "   cast(conv(substring(md5(substring(text, int(i - 7), 8)), 1, 4),"
+            "             16, 10) as bigint) % 16 = 0),"
+            " array(n))"
+        ),
+    )
+    ch = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(cuts) - 2), j ->"
+                " substring(text, int(element_at(cuts, j + 1)) + 1,"
+                "           int(element_at(cuts, j + 2) - element_at(cuts, j + 1))))"
+            )
+        ).alias("chunk"),
+    ).filter(F.col("chunk") != "")
+    f = ch.select("source", "doc_id", F.md5("chunk").alias("h"))
+    g = f.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        f.join(g, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("h").alias("n_distinct_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).alias(
+                "n_crossdoc_chunks"
+            ),
+        )
+    )
