@@ -76,6 +76,10 @@ HEADLINE = [
     "q127_bucketed_join",
     "q128_time_weighted_avg",
     "q129_gapfill_locf",
+    "q153_interval_join",
+    "q154_heavy_hitters",
+    "q155_pagerank",
+    "q162_cdc_chunks",
     "z01_engine_rollup_sketch",
     "z02_engine_shift",
     "z06_engine_crosstab",

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from zenodb_spark.operators.dedup import normalize_text
+from zenodb_spark.operators.util import spread
 
 
 def bm25_topk(
@@ -44,7 +45,7 @@ def bm25_topk(
     per partition before the final exchange). No driver-side index, no
     cross join; the inverted index IS the tf DataFrame.
     """
-    toks = corpus.select(
+    toks = spread(corpus).select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)

@@ -490,6 +490,7 @@ def pq_assign(
     tie-break via array_position. Emits one row per (vector, subspace)
     with the chosen code and the micro-quantized quantization error.
     """
+    corpus = spread(corpus)
     sub = len(codebooks[0][0])
     rows = []
     for j, cb in enumerate(codebooks):

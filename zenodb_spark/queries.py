@@ -8271,11 +8271,19 @@ def q161_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, text, CAST(length(text) AS BIGINT) AS n
       FROM documents WHERE length(text) >= 8
     ),
+    cd AS (
+      SELECT doc_id, source, text, n,
+             [CAST(ascii(substr(text, CAST(p AS INTEGER), 1)) AS BIGINT)
+              for p in range(1, CAST(n AS INTEGER) + 1)] AS codes
+      FROM d
+    ),
     pos AS (
       SELECT doc_id, i
-      FROM d, unnest(range(8, n + 1)) AS u(i)
-      WHERE CAST(('0x' || substr(md5(substr(text, CAST(i AS INTEGER) - 7, 8)),
-                                 1, 4)) AS INTEGER) % 16 = 0
+      FROM cd, unnest(range(8, n + 1)) AS u(i)
+      WHERE ((codes[i] + codes[i-1]*31 + codes[i-2]*961 + codes[i-3]*29791
+              + codes[i-4]*923521 + codes[i-5]*28629151
+              + codes[i-6]*887503681 + codes[i-7]*27512614111)
+             % 1000003) * 16 < 1000003
     ),
     b AS (SELECT doc_id, list_sort(list(i)) AS bps FROM pos GROUP BY 1),
     db AS (
@@ -8310,20 +8318,33 @@ def q162_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct chunks, and chunks recurring across ≥2 documents.
 
     All boundary detection is per-row array expressions (sequence →
-    filter → transform), codegen'd, zero shuffle until the final chunk-
-    fingerprint aggregate; md5 stands in for a cheap rolling hash so both
-    engines derive identical boundaries."""
-    docs = load_table(spark, sf_dir, "documents")
+    filter → transform), zero shuffle until the final chunk-fingerprint
+    aggregate. The window hash is an unrolled base-31 polynomial over the
+    8 trailing char codes reduced mod 1000003 — pure 64-bit integer
+    arithmetic (max value ~1.2e13, no overflow), identical in both
+    engines and ~5× cheaper than a per-position digest; `h·16 < P` takes
+    the ~1/16 acceptance from the mixed high bits rather than `h % 16`
+    (which base 31 ≡ −1 (mod 16) would collapse to an alternating char
+    sum)."""
+    from zenodb_spark.operators.util import spread
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
     d = docs.filter(F.length("text") >= 8).select(
         "doc_id", "source", "text", F.length("text").cast("long").alias("n")
     )
     d = d.withColumn(
+        "codes",
+        F.expr("transform(sequence(1, n), p -> bigint(ascii(substring(text, int(p), 1))))"),
+    ).withColumn(
         "cuts",
         F.expr(
             "concat(array(0L), "
             " filter(sequence(8L, n), i ->"
-            "   cast(conv(substring(md5(substring(text, int(i - 7), 8)), 1, 4),"
-            "             16, 10) as bigint) % 16 = 0),"
+            "  ((element_at(codes, int(i)) + element_at(codes, int(i-1))*31"
+            "    + element_at(codes, int(i-2))*961 + element_at(codes, int(i-3))*29791"
+            "    + element_at(codes, int(i-4))*923521 + element_at(codes, int(i-5))*28629151"
+            "    + element_at(codes, int(i-6))*887503681 + element_at(codes, int(i-7))*27512614111)"
+            "   % 1000003) * 16 < 1000003),"
             " array(n))"
         ),
     )
