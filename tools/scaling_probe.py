@@ -37,6 +37,10 @@ PROBE = [
     "q122_order_value_deciles",
     "q127_bucketed_join",
     "q128_time_weighted_avg",
+    "q153_interval_join",
+    "q154_heavy_hitters",
+    "q155_pagerank",
+    "q162_cdc_chunks",
 ]
 
 
