@@ -8372,3 +8372,136 @@ def q162_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q163_leakage_safe_split",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, md5({NORM.format(x='text')}) AS fp
+      FROM documents
+    ),
+    cl AS (SELECT fp, min(doc_id) AS cluster_id, count(*) AS csize
+           FROM d GROUP BY 1),
+    a AS (
+      SELECT d.doc_id, d.source, cl.cluster_id, cl.csize,
+             CASE
+               WHEN CAST(('0x' || substr(md5(CAST(cl.cluster_id AS VARCHAR)),
+                                         1, 4)) AS INTEGER) % 10 < 8 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(cl.cluster_id AS VARCHAR)),
+                                         1, 4)) AS INTEGER) % 10 = 8 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM d JOIN cl ON cl.fp = d.fp
+    )
+    SELECT split, source,
+           count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters,
+           sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS n_dup_docs
+    FROM a GROUP BY 1, 2
+    """,
+)
+def q163_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the split hash is taken over the
+    DUPLICATE-CLUSTER id (min doc id per normalized-text fingerprint), not
+    the document id — so every copy of a duplicated document lands in the
+    same split and the eval set can never contain a training document's
+    twin (the train/test contamination path naive per-doc splitting
+    leaves open). 80/10/10 via md5 of the cluster id: deterministic,
+    engine-independent, rebalance-stable as the corpus grows.
+
+    Scale shape: one fingerprint aggregate (map-side combined), one
+    fingerprint-keyed join back — the same single-shuffle pattern as
+    dedup_apply; no pair materialization."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source", F.md5(normalize_text("text")).alias("fp")
+    )
+    cl = d.groupBy("fp").agg(
+        F.min("doc_id").alias("cluster_id"), F.count(F.lit(1)).alias("csize")
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("cluster_id").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 10
+    )
+    a = d.join(cl, "fp").withColumn(
+        "split",
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test"),
+    )
+    return a.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+        F.sum(F.when(F.col("csize") > 1, 1).otherwise(0)).alias("n_dup_docs"),
+    )
+
+
+def _hard_negatives_oracle() -> str:
+    base = _bm25_oracle(topk=10)
+    n = NORM.format(x="text")
+    # reuse the q64 scoring pipeline verbatim, then strike exact-dup twins
+    # of the query and re-rank the survivors
+    tail = (
+        "SELECT qid, doc, round(CAST(sm AS DOUBLE) / 1000000, 9) AS bm25,\n"
+        "           CAST(rank AS BIGINT) AS rank\n"
+        "    FROM ranked WHERE rank <= 10"
+    )
+    assert tail in base
+    return base.replace(
+        tail,
+        f"""fpd AS (SELECT doc_id, md5({n}) AS fp FROM documents),
+    kept AS (
+      SELECT r.qid, r.doc, r.sm,
+             row_number() OVER (PARTITION BY r.qid ORDER BY r.rank) AS neg_rank
+      FROM ranked r
+      JOIN fpd qf ON qf.doc_id = r.qid
+      JOIN fpd df ON df.doc_id = r.doc
+      WHERE r.rank <= 10 AND qf.fp <> df.fp
+    )
+    SELECT qid, doc, round(CAST(sm AS DOUBLE) / 1000000, 9) AS bm25,
+           CAST(neg_rank AS BIGINT) AS neg_rank
+    FROM kept WHERE neg_rank <= 3""",
+    ).replace(
+        "    ranked AS (\n      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, doc) AS rank\n      FROM scored\n    )\n    fpd AS",
+        "    ranked AS (\n      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, doc) AS rank\n      FROM scored\n    ),\n    fpd AS",
+    )
+
+
+@query("q164_hard_negatives", _hard_negatives_oracle())
+def q164_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retrieval training: each eval query's BM25
+    top-10 with exact-duplicate twins of the query struck out (those are
+    POSITIVES — a naive miner feeds them in as negatives and poisons the
+    contrastive loss), re-ranked, top-3 kept. Semantics pinned as
+    "top-10 → strike twins → first 3" identically in both engines.
+
+    Scale: the twin strike is a fingerprint equi-join on the ALREADY
+    top-k-pruned candidate rows (≤10 per query), not on the corpus."""
+    from zenodb_spark.operators.dedup import normalize_text
+    from zenodb_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", F.md5(normalize_text("text")).alias("fp"))
+    top10 = bm25_topk(
+        docs.filter(F.col("doc_id") % 100 != 0),
+        docs.filter(F.col("doc_id") % 100 == 0).select(
+            F.col("doc_id").alias("qid"), "text"
+        ),
+        topk=10,
+    )
+    qf = fp.select(F.col("doc_id").alias("qid"), F.col("fp").alias("qfp"))
+    df_ = fp.select(F.col("doc_id").alias("doc"), F.col("fp").alias("dfp"))
+    kept = (
+        top10.join(qf, "qid")
+        .join(df_, "doc")
+        .filter(F.col("qfp") != F.col("dfp"))
+        .withColumn(
+            "neg_rank",
+            F.row_number().over(Window.partitionBy("qid").orderBy("rank")),
+        )
+        .filter(F.col("neg_rank") <= 3)
+    )
+    return kept.select("qid", "doc", "bm25", F.col("neg_rank").cast("long").alias("neg_rank"))
