@@ -130,3 +130,26 @@ class TestHeavyHitters:
         )
         got = sorted(tuple(r) for r in heavy_hitters(df, "k", 2).collect())
         assert got == [("a", 30)]
+
+
+class TestPlanShapes:
+    def test_heavy_hitters_no_exchange_before_candidates(self, spark):
+        from zenodb_spark.operators.sketch import heavy_hitters
+
+        df = spark.range(0, 10_000, 1, 8).select((F.col("id") % 50).alias("k"))
+        plan = heavy_hitters(df, "k", 10)._jdf.queryExecution().executedPlan().toString()
+        # candidate pass: MapInPandas feeds straight off the scan; exactly
+        # one broadcast (the candidate set) and no sort-merge join
+        assert "MapInPandas" in plan
+        assert "SortMergeJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+
+    def test_pagerank_iterations_do_not_grow_edge_joins(self, spark):
+        import zenodb_spark.queries as Q
+
+        df = Q.QUERIES["q155_pagerank"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the 5-way fact join appears once (cached); iterations reference
+        # InMemoryTableScan instead of re-joining the facts
+        assert plan.count("InMemoryTableScan") >= 4
+        assert df.count() == 25
