@@ -153,3 +153,45 @@ class TestPlanShapes:
         # InMemoryTableScan instead of re-joining the facts
         assert plan.count("InMemoryTableScan") >= 4
         assert df.count() == 25
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
+    """At 100 TB the fact side of a selective dim join is pruned by
+    Spark's runtime bloom filter (InjectRuntimeFilter, on by default);
+    locally the 10 GiB application-side threshold never trips, so this
+    pins the behavior with the threshold lowered — proving the engine's
+    scan-pruning path needs zero code from us, only honest defaults."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        fact_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+        spark.range(0, 200_000, 1, 8).selectExpr(
+            "id", "id % 1000 as k", "md5(cast(id as string)) as pad"
+        ).write.parquet(fact_p)
+        spark.range(0, 1000).selectExpr("id as k", "id*2 as attr").write.parquet(
+            dim_p
+        )
+        f = spark.read.parquet(fact_p)
+        dim = spark.read.parquet(dim_p).filter("k % 100 = 0")
+        plan = f.join(dim, "k")._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                # size confs read back with a trailing unit ("…b") that
+                # set() rejects; strip it
+                spark.conf.set(
+                    k, v[:-1] if v.endswith("b") and v[:-1].isdigit() else v
+                )
