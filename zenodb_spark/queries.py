@@ -8505,3 +8505,131 @@ def q164_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= 3)
     )
     return kept.select("qid", "doc", "bm25", F.col("neg_rank").cast("long").alias("neg_rank"))
+
+
+@query(
+    "q165_dup_span_strike",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split({NORM.format(x='text')}, ' '),
+                         x -> len(x) > 0) AS toks
+      FROM documents
+    ),
+    tt AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n
+           FROM t WHERE len(toks) > 0),
+    w AS (
+      SELECT doc_id, p,
+             md5(array_to_string(toks[CAST(p AS INTEGER):CAST(p+9 AS INTEGER)],
+                                 ' ')) AS h
+      FROM tt, unnest(range(1, CAST(n AS INTEGER) - 8)) AS u(p)
+      WHERE n >= 10
+    ),
+    g AS (
+      SELECT h, count(*) AS c,
+             min(doc_id * 1000000000 + p) AS canon_key
+      FROM w GROUP BY 1
+    ),
+    strike AS (
+      SELECT w.doc_id, w.p
+      FROM w JOIN g ON g.h = w.h
+      WHERE g.c >= 2 AND (w.doc_id * 1000000000 + w.p) <> g.canon_key
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, idx
+      FROM strike, unnest(range(p, p + 10)) AS u2(idx)
+    ),
+    tok AS (
+      SELECT doc_id, i, toks[CAST(i AS INTEGER)] AS tok
+      FROM tt, unnest(range(1, CAST(n AS INTEGER) + 1)) AS u3(i)
+    ),
+    kept AS (
+      SELECT tok.doc_id, tok.i, tok.tok
+      FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.idx = tok.i
+      WHERE cov.idx IS NULL
+    ),
+    res AS (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(tok, ' ' ORDER BY i)) AS clean_md5
+      FROM kept GROUP BY 1
+    )
+    SELECT tt.doc_id AS doc, tt.n AS n_tokens,
+           tt.n - coalesce(res.n_kept, 0) AS n_struck,
+           coalesce(res.clean_md5, md5('')) AS clean_md5
+    FROM tt LEFT JOIN res ON res.doc_id = tt.doc_id
+    """,
+)
+def q165_dup_span_strike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup APPLY (Lee et al. 2021, "Deduplicating
+    Training Data"): every duplicated 10-token window keeps its globally
+    FIRST occurrence (min (doc, pos)) and every other occurrence is
+    struck; each document is rewritten with its covered token spans
+    removed (span union via distinct covered indices — spans overlap, so
+    naive per-window removal would double-strike). Returns per-doc token
+    counts and the md5 of the cleaned text — the materialization step
+    q112's coverage signal only measures.
+
+    Scale shape: one row per token for window hashing (linear, stride 1);
+    the per-hash aggregate is map-side combined; strike marks rejoin on
+    the window hash; coverage and reconstruction share the doc-keyed
+    exchange. Reconstruction sorts each doc's kept tokens in one
+    collect_list over ≤ doc-length structs — bounded by chunking
+    upstream (q44) exactly as the reference pipeline would."""
+    from zenodb_spark.operators.dedup import normalize_text
+    from zenodb_spark.operators.util import spread
+
+    W = 10
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tt = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(normalize_text("text"), " "), lambda x: F.length(x) > 0
+        ).alias("toks"),
+    ).filter(F.size("toks") > 0).withColumn("n", F.size("toks").cast("long"))
+    w = (
+        tt.filter(F.col("n") >= W)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n") - (W - 1))).alias("p"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "p",
+            F.md5(F.concat_ws(" ", F.expr(f"slice(toks, int(p), {W})"))).alias("h"),
+        )
+    )
+    key = F.col("doc_id") * F.lit(1_000_000_000) + F.col("p")
+    g = w.groupBy("h").agg(
+        F.count(F.lit(1)).alias("c"), F.min(key).alias("canon_key")
+    )
+    strike = (
+        w.join(g, "h")
+        .filter((F.col("c") >= 2) & (key != F.col("canon_key")))
+        .select("doc_id", "p")
+    )
+    cov = strike.select(
+        "doc_id", F.explode(F.sequence(F.col("p"), F.col("p") + (W - 1))).alias("idx")
+    ).distinct()
+    tok = tt.select(
+        "doc_id",
+        F.posexplode("toks").alias("i0", "tok"),
+    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("i"), "tok")
+    kept = tok.join(
+        cov, (tok["doc_id"] == cov["doc_id"]) & (tok["i"] == cov["idx"]), "left_anti"
+    )
+    res = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.expr("transform(sort_array(collect_list(struct(i, tok))), s -> s.tok)"),
+            )
+        ).alias("clean_md5"),
+    )
+    return tt.join(res, "doc_id", "left").select(
+        F.col("doc_id").alias("doc"),
+        F.col("n").alias("n_tokens"),
+        (F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_struck"),
+        F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+    )
