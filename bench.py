@@ -80,6 +80,7 @@ HEADLINE = [
     "q154_heavy_hitters",
     "q155_pagerank",
     "q162_cdc_chunks",
+    "q165_dup_span_strike",
     "z01_engine_rollup_sketch",
     "z02_engine_shift",
     "z06_engine_crosstab",
