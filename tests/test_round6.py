@@ -195,3 +195,30 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, tmp_path):
                 spark.conf.set(
                     k, v[:-1] if v.endswith("b") and v[:-1].isdigit() else v
                 )
+
+
+class TestExactQuantile2Pass:
+    def test_matches_global_sort_with_heavy_duplicates(self, spark):
+        from zenodb_spark.operators.percentile import exact_quantile_2pass
+
+        # 40% of mass on one duplicated value: the bracket lands inside a
+        # run of ties and the rank arithmetic must still pick correctly
+        df = spark.range(0, 20_000, 1, 8).select(
+            F.when(F.col("id") % 5 < 2, F.lit(42.0))
+            .otherwise((F.col("id") % 997).cast("double"))
+            .alias("x")
+        )
+        import math
+
+        for q in (0.25, 0.5, 0.9):
+            got = exact_quantile_2pass(df, "x", q).collect()[0]
+            k = max(1, int(math.ceil(q * 20_000)))
+            want = df.orderBy("x").limit(k).agg(F.max("x")).collect()[0][0]
+            assert got["value"] == want and got["k"] == k
+
+    def test_extreme_quantiles(self, spark):
+        from zenodb_spark.operators.percentile import exact_quantile_2pass
+
+        df = spark.range(1, 1001, 1, 4).select(F.col("id").cast("double").alias("x"))
+        assert exact_quantile_2pass(df, "x", 0.001).collect()[0]["value"] == 1.0
+        assert exact_quantile_2pass(df, "x", 1.0).collect()[0]["value"] == 1000.0

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def percentile_exact(value: Column | str, p: float) -> Column:
@@ -116,3 +117,55 @@ def hist_quantile(state: Column | str, p: float, lo: float, precision: int) -> C
         ),
     )
     return F.when(folded["ans"] >= 0, folded["ans"] / F.lit(scale) + F.lit(lo))
+
+
+def exact_quantile_2pass(
+    df: DataFrame,
+    value_col: str,
+    q: float,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """EXACT q-quantile (k-th smallest, k = ceil(q·N)) without a global
+    sort — the two-pass pattern that stays exact at any scale:
+
+    Pass 1 (narrow): ``approx_percentile`` brackets the answer with
+    candidates at q ± 1/accuracy. The sketch's error only affects how
+    WIDE the bracket is (≈ 2N/accuracy rows), never the answer.
+    Pass 2 (exact): count rows strictly below the bracket (exact
+    integer rank), pull only the bracketed slice, and select the element
+    whose exact rank is k with a single-partition row_number over that
+    small slice. A global orderBy would range-shuffle ALL N rows; here
+    the full data is only scanned (twice) and the sort touches
+    ~2N/accuracy rows — pick accuracy ~ √N so the slice fits one
+    executor comfortably (1e12 rows, accuracy 1e6 → 2M-row slice).
+
+    Exactness does not depend on the sketch: if the bracket were
+    misestimated the rank arithmetic would select nothing, never a wrong
+    element — and approx_percentile's rank error is hard-bounded at
+    N/accuracy, so k always lands inside. Returns a 1-row DataFrame
+    (k, n, value).
+    """
+    v = F.col(value_col)
+    src = df.filter(v.isNotNull()).select(v.alias("v"))
+    lo_q = max(0.0, q - 1.0 / accuracy)
+    hi_q = min(1.0, q + 1.0 / accuracy)
+    b = src.agg(
+        F.percentile_approx("v", [lo_q, hi_q], accuracy).alias("bracket"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    lo, hi, n = b["bracket"][0], b["bracket"][1], b["n"]
+    import math
+
+    k = max(1, int(math.ceil(q * n)))
+    below = src.filter(F.col("v") < F.lit(lo)).count()
+    slice_df = src.filter((F.col("v") >= F.lit(lo)) & (F.col("v") <= F.lit(hi)))
+    w = Window.orderBy("v")
+    return (
+        slice_df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == F.lit(k - below))
+        .select(
+            F.lit(int(k)).alias("k"),
+            F.lit(int(n)).alias("n"),
+            F.col("v").alias("value"),
+        )
+    )

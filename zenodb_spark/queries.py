@@ -8633,3 +8633,42 @@ def q165_dup_span_strike(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_struck"),
         F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
     )
+
+
+@query(
+    "q166_exact_quantile_2pass",
+    """
+    WITH v AS (SELECT l_extendedprice AS x FROM lineitem
+               WHERE l_extendedprice IS NOT NULL),
+    nn AS (SELECT count(*) AS c FROM v),
+    r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v)
+    SELECT 0.5 AS q, CAST(ceil(0.5 * c) AS BIGINT) AS k,
+           CAST(c AS BIGINT) AS n, x AS value
+    FROM r, nn WHERE rn = CAST(ceil(0.5 * c) AS BIGINT)
+    UNION ALL
+    SELECT 0.99 AS q, CAST(ceil(0.99 * c) AS BIGINT) AS k,
+           CAST(c AS BIGINT) AS n, x AS value
+    FROM r, nn WHERE rn = CAST(ceil(0.99 * c) AS BIGINT)
+    """,
+)
+def q166_exact_quantile_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median and P99 of lineitem price with NO global sort: pass 1
+    brackets the answer with approx_percentile (error bounds the bracket
+    width, never the answer), pass 2 counts exact ranks and sorts only
+    the ~2N/accuracy bracketed slice (operators/percentile.
+    exact_quantile_2pass). The oracle global-sorts everything — the
+    point is both produce the identical k-th smallest element, but one
+    of them still works when N is 10^12."""
+    from zenodb_spark.operators.percentile import exact_quantile_2pass
+
+    li = load_table(spark, sf_dir, "lineitem")
+    out = None
+    for q in (0.5, 0.99):
+        r = exact_quantile_2pass(li, "l_extendedprice", q).select(
+            F.lit(q).alias("q"),
+            F.col("k").cast("long").alias("k"),
+            F.col("n").cast("long").alias("n"),
+            "value",
+        )
+        out = r if out is None else out.unionByName(r)
+    return out
