@@ -80,3 +80,65 @@ def test_running_total_equals_sequential_cumsum(spark, rows, n_parts):
         acc += v
         expected[i] = acc
     assert out == expected
+
+
+@settings(**_SETTINGS)
+@given(
+    points=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=40),
+    ivals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=0, max_value=60),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    bin_width=st.integers(min_value=1, max_value=64),
+)
+def test_interval_join_equals_theta_join(spark, points, ivals, bin_width):
+    from zenodb_spark.operators.timeops import interval_join
+
+    ldf = spark.createDataFrame([Row(pid=i, p=p) for i, p in enumerate(points)])
+    rdf = spark.createDataFrame(
+        [Row(rid=i, s=s, e=s + ln) for i, (s, ln) in enumerate(ivals)]
+    )
+    got = sorted(
+        map(
+            tuple,
+            interval_join(ldf, rdf, "p", "s", "e", bin_width=bin_width)
+            .select("pid", "rid")
+            .collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            ldf.join(rdf, (F.col("p") >= F.col("s")) & (F.col("p") < F.col("e")))
+            .select("pid", "rid")
+            .collect(),
+        )
+    )
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(st.integers(min_value=0, max_value=30), min_size=1, max_size=80),
+    k=st.integers(min_value=1, max_value=8),
+)
+def test_heavy_hitters_equals_groupby_threshold(spark, rows, k):
+    from zenodb_spark.operators.sketch import heavy_hitters
+
+    df = spark.createDataFrame([Row(key=r) for r in rows]).repartition(4)
+    got = sorted(map(tuple, heavy_hitters(df, "key", k).collect()))
+    n = len(rows)
+    want = sorted(
+        map(
+            tuple,
+            df.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_occurrences") * k >= n)
+            .collect(),
+        )
+    )
+    assert got == want
