@@ -199,15 +199,37 @@ def ngram_jaccard_pairs_prefix(
     plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
     # df=1 shingles are dropped AFTER the prefix slice (they pair with
     # nothing, but removing them earlier would deepen the slice and admit
-    # spurious candidates beyond the true prefix)
+    # spurious candidates beyond the true prefix). posexplode keeps each
+    # entry's 1-based position in the rarity order for the position filter.
     prefix = (
-        ranked.select("doc", "sz", F.explode(F.slice("ranked", 1, plen)).alias("p"))
+        ranked.select(
+            "doc", "sz", F.posexplode(F.slice("ranked", 1, plen)).alias("pos0", "p")
+        )
         .filter(F.col("p.df") >= 2)
-        .select("doc", "sz", F.col("p.shingle").alias("shingle"))
+        .select(
+            "doc",
+            "sz",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("p.shingle").alias("shingle"),
+        )
+    )
+    # PPJoin position filter (Xiao et al., WWW'08): for the FIRST shingle a
+    # true pair shares under the global order, |A∩B| ≤ 1 + min(|A|−i, |B|−j)
+    # (all other common shingles rank later, hence live in both suffixes);
+    # J ≥ t forces |A∩B| ≥ ceil(t/(1+t)·(|A|+|B|)), so co-occurrences whose
+    # positional bound can't reach that overlap are dropped BEFORE the
+    # pair-distinct. Checking every co-occurrence (not just the first) is
+    # the same filter: the first shared shingle has the minimal positions
+    # and therefore the maximal bound.
+    overlap_min = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("a.sz") + F.col("b.sz"))
+    )
+    pos_bound = F.lit(1) + F.least(
+        F.col("a.sz") - F.col("a.pos"), F.col("b.sz") - F.col("b.pos")
     )
     cands = (
         prefix.groupBy("shingle")
-        .agg(F.collect_list(F.struct("doc", "sz")).alias("docs"))
+        .agg(F.collect_list(F.struct("doc", "sz", "pos")).alias("docs"))
         .filter(F.size("docs") >= 2)
         .select(F.explode("docs").alias("a"), F.col("docs"))
         .select("a", F.explode("docs").alias("b"))
@@ -217,6 +239,7 @@ def ngram_jaccard_pairs_prefix(
             F.least(F.col("a.sz"), F.col("b.sz"))
             >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
         )
+        .filter(pos_bound >= overlap_min)
         .select(
             F.col("a.doc").alias("doc_a"),
             F.col("b.doc").alias("doc_b"),
