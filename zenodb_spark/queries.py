@@ -8672,3 +8672,98 @@ def q166_exact_quantile_2pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = r if out is None else out.unionByName(r)
     return out
+
+
+@query(
+    "q167_dbscan",
+    """
+    WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               AS c
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ),
+    pr AS (SELECT pa, pb FROM p WHERE c >= 0.4),
+    ed AS (SELECT pa AS a, pb AS b FROM pr UNION SELECT pb, pa FROM pr),
+    deg AS (SELECT a AS node, count(*) AS d FROM ed GROUP BY 1),
+    core AS (SELECT node FROM deg WHERE d >= 3),
+    ce AS (
+      SELECT ed.a, ed.b FROM ed
+      JOIN core ca ON ca.node = ed.a
+      JOIN core cb ON cb.node = ed.b
+    ),
+    reach(node, lab) AS (
+      SELECT node, node FROM core
+      UNION
+      SELECT ce.b, r.lab FROM reach r JOIN ce ON ce.a = r.node
+    ),
+    clab AS (SELECT node, min(lab) AS cluster_id FROM reach GROUP BY 1),
+    border AS (
+      SELECT ed.a AS node, min(clab.cluster_id) AS cluster_id
+      FROM ed
+      JOIN clab ON clab.node = ed.b
+      LEFT JOIN core c2 ON c2.node = ed.a
+      WHERE c2.node IS NULL
+      GROUP BY 1
+    )
+    SELECT node, CAST(cluster_id AS BIGINT) AS cluster_id, 'core' AS role
+    FROM clab
+    UNION ALL
+    SELECT node, CAST(cluster_id AS BIGINT) AS cluster_id, 'border' AS role
+    FROM border
+    """,
+)
+def q167_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact density clustering (DBSCAN) over embeddings: ε-neighbors are
+    cosine ≥ 0.4 pairs from the triangle-blocked EXACT pair join (q32's
+    machinery — bit-identical cosines, so the neighbor graph matches the
+    oracle's brute force); core points have ≥ 3 neighbors; clusters are
+    connected components over core-core edges (min-label propagation, the
+    q47 fixpoint); border points attach to the MIN cluster id among their
+    core neighbors — a deterministic refinement of classic DBSCAN's
+    order-dependent border rule. Noise points are omitted.
+
+    Scale: neighbors come from the blocked pair join (N·(blocks+2) vector
+    shuffle), degree/core are one aggregate, CC is O(diameter) rounds over
+    the (tiny) core subgraph, border assignment is one join."""
+    from zenodb_spark.operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.4, blocks=8, dim=64
+    ).select("doc_a", "doc_b")
+    ed = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+                F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+            )
+        ).alias("e")
+    ).select("e.a", "e.b")
+    core = (
+        ed.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 3)
+        .select(F.col("a").alias("node"))
+    )
+    ca = core.select(F.col("node").alias("doc_a"))
+    cb = core.select(F.col("node").alias("doc_b"))
+    core_pairs = pairs.join(ca, "doc_a").join(cb, "doc_b")
+    labels = connected_components(core_pairs).select("node", "lab")
+    singletons = core.join(labels, "node", "left_anti").select(
+        "node", F.col("node").alias("lab")
+    )
+    clab = labels.unionByName(singletons)
+    border = (
+        ed.join(clab.withColumnRenamed("node", "b"), "b")
+        .join(core.withColumnRenamed("node", "a"), "a", "left_anti")
+        .groupBy("a")
+        .agg(F.min("lab").alias("cluster_id"))
+        .select(F.col("a").alias("node"), "cluster_id", F.lit("border").alias("role"))
+    )
+    cores_out = clab.select(
+        "node", F.col("lab").alias("cluster_id"), F.lit("core").alias("role")
+    )
+    return cores_out.unionByName(border)
