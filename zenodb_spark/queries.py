@@ -8767,3 +8767,90 @@ def q167_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.col("lab").alias("cluster_id"), F.lit("core").alias("role")
     )
     return cores_out.unionByName(border)
+
+
+@query(
+    "q168_knn_pseudolabel",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    m AS (
+      SELECT *, CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
+                     AS INTEGER) % 10 AS bkt
+      FROM e
+    ),
+    lab AS (SELECT vec_id, label, v FROM m WHERE bkt = 0),
+    unl AS (SELECT vec_id, label, v FROM m WHERE bkt <> 0),
+    sc AS (
+      SELECT u.vec_id AS t, u.label AS true_label,
+             l.vec_id AS nid, l.label AS nl,
+             list_dot_product(u.v, l.v) /
+               (sqrt(list_dot_product(u.v, u.v)) * sqrt(list_dot_product(l.v, l.v)))
+               AS c
+      FROM unl u, lab l
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY t ORDER BY c DESC, nid) AS rn
+      FROM sc
+    ),
+    votes AS (
+      SELECT t, true_label, nl, count(*) AS cnt
+      FROM r WHERE rn <= 5 GROUP BY 1, 2, 3
+    ),
+    pick AS (
+      SELECT t, true_label, nl AS predicted_label,
+             row_number() OVER (PARTITION BY t ORDER BY cnt DESC, nl) AS pr
+      FROM votes
+    )
+    SELECT CAST(true_label AS BIGINT) AS true_label,
+           CAST(predicted_label AS BIGINT) AS predicted_label,
+           count(*) AS n
+    FROM pick WHERE pr = 1 GROUP BY 1, 2
+    """,
+)
+def q168_knn_pseudolabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised kNN pseudo-labeling with a confusion panel: a
+    deterministic ~10% of vectors keep their labels (md5 bucket — the
+    "seed set"); every other vector takes the majority label of its 5
+    nearest labeled neighbors by exact cosine (ties: higher count, then
+    smaller label). Output is the true-vs-predicted confusion matrix —
+    the quality gate before trusting propagated labels at scale.
+
+    Scale shape: the LABELED seed set is the broadcast side (it is the
+    small "model"); the unlabeled corpus streams through one scan with
+    per-row unrolled dot products; the per-target top-5 window prunes
+    map-side (WindowGroupLimit) before its exchange. At 100 TB the seed
+    broadcast swaps for the IVF/LSH candidate path (q42/q33) unchanged
+    downstream."""
+    from zenodb_spark.operators.similarity import dot, norm
+    from zenodb_spark.operators.util import spread
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10
+    )
+    m = emb.withColumn("bkt", bkt)
+    lab = m.filter(F.col("bkt") == 0).select(
+        F.col("vec_id").alias("nid"),
+        F.col("label").alias("nl"),
+        F.col("embedding").alias("lv"),
+        norm("embedding", 64).alias("nn"),
+    )
+    unl = spread(m.filter(F.col("bkt") != 0)).select(
+        F.col("vec_id").alias("t"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("uv"),
+        norm("embedding", 64).alias("un"),
+    )
+    sc = unl.join(F.broadcast(lab)).withColumn(
+        "c", dot("uv", "lv", 64) / (F.col("un") * F.col("nn"))
+    )
+    w = Window.partitionBy("t").orderBy(F.col("c").desc(), F.col("nid"))
+    top = sc.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    votes = top.groupBy("t", "true_label", "nl").agg(F.count(F.lit(1)).alias("cnt"))
+    wp = Window.partitionBy("t").orderBy(F.col("cnt").desc(), F.col("nl"))
+    pick = votes.withColumn("pr", F.row_number().over(wp)).filter(F.col("pr") == 1)
+    return pick.groupBy(
+        F.col("true_label").cast("long").alias("true_label"),
+        F.col("nl").cast("long").alias("predicted_label"),
+    ).agg(F.count(F.lit(1)).alias("n"))
