@@ -8854,3 +8854,266 @@ def q168_knn_pseudolabel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_label").cast("long").alias("true_label"),
         F.col("nl").cast("long").alias("predicted_label"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q169_cusum_drift",
+    f"""
+    WITH b AS (
+      SELECT event_type, {BUCKET.format(p=3600)} AS bucket,
+             sum({C.format(x='value')}) AS vc
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(floor(avg(vc)) AS BIGINT) AS mu
+      FROM b GROUP BY 1
+    ),
+    p AS (
+      SELECT b.event_type, b.bucket, b.vc - base.mu AS dev,
+             sum(b.vc - base.mu) OVER (
+               PARTITION BY b.event_type ORDER BY b.bucket
+             ) AS pref
+      FROM b JOIN base ON base.event_type = b.event_type
+    ),
+    s AS (
+      SELECT event_type, bucket, dev, pref,
+             pref - min(pref) OVER (
+               PARTITION BY event_type ORDER BY bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cusum
+      FROM p
+    )
+    SELECT event_type, bucket, CAST(cusum AS BIGINT) AS cusum,
+           CASE WHEN cusum > 20000 THEN 1 ELSE 0 END AS drift_flag
+    FROM s
+    """,
+)
+def q169_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection per event type over hourly revenue:
+    s_t = max(0, s_{t-1} + (x_t − μ)) exceeds a threshold when the level
+    shifts upward. The recursion is NOT window-expressible directly, but
+    s_t ≡ P_t − min_{j≤t} P_j for P = running sum of deviations — two
+    stock window functions over the same (type, bucket) partitioning, no
+    recursion, no UDF. All arithmetic is exact integer cents (μ floored
+    to a cent), so both engines agree bit-for-bit.
+
+    Scale: one bucket aggregate (map-side combined) then windows over the
+    per-type bucket axis — thousands of rows per type regardless of raw
+    volume."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type", timeops.bucket_epoch("ts", 3600).alias("bucket")
+    ).agg(F.sum(cents("value")).alias("vc"))
+    base = b.groupBy("event_type").agg(
+        F.floor(F.avg("vc")).cast("long").alias("mu")
+    )
+    w_pref = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = b.join(base, "event_type").select(
+        "event_type",
+        "bucket",
+        F.sum(F.col("vc") - F.col("mu")).over(w_pref).alias("pref"),
+    )
+    s = p.withColumn("cusum", F.col("pref") - F.min("pref").over(w_pref))
+    return s.select(
+        "event_type",
+        "bucket",
+        F.col("cusum").cast("long").alias("cusum"),
+        F.when(F.col("cusum") > 20000, 1).otherwise(0).alias("drift_flag"),
+    )
+
+
+@query(
+    "q170_rfm_segments",
+    f"""
+    WITH o AS (
+      SELECT o_custkey,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) AS es,
+             {C.format(x='o_totalprice')} AS vc
+      FROM orders
+    ),
+    mx AS (SELECT max(es) AS maxe FROM o),
+    per AS (
+      SELECT o_custkey,
+             CAST((mx.maxe - max(o.es)) / 86400 AS BIGINT) AS recency_days,
+             count(*) AS freq,
+             sum(o.vc) AS monetary_c
+      FROM o, mx GROUP BY 1, mx.maxe
+    ),
+    scored AS (
+      SELECT o_custkey, monetary_c,
+             ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_score,
+             ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+             ntile(5) OVER (ORDER BY monetary_c DESC, o_custkey) AS m_score
+      FROM per
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           count(*) AS n_customers,
+           sum(monetary_c)/100.0 AS total_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def q170_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: quintile scores for recency (days since
+    last order, integer epoch math), frequency, and monetary (exact
+    cents), each ntile'd under a total order (metric + custkey tiebreak,
+    so quintile edges are deterministic), rolled up to segment counts.
+    The classic OLAP segmentation panel; one customer aggregate + three
+    windows over it."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_custkey",
+        timeops.bucket_epoch("o_orderdate", 1).alias("es"),
+        cents("o_totalprice").alias("vc"),
+    )
+    maxe = base.agg(F.max("es").alias("maxe"))
+    per = (
+        base.crossJoin(F.broadcast(maxe))
+        .groupBy("o_custkey", "maxe")
+        .agg(
+            ((F.col("maxe") - F.max("es")) / F.lit(86400)).cast("long").alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("vc").alias("monetary_c"),
+        )
+    )
+    scored = per.select(
+        "o_custkey",
+        "monetary_c",
+        F.ntile(5).over(Window.orderBy(F.col("recency_days").asc(), "o_custkey")).alias("r_score"),
+        F.ntile(5).over(Window.orderBy(F.col("freq").desc(), "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy(F.col("monetary_c").desc(), "o_custkey")).alias("m_score"),
+    )
+    return scored.groupBy(
+        F.col("r_score").cast("long").alias("r_score"),
+        F.col("f_score").cast("long").alias("f_score"),
+        F.col("m_score").cast("long").alias("m_score"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.sum("monetary_c") / F.lit(100.0)).alias("total_monetary"),
+    )
+
+
+_TRADE_EDGES_SQL = f"""
+    edges0 AS (
+      SELECT least(sn.n_name, cn.n_name) AS a,
+             greatest(sn.n_name, cn.n_name) AS b,
+             sum({C.format(x='l.l_extendedprice * (1 - l.l_discount)')}) AS w
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation sn ON sn.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation cn ON cn.n_nationkey = c.c_nationkey
+      WHERE sn.n_name <> cn.n_name
+      GROUP BY 1, 2
+    ),
+    stats AS (SELECT sum(w) AS tw, count(*) AS ne FROM edges0),
+    edges AS (
+      SELECT a, b FROM edges0, stats WHERE w * ne >= tw
+    )
+"""
+
+
+@query(
+    "q171_trade_triangles",
+    f"""
+    WITH {_TRADE_EDGES_SQL},
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM edges e1
+      JOIN edges e2 ON e2.a = e1.b
+      JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pernode AS (
+      SELECT n, count(*) AS n_triangles FROM (
+        SELECT x AS n FROM tri UNION ALL
+        SELECT y FROM tri UNION ALL
+        SELECT z FROM tri
+      ) GROUP BY 1
+    ),
+    deg AS (
+      SELECT n, count(*) AS d FROM (
+        SELECT a AS n FROM edges UNION ALL SELECT b FROM edges
+      ) GROUP BY 1
+    )
+    SELECT deg.n AS nation, coalesce(pernode.n_triangles, 0) AS n_triangles,
+           CAST(deg.d AS BIGINT) AS degree,
+           CASE WHEN deg.d >= 2
+                THEN CAST(2 * coalesce(pernode.n_triangles, 0) AS DOUBLE)
+                     / (deg.d * (deg.d - 1))
+                ELSE 0.0 END AS clustering_coef
+    FROM deg LEFT JOIN pernode ON pernode.n = deg.n
+    """,
+)
+def q171_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the
+    above-average-weight trade graph (undirected nation pairs; the
+    above-MEAN filter is a ratio of exact integers, so the edge set is
+    scale-invariant and engine-exact). Triangles enumerate once each via
+    the ordered two-join (a<b<c) — the standard distributed formulation
+    whose join volume is Σ deg², not 3^n; per-node counts and
+    C(deg,2)-normalized coefficients follow from one union aggregate."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("s_nat"))
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("c_nat"))
+    e0 = (
+        l.join(s.select("s_suppkey", "s_nationkey"), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
+        .join(o.select("o_orderkey", "o_custkey"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c.select("c_custkey", "c_nationkey"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
+        .filter(F.col("s_nat") != F.col("c_nat"))
+        .groupBy(
+            F.least("s_nat", "c_nat").alias("a"),
+            F.greatest("s_nat", "c_nat").alias("b"),
+        )
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("w"))
+    )
+    stats = e0.agg(F.sum("w").alias("tw"), F.count(F.lit(1)).alias("ne"))
+    edges = (
+        e0.crossJoin(F.broadcast(stats))
+        .filter(F.col("w") * F.col("ne") >= F.col("tw"))
+        .select("a", "b")
+        .persist()
+    )
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    pernode = (
+        tri.select(F.col("x").alias("n"))
+        .unionByName(tri.select(F.col("y").alias("n")))
+        .unionByName(tri.select(F.col("z").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("a").alias("n"))
+        .unionByName(edges.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.join(pernode, "n", "left").select(
+        F.col("n").alias("nation"),
+        F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        F.col("d").cast("long").alias("degree"),
+        F.when(
+            F.col("d") >= 2,
+            (F.lit(2.0) * F.coalesce(F.col("n_triangles"), F.lit(0)))
+            / (F.col("d") * (F.col("d") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering_coef"),
+    )
