@@ -142,3 +142,24 @@ def test_heavy_hitters_equals_groupby_threshold(spark, rows, k):
         )
     )
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    ),
+    q=st.sampled_from([0.01, 0.25, 0.5, 0.75, 0.99, 1.0]),
+)
+def test_exact_quantile_2pass_equals_sorted_kth(spark, rows, q):
+    import math
+
+    from zenodb_spark.operators.percentile import exact_quantile_2pass
+
+    df = spark.createDataFrame([Row(x=v) for v in rows]).repartition(3)
+    got = exact_quantile_2pass(df, "x", q).collect()
+    k = max(1, int(math.ceil(q * len(rows))))
+    want = sorted(rows)[k - 1]
+    assert len(got) == 1 and got[0]["value"] == want and got[0]["k"] == k
