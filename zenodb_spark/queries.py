@@ -9117,3 +9117,104 @@ def q171_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("clustering_coef"),
     )
+
+
+@query(
+    "q172_sliding_distinct_kmv",
+    """
+    WITH ev AS (
+      SELECT CAST(floor(epoch(ts)/86400)*86400 AS BIGINT) AS day, user_id
+      FROM events
+    ),
+    ud AS (SELECT DISTINCT day, user_id FROM ev),
+    days AS (SELECT DISTINCT day FROM ev),
+    win AS (
+      SELECT d.day AS day_t, u.user_id
+      FROM days d JOIN ud u ON u.day BETWEEN d.day - 6*86400 AND d.day
+    ),
+    wd AS (SELECT DISTINCT day_t, user_id FROM win),
+    exact AS (SELECT day_t, count(*) AS exact_users FROM wd GROUP BY 1),
+    h AS (SELECT DISTINCT day_t, md5(CAST(user_id AS VARCHAR)) AS hx FROM wd),
+    r AS (
+      SELECT day_t, hx,
+             row_number() OVER (PARTITION BY day_t ORDER BY hx) AS rn,
+             count(*) OVER (PARTITION BY day_t) AS nd
+      FROM h
+    ),
+    kth AS (
+      SELECT day_t, nd, hx AS u64
+      FROM r WHERE rn = 64
+    )
+    SELECT e.day_t AS day, CAST(e.exact_users AS BIGINT) AS exact_users,
+           CASE WHEN k.u64 IS NULL THEN CAST(e.exact_users AS DOUBLE)
+                ELSE 63.0 / (CAST(('0x' || substr(k.u64, 1, 8)) AS BIGINT)
+                             / 4294967296.0)
+           END AS kmv_estimate
+    FROM exact e LEFT JOIN kth k ON k.day_t = e.day_t
+    """,
+)
+def q172_sliding_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 7-day distinct users via MERGEABLE KMV sketches: each day
+    folds to one k=64-minimum-hash row; a window's sketch is the k
+    smallest of the union of its 7 daily sketches — raw (user, day) rows
+    are touched ONCE, then every window works on O(7k) state. This is the
+    scale form of q161 (whose exact explode re-shuffles every pair per
+    window) — at 100 TB the daily sketches are a few KB each and windowed
+    distinct becomes metadata-sized work.
+
+    Determinism: the KMV "hash" is the md5 hex string (lexicographic
+    order == numeric order), so sketch, union, and the (k−1)/U_k
+    estimate replay exactly in DuckDB; windows with fewer than k distinct
+    values short-circuit to the exact count in both engines. Exact count
+    rides along for the error panel."""
+    from zenodb_spark.operators.sketch import kmv_sketch
+
+    K = 64
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        timeops.bucket_epoch("ts", 86400).alias("day"), "user_id"
+    ).distinct()
+    days = ud.select("day").distinct()
+    # exact rolling distinct (the q161 shape) for the error column
+    tgt = ud.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6 * 86400), F.lit(86400))
+        ).alias("day_t"),
+        "user_id",
+    )
+    wd = (
+        tgt.join(days, tgt["day_t"] == days["day"])
+        .select("day_t", "user_id")
+        .distinct()
+    )
+    exact = wd.groupBy("day_t").agg(F.count(F.lit(1)).alias("exact_users"))
+    # daily KMV sketches → exploded to the ≤7 windows they serve → merged
+    daily = kmv_sketch(ud, ["day"], "user_id", k=K)
+    served = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6 * 86400), F.lit(86400))
+        ).alias("day_t"),
+        "kmin",
+    ).join(days.withColumnRenamed("day", "day_t"), "day_t")
+    merged = served.groupBy("day_t").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmin")))), 1, K
+        ).alias("kmin")
+    )
+    est = merged.select(
+        "day_t",
+        F.when(F.size("kmin") < K, F.size("kmin").cast("double")).otherwise(
+            F.lit(float(K - 1))
+            / (
+                F.conv(F.substring(F.element_at("kmin", K), 1, 8), 16, 10).cast(
+                    "long"
+                )
+                / F.lit(4294967296.0)
+            )
+        ).alias("kmv_estimate"),
+    )
+    return exact.join(est, "day_t").select(
+        F.col("day_t").alias("day"),
+        F.col("exact_users").cast("long").alias("exact_users"),
+        "kmv_estimate",
+    )
