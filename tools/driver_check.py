@@ -5,12 +5,14 @@ confs: no UTC timezone, no Arrow, default broadcast threshold) and 29/50
 queries died on the nanos-parquet read. This harness reproduces that
 environment so "passes locally" means "passes the driver gate".
 
-Usage: python tools/driver_check.py [pattern]
+Usage: python tools/driver_check.py [pattern] [sf_dir]
+       SPARK_GRAFT_CHECK_SF_DIR=/root/testdata/sf0.1 python tools/driver_check.py
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 import traceback
@@ -21,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import duckdb
 from pyspark.sql import SparkSession
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
 
 
 def _canon(v):
@@ -45,7 +47,10 @@ def _rows(cols, data):
 
 
 def main() -> int:
+    global SF_DIR
     pattern = sys.argv[1] if len(sys.argv) > 1 else ""
+    if len(sys.argv) > 2:
+        SF_DIR = sys.argv[2]
     # Bare session: mirror the driver, NOT zenodb_spark.session.get_spark.
     spark = (
         SparkSession.builder.appName("driver_check").master("local[16]").getOrCreate()
