@@ -33,9 +33,20 @@ def running_total(
     window (parallel), one per-partition aggregate (num_partitions rows),
     one single-row-per-partition window over THAT, one broadcast join of
     the offsets. No step is single-task over the data."""
+    from pyspark import StorageLevel
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n, *order_cols).withColumn(
-        "__pid", F.spark_partition_id()
+    # PERSIST before branching: the ranged frame feeds BOTH the local
+    # window and the per-partition totals. As two separate exchanges the
+    # range boundaries would be SAMPLED TWICE (seeded by RDD id) — the two
+    # branches can disagree on row→partition assignment and the offsets
+    # then correct the wrong rows (observed at sf0.1: ±30-part drift in
+    # the Pareto classes). One cached subtree = one shuffle = one set of
+    # boundaries, whatever the optimizer does with exchange reuse.
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     local_w = (
         Window.partitionBy("__pid")

@@ -195,12 +195,15 @@ class StateRegistry:
                 meta = (leaf.lo, leaf.hi, leaf.precision)
                 cols = [StateSpec(k, _state_name(idx, "hist"), "hist", meta)]
             elif kind == "COUNTDISTINCT":
-                # mergeable distinct state: a DataSketches HLL sketch
-                # (binary). Exact while the sketch stays in coupon mode
-                # (small cardinalities), approximate beyond — the same
-                # accuracy model as the reference's bounded-histogram
-                # PERCENTILE state.
-                cols = [StateSpec(k, _state_name(idx, "hll"), "hll")]
+                # mergeable EXACT distinct state: the sorted array of
+                # distinct value strings. Mergeable by union; exact at any
+                # scale, which is what the oracle gate demands (an earlier
+                # HLL-sketch state drifted from the exact count once groups
+                # left coupon mode at sf0.1). State size grows with group
+                # cardinality — the documented trade; for unbounded-
+                # cardinality telemetry use the KMV/HLL operator library
+                # (q140/q172), which owns the approximate contract.
+                cols = [StateSpec(k, _state_name(idx, "dset"), "dset")]
             elif kind == "POINTS":
                 cols = [StateSpec(k, _state_name(idx, "points"), "sum")]
             else:
@@ -435,11 +438,10 @@ def _raw_state_agg(e: MExpr, spec: StateSpec, has_col, dim_resolve) -> list[Colu
     if leaf.kind == "MAX":
         return [F.max(v).alias(spec.col)]
     if leaf.kind == "COUNTDISTINCT":
-        # string-cast: hll_sketch_agg accepts int/long/string/binary but
-        # not double, and dialect values are doubles; JVM double→string is
-        # deterministic so re-ingesting the same points yields the same
-        # sketch
-        return [F.hll_sketch_agg(v.cast("string")).alias(spec.col)]
+        # string-cast for a type-uniform set (dialect values are doubles;
+        # JVM double→string is deterministic); sorted for a canonical
+        # stored state
+        return [F.array_sort(F.collect_set(v.cast("string"))).alias(spec.col)]
     raise AssertionError(spec)
 
 
@@ -630,8 +632,12 @@ def merge_states(
             aggs.append(F.min(src).alias(spec.col))
         elif spec.merge == "max":
             aggs.append(F.max(src).alias(spec.col))
-        elif spec.merge == "hll":
-            aggs.append(F.hll_union_agg(src).alias(spec.col))
+        elif spec.merge == "dset":
+            aggs.append(
+                F.array_sort(
+                    F.array_distinct(F.flatten(F.collect_list(src)))
+                ).alias(spec.col)
+            )
         elif spec.merge == "hist":
             empty = F.expr("CAST(map() AS map<bigint,bigint>)")
             aggs.append(
@@ -699,7 +705,7 @@ def finalize_expr(e: MExpr, registry: StateRegistry, field_lookup) -> Column:
         if kind == "COUNTDISTINCT":
             c = F.col(specs[0].col)
             return F.when(
-                c.isNotNull(), F.hll_sketch_estimate(c).cast("double")
+                c.isNotNull(), F.size(c).cast("double")
             ).otherwise(F.lit(0.0))
         raise AssertionError(kind)
     if isinstance(e, MPercentile):  # 2-arg re-read over a stored percentile

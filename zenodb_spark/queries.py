@@ -2382,9 +2382,10 @@ def q59_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 4-micro-batch availableNow pass over the events table, then queried
     through the dialect. The oracle is the plain batch aggregation — the
     equality IS the streaming-equals-batch guarantee, through checkpointed
-    exactly-once parts and the HLL COUNTDISTINCT union-merge. Only
-    order-insensitive-exact aggregates (COUNT/MIN/MAX/coupon-mode HLL), so
-    micro-batch boundaries cannot perturb a single bit."""
+    exactly-once parts and the exact distinct-set COUNTDISTINCT
+    union-merge. Every aggregate is order-insensitive-exact
+    (COUNT/MIN/MAX/set-union), so micro-batch boundaries cannot perturb a
+    single bit."""
     import os
     import tempfile
 
@@ -4683,10 +4684,10 @@ def q104_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e, unnest(range(0, len(v))) AS u(i)
     )
     SELECT dim_idx, CAST(count(*) AS BIGINT) AS n,
-           round(CAST(sum(q) AS DOUBLE) / count(*) / 1000000, 9) AS mean,
-           round(sqrt((CAST(sum(q*q) AS DOUBLE)
-                       - CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE)
-                         / count(*)) / count(*)) / 1000000, 9) AS std
+           CAST(sum(q) AS DOUBLE) / count(*) / 1000000 AS mean,
+           sqrt((CAST(sum(q*q) AS DOUBLE)
+                 - CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE)
+                   / count(*)) / count(*)) / 1000000 AS std
     FROM d GROUP BY 1
     """,
 )
@@ -4708,13 +4709,17 @@ def q105_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     sq = F.sum("q").cast("double")
     sq2 = F.sum(F.col("q") * F.col("q")).cast("double")
+    # NO engine-side round(…, 9): both engines produce the identical raw
+    # double (exact integer sums, fixed IEEE sequence), but their decimal
+    # ROUNDING of that double can disagree by 1 ulp exactly at half-way
+    # points (observed at sf0.1); the driver's canonicalizer rounds in
+    # Python on both sides, which is the one place it is consistent.
     return d.groupBy("dim_idx").agg(
         n.cast("long").alias("n"),
-        F.round(sq / n.cast("double") / F.lit(1e6), 9).alias("mean"),
-        F.round(
+        (sq / n.cast("double") / F.lit(1e6)).alias("mean"),
+        (
             F.sqrt((sq2 - sq * sq / n.cast("double")) / n.cast("double"))
-            / F.lit(1e6),
-            9,
+            / F.lit(1e6)
         ).alias("std"),
     )
 
