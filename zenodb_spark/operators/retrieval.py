@@ -114,7 +114,7 @@ def bm25_topk(
         .select(
             "qid",
             "doc",
-            F.round(F.col("score_micro").cast("double") / F.lit(1_000_000.0), 9).alias(
+            (F.col("score_micro").cast("double") / F.lit(1_000_000.0)).alias(
                 "bm25"
             ),
             F.col("rank").cast("long").alias("rank"),

@@ -434,9 +434,8 @@ def kmeans_step(
     n = F.count(F.lit(1))
     return comp.groupBy("centroid", "dim_idx").agg(
         n.cast("long").alias("n_assigned"),
-        F.round(
-            F.sum("xq").cast("double") / n.cast("double") / F.lit(float(scale)), 9
-        ).alias("value"),
+        (
+            F.sum("xq").cast("double") / n.cast("double") / F.lit(float(scale))).alias("value"),
     )
 
 

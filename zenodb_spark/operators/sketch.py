@@ -89,7 +89,7 @@ def kmv_jaccard(
         .withColumn("n_union_k", F.size(uk))
         .withColumn(
             "est_jaccard",
-            F.round(F.col("n_shared") / F.col("n_union_k").cast("double"), 9),
+            (F.col("n_shared") / F.col("n_union_k").cast("double")),
         )
     )
 

@@ -239,11 +239,9 @@ def unigram_logprob(
         .groupBy("doc")
         .agg(
             F.sum("occ").cast("long").alias("n_tokens"),
-            F.round(
+            (
                 F.sum(F.col("occ") * F.col("lp_micro")).cast("double")
                 / F.sum("occ").cast("double")
-                / F.lit(1_000_000.0),
-                9,
-            ).alias("avg_logprob"),
+                / F.lit(1_000_000.0)).alias("avg_logprob"),
         )
     )

@@ -1344,7 +1344,10 @@ def z12_engine_kitchen_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ln() disagrees by 1 ulp between the JVM and libm on some inputs
     # (Math.log(74.0) vs DuckDB's log: ...169 vs ...17); round the log
     # outputs to 9 decimals on BOTH sides so the oracle tolerance is
-    # explicit instead of luck-of-the-input
+    # explicit instead of luck-of-the-input. (Safe for transcendental
+    # outputs — irrational values do not land on decimal half-points; the
+    # integer-ratio columns elsewhere stay UNrounded because their exact
+    # halves are where engine round() implementations disagree.)
     out = out.withColumn("lcnt", F.round("lcnt", 9)).withColumn(
         "lpoints", F.round("lpoints", 9)
     )
@@ -2503,8 +2506,8 @@ def q61_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id AS doc,
            CAST(sum(occ) AS BIGINT) AS n_tokens,
-           round(CAST(sum(occ * lp_micro) AS DOUBLE) / CAST(sum(occ) AS DOUBLE)
-                 / 1000000, 9) AS avg_logprob
+           (CAST(sum(occ * lp_micro) AS DOUBLE) / CAST(sum(occ) AS DOUBLE)
+                 / 1000000) AS avg_logprob
     FROM dt JOIN lp USING (tok)
     GROUP BY doc_id
     """,
@@ -2584,7 +2587,7 @@ def _kmeans_oracle(dim: int = 64, k: int = 8, seed: int = 43) -> str:
       FROM asn, unnest(range(0, len(v))) AS u(i)
     )
     SELECT centroid, dim_idx, CAST(count(*) AS BIGINT) AS n_assigned,
-           round(CAST(sum(xq) AS DOUBLE) / count(*) / 1000000, 9) AS value
+           (CAST(sum(xq) AS DOUBLE) / count(*) / 1000000) AS value
     FROM comp GROUP BY 1, 2
     """
 
@@ -2637,7 +2640,7 @@ def _bm25_oracle(k1: float = 1.5, b: float = 0.75, topk: int = 10) -> str:
       SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, doc) AS rank
       FROM scored
     )
-    SELECT qid, doc, round(CAST(sm AS DOUBLE) / 1000000, 9) AS bm25,
+    SELECT qid, doc, (CAST(sm AS DOUBLE) / 1000000) AS bm25,
            CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {topk}
     """
@@ -2676,7 +2679,7 @@ def q64_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s
     )
     SELECT doc_id AS doc, source, CAST(n AS BIGINT) AS n_tokens,
-           round(CAST(d AS DOUBLE) / n, 9) AS ttr
+           (CAST(d AS DOUBLE) / n) AS ttr
     FROM w WHERE u < CAST(d AS DOUBLE) / n
     """,
 )
@@ -2704,7 +2707,7 @@ def q65_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc",
         "source",
         F.col("n").cast("long").alias("n_tokens"),
-        F.round(ttr, 9).alias("ttr"),
+        (ttr).alias("ttr"),
     )
 
 
@@ -2752,7 +2755,7 @@ def q66_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
              ) AS rn
       FROM s
     )
-    SELECT doc_id AS doc, source, round(ttr, 9) AS ttr
+    SELECT doc_id AS doc, source, (ttr) AS ttr
     FROM r WHERE rn = 1
     """,
 )
@@ -2770,7 +2773,7 @@ def q67_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.size(toks) > 0)
     kept = dedup_apply(enriched, "text", "doc_id", priority=[F.desc("ttr")])
     return kept.select(
-        F.col("doc_id").alias("doc"), "source", F.round("ttr", 9).alias("ttr")
+        F.col("doc_id").alias("doc"), "source", F.col("ttr").alias("ttr")
     )
 
 
@@ -2906,8 +2909,8 @@ def q69_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
     )
     SELECT event_type, bucket, n,
-           round((n - CAST(s AS DOUBLE) / m)
-                 / sqrt(CAST(m * s2 - s * s AS DOUBLE) / (m * m)), 9) AS z
+           ((n - CAST(s AS DOUBLE) / m)
+                 / sqrt(CAST(m * s2 - s * s AS DOUBLE) / (m * m))) AS z
     FROM w
     WHERE m >= 12 AND (m * s2 - s * s) > 0
       AND abs((n - CAST(s AS DOUBLE) / m)
@@ -2950,7 +2953,7 @@ def q70_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("m") * F.col("s2") - F.col("s") * F.col("s")) > 0)
             & (F.abs(z) > 2.0)
         )
-        .select("event_type", "bucket", "n", F.round(z, 9).alias("z"))
+        .select("event_type", "bucket", "n", (z).alias("z"))
     )
 
 
@@ -2979,7 +2982,7 @@ def q70_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     SELECT doc, tok AS term,
-           round(CAST(w_micro AS DOUBLE) / 1000000, 9) AS tfidf,
+           (CAST(w_micro AS DOUBLE) / 1000000) AS tfidf,
            CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 5
     """,
@@ -3024,7 +3027,7 @@ def q71_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc",
             F.col("tok").alias("term"),
-            F.round(F.col("w_micro").cast("double") / F.lit(1_000_000.0), 9).alias(
+            (F.col("w_micro").cast("double") / F.lit(1_000_000.0)).alias(
                 "tfidf"
             ),
             F.col("rank").cast("long").alias("rank"),
@@ -3110,8 +3113,8 @@ def q73_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM big b JOIN uni u ON u.tok = b.w1
     )
     SELECT doc_id AS doc, CAST(sum(occ) AS BIGINT) AS n_bigrams,
-           round(CAST(sum(occ * lp_micro) AS DOUBLE) / CAST(sum(occ) AS DOUBLE)
-                 / 1000000, 9) AS avg_logprob
+           (CAST(sum(occ * lp_micro) AS DOUBLE) / CAST(sum(occ) AS DOUBLE)
+                 / 1000000) AS avg_logprob
     FROM dbg JOIN lp2 USING (w1, w2)
     GROUP BY doc_id
     """,
@@ -3165,12 +3168,10 @@ def q72_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc")
         .agg(
             F.sum("occ").cast("long").alias("n_bigrams"),
-            F.round(
+            (
                 F.sum(F.col("occ") * F.col("lp_micro")).cast("double")
                 / F.sum("occ").cast("double")
-                / F.lit(1_000_000.0),
-                9,
-            ).alias("avg_logprob"),
+                / F.lit(1_000_000.0)).alias("avg_logprob"),
         )
     )
 
@@ -3513,7 +3514,7 @@ def q80_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE n_ab >= 5
     )
     SELECT tok_a, tok_b, CAST(n_ab AS BIGINT) AS n_ab,
-           round(CAST(pmi_micro AS DOUBLE) / 1000000, 9) AS pmi
+           (CAST(pmi_micro AS DOUBLE) / 1000000) AS pmi
     FROM scored
     ORDER BY pmi_micro DESC, tok_a, tok_b LIMIT 30
     """,
@@ -3574,7 +3575,7 @@ def q81_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tok_a",
             "tok_b",
             F.col("n_ab").cast("long").alias("n_ab"),
-            F.round(F.col("pmi_micro").cast("double") / F.lit(1_000_000.0), 9).alias(
+            (F.col("pmi_micro").cast("double") / F.lit(1_000_000.0)).alias(
                 "pmi"
             ),
         )
@@ -3661,7 +3662,7 @@ def q83_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(kv) AS BIGINT) AS sum_k,
            CAST(min(kv) AS BIGINT) AS min_k,
            CAST(max(kv) AS BIGINT) AS max_k,
-           round(CAST(sum(kv) AS DOUBLE) / count(kv), 9) AS avg_k
+           (CAST(sum(kv) AS DOUBLE) / count(kv)) AS avg_k
     FROM k GROUP BY 1
     """,
 )
@@ -3678,7 +3679,7 @@ def q84_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("kv").cast("long").alias("sum_k"),
         F.min("kv").cast("long").alias("min_k"),
         F.max("kv").cast("long").alias("max_k"),
-        F.round(F.sum("kv").cast("double") / F.count("kv"), 9).alias("avg_k"),
+        (F.sum("kv").cast("double") / F.count("kv")).alias("avg_k"),
     )
 
 
@@ -3704,7 +3705,7 @@ def q84_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY source ORDER BY key_micro DESC, doc_id) AS rn
       FROM keyed
     )
-    SELECT doc_id AS doc, source, round(w, 9) AS weight, CAST(rn AS BIGINT) AS rn
+    SELECT doc_id AS doc, source, (w) AS weight, CAST(rn AS BIGINT) AS rn
     FROM ranked WHERE rn <= 3
     """,
 )
@@ -3739,7 +3740,7 @@ def q85_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select(
-            "doc", "source", F.round("w", 9).alias("weight"),
+            "doc", "source", F.col("w").alias("weight"),
             F.col("rn").cast("long").alias("rn"),
         )
     )
@@ -3754,9 +3755,9 @@ def q85_weighted_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
     )
-    SELECT round(100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN rev_c
+    SELECT (100.0 * CAST(sum(CASE WHEN p_type = 'ECONOMY' THEN rev_c
                                        ELSE 0 END) AS DOUBLE)
-                 / sum(rev_c), 9) AS economy_share_pct,
+                 / sum(rev_c)) AS economy_share_pct,
            CAST(sum(rev_c) AS BIGINT) AS total_cents,
            CAST(count(*) AS BIGINT) AS n_items
     FROM j
@@ -3780,7 +3781,7 @@ def q86_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     eco = F.sum(F.when(F.col("p_type") == "ECONOMY", F.col("rev_c")).otherwise(0))
     return j.agg(
-        F.round(F.lit(100.0) * eco.cast("double") / F.sum("rev_c"), 9).alias(
+        (F.lit(100.0) * eco.cast("double") / F.sum("rev_c")).alias(
             "economy_share_pct"
         ),
         F.sum("rev_c").cast("long").alias("total_cents"),
@@ -3868,9 +3869,9 @@ def q87_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM s GROUP BY 1
     )
     SELECT source, CAST(n AS BIGINT) AS n_docs,
-           round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
                  / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
-                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 9)
+                        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)))
              AS pearson_r
     FROM m
     WHERE (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
@@ -3916,7 +3917,7 @@ def q88_length_diversity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             F.col("n").cast("long").alias("n_docs"),
-            F.round(cov / F.sqrt(varx * vary), 9).alias("pearson_r"),
+            (cov / F.sqrt(varx * vary)).alias("pearson_r"),
         )
     )
 
@@ -3941,7 +3942,7 @@ def q88_length_diversity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT source,
            CAST(max(tt) AS BIGINT) AS n_tokens,
-           round(-CAST(sum(cnt * lp_micro) AS DOUBLE) / max(tt) / 1000000, 9)
+           (-CAST(sum(cnt * lp_micro) AS DOUBLE) / max(tt) / 1000000)
              AS entropy_nats
     FROM lp GROUP BY source
     """,
@@ -3972,12 +3973,10 @@ def q89_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lp.groupBy("source").agg(
         F.max("tt").cast("long").alias("n_tokens"),
-        F.round(
+        (
             -F.sum(F.col("cnt") * F.col("lp_micro")).cast("double")
             / F.max("tt")
-            / F.lit(1_000_000.0),
-            9,
-        ).alias("entropy_nats"),
+            / F.lit(1_000_000.0)).alias("entropy_nats"),
     )
 
 
@@ -4134,7 +4133,7 @@ def q93_order_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM f JOIN st USING (source) JOIN g USING (tok) CROSS JOIN gt
     )
     SELECT source,
-           round(CAST(sum(cnt * lr_micro) AS DOUBLE) / max(ts) / 1000000, 9)
+           (CAST(sum(cnt * lr_micro) AS DOUBLE) / max(ts) / 1000000)
              AS kl_nats
     FROM terms GROUP BY source
     """,
@@ -4177,12 +4176,10 @@ def q94_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return terms.groupBy("source").agg(
-        F.round(
+        (
             F.sum(F.col("cnt") * F.col("lr_micro")).cast("double")
             / F.max("ts")
-            / F.lit(1_000_000.0),
-            9,
-        ).alias("kl_nats")
+            / F.lit(1_000_000.0)).alias("kl_nats")
     )
 
 
@@ -4209,7 +4206,7 @@ def q94_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.source,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(count(dd.doc) AS BIGINT) AS n_near_dup,
-           round(CAST(count(dd.doc) AS DOUBLE) / count(*), 9) AS dup_rate
+           (CAST(count(dd.doc) AS DOUBLE) / count(*)) AS dup_rate
     FROM documents d LEFT JOIN dup_docs dd ON dd.doc = d.doc_id
     GROUP BY 1
     """,
@@ -4236,9 +4233,8 @@ def q95_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.count("__dup").cast("long").alias("n_near_dup"),
-            F.round(
-                F.count("__dup").cast("double") / F.count(F.lit(1)), 9
-            ).alias("dup_rate"),
+            (
+                F.count("__dup").cast("double") / F.count(F.lit(1))).alias("dup_rate"),
         )
     )
 
@@ -4257,7 +4253,7 @@ def q95_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM w
     )
     SELECT event_type, week, n, CAST(prev_n AS BIGINT) AS prev_n,
-           round((CAST(n AS DOUBLE) - prev_n) / prev_n, 9) AS wow_change
+           ((CAST(n AS DOUBLE) - prev_n) / prev_n) AS wow_change
     FROM lagged WHERE prev_n IS NOT NULL AND prev_n > 0
     """,
 )
@@ -4284,9 +4280,8 @@ def q96_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         "week",
         "n",
         F.col("prev_n").cast("long").alias("prev_n"),
-        F.round(
-            (F.col("n").cast("double") - F.col("prev_n")) / F.col("prev_n"), 9
-        ).alias("wow_change"),
+        (
+            (F.col("n").cast("double") - F.col("prev_n")) / F.col("prev_n")).alias("wow_change"),
     )
 
 
@@ -4460,7 +4455,7 @@ def q100_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT variant,
            CAST(n_users AS BIGINT) AS n_users,
            CAST(n_converted AS BIGINT) AS n_converted,
-           round(n_converted / CAST(n_users AS DOUBLE), 9) AS conv_rate
+           (n_converted / CAST(n_users AS DOUBLE)) AS conv_rate
     FROM cells
     """,
 )
@@ -4499,9 +4494,8 @@ def q101_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "variant",
         "n_users",
         "n_converted",
-        F.round(
-            F.col("n_converted").cast("double") / F.col("n_users"), 9
-        ).alias("conv_rate"),
+        (
+            F.col("n_converted").cast("double") / F.col("n_users")).alias("conv_rate"),
     )
 
 
@@ -4709,7 +4703,7 @@ def q105_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     sq = F.sum("q").cast("double")
     sq2 = F.sum(F.col("q") * F.col("q")).cast("double")
-    # NO engine-side round(…, 9): both engines produce the identical raw
+    # NO engine-side (…): both engines produce the identical raw
     # double (exact integer sums, fixed IEEE sequence), but their decimal
     # ROUNDING of that double can disagree by 1 ulp exactly at half-way
     # points (observed at sf0.1); the driver's canonicalizer rounds in
@@ -4753,7 +4747,7 @@ def q105_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dt JOIN wt ON dt.tok = wt.tok GROUP BY 1
     )
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
-           round(CAST(s_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000, 9)
+           (CAST(s_micro AS DOUBLE) / CAST(n_tokens AS DOUBLE) / 1000000)
              AS importance
     FROM scored
     ORDER BY s_micro * 1000000 / n_tokens DESC, doc_id LIMIT 50
@@ -4828,12 +4822,10 @@ def q106_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "n_tokens",
-            F.round(
+            (
                 F.col("s_micro").cast("double")
                 / F.col("n_tokens").cast("double")
-                / F.lit(1e6),
-                9,
-            ).alias("importance"),
+                / F.lit(1e6)).alias("importance"),
         )
     )
 
@@ -4867,7 +4859,7 @@ def _pq_oracle(dim: int = 64, m: int = 4, k: int = 8, seed: int = 101) -> str:
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     codes AS ({union})
     SELECT subspace, code, CAST(count(*) AS BIGINT) AS n_vecs,
-           round(CAST(sum(err_micro) AS DOUBLE) / count(*) / 1000000, 9)
+           (CAST(sum(err_micro) AS DOUBLE) / count(*) / 1000000)
              AS avg_err
     FROM codes GROUP BY 1, 2
     """
@@ -4889,9 +4881,8 @@ def q107_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     return codes.groupBy("subspace", "code").agg(
         n.cast("long").alias("n_vecs"),
-        F.round(
-            F.sum("err_micro").cast("double") / n.cast("double") / F.lit(1e6), 9
-        ).alias("avg_err"),
+        (
+            F.sum("err_micro").cast("double") / n.cast("double") / F.lit(1e6)).alias("avg_err"),
     )
 
 
@@ -4953,7 +4944,7 @@ def _ann_recall_oracle() -> str:
     SELECT b.query_id,
            CAST(count(l.neighbor_id) AS BIGINT) AS n_matched,
            CAST(5 AS BIGINT) AS k,
-           round(count(l.neighbor_id) / 5.0, 9) AS recall
+           (count(l.neighbor_id) / 5.0) AS recall
     FROM ({brute}) b
     LEFT JOIN ({lsh}) l
       ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
@@ -4985,7 +4976,7 @@ def q109_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("qid").alias("query_id")).agg(
         F.count("l_neighbor").cast("long").alias("n_matched"),
         F.lit(5).cast("long").alias("k"),
-        F.round(F.count("l_neighbor") / F.lit(5.0), 9).alias("recall"),
+        (F.count("l_neighbor") / F.lit(5.0)).alias("recall"),
     )
 
 
@@ -5139,7 +5130,7 @@ def q111_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
            CAST(coalesce(c.covered, 0) AS BIGINT) AS covered,
-           round(CAST(coalesce(c.covered, 0) AS DOUBLE) / len(t.toks), 9)
+           (CAST(coalesce(c.covered, 0) AS DOUBLE) / len(t.toks))
              AS dup_frac
     FROM t LEFT JOIN cov c USING (doc_id)
     WHERE len(t.toks) > 0
@@ -5210,11 +5201,9 @@ def q112_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             F.coalesce(F.col("covered"), F.lit(0)).cast("long").alias("covered"),
-            F.round(
+            (
                 F.coalesce(F.col("covered"), F.lit(0)).cast("double")
-                / F.col("n_tokens"),
-                9,
-            ).alias("dup_frac"),
+                / F.col("n_tokens")).alias("dup_frac"),
         )
     )
 
@@ -5745,9 +5734,9 @@ def q122_order_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM pos
     )
     SELECT nn.n_name, CAST(count(*) AS BIGINT) AS n_cust,
-           round(CAST(2 * sum(i * bal_c) - (count(*) + 1) * sum(bal_c)
+           (CAST(2 * sum(i * bal_c) - (count(*) + 1) * sum(bal_c)
                       AS DOUBLE)
-                 / CAST(count(*) * sum(bal_c) AS DOUBLE), 9) AS gini
+                 / CAST(count(*) * sum(bal_c) AS DOUBLE)) AS gini
     FROM ranked JOIN nation nn ON nn.n_nationkey = ranked.c_nationkey
     GROUP BY 1
     """,
@@ -5776,14 +5765,12 @@ def q123_acctbal_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_cust"),
-            F.round(
+            (
                 (
                     2 * F.sum(F.col("i") * F.col("bal_c"))
                     - (F.count(F.lit(1)) + 1) * F.sum("bal_c")
                 ).cast("double")
-                / (F.count(F.lit(1)) * F.sum("bal_c")).cast("double"),
-                9,
-            ).alias("gini"),
+                / (F.count(F.lit(1)) * F.sum("bal_c")).cast("double")).alias("gini"),
         )
     )
 
@@ -6029,8 +6016,8 @@ def q127_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM o
     )
     SELECT user_id,
-           round(CAST(sum(val_c * gap_ms) AS DOUBLE)
-                 / CAST(sum(gap_ms) AS DOUBLE) / 100.0, 9) AS twa_value,
+           (CAST(sum(val_c * gap_ms) AS DOUBLE)
+                 / CAST(sum(gap_ms) AS DOUBLE) / 100.0) AS twa_value,
            CAST(sum(gap_ms) AS BIGINT) AS span_ms,
            CAST(count(*) AS BIGINT) AS n_intervals
     FROM g WHERE gap_ms IS NOT NULL AND gap_ms > 0
@@ -6064,13 +6051,11 @@ def q128_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("gap_ms").isNotNull() & (F.col("gap_ms") > 0)
     )
     return g.groupBy("user_id").agg(
-        F.round(
+        (
             F.sum((F.col("val_c") * F.col("gap_ms")).cast("decimal(38,0)"))
             .cast("double")
             / F.sum(F.col("gap_ms").cast("decimal(38,0)")).cast("double")
-            / F.lit(100.0),
-            9,
-        ).alias("twa_value"),
+            / F.lit(100.0)).alias("twa_value"),
         F.sum("gap_ms").cast("long").alias("span_ms"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
@@ -6112,7 +6097,7 @@ def q128_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM joined
     )
     SELECT event_type, bucket, CAST(filled AS BIGINT) AS filled,
-           round(CAST(f_s AS DOUBLE) / f_c / 100.0, 9) AS avg_value
+           (CAST(f_s AS DOUBLE) / f_c / 100.0) AS avg_value
     FROM filled WHERE f_c IS NOT NULL
     """,
 )
@@ -6171,9 +6156,8 @@ def q129_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "bucket",
         "filled",
-        F.round(
-            F.col("f_s").cast("double") / F.col("f_c") / F.lit(100.0), 9
-        ).alias("avg_value"),
+        (
+            F.col("f_s").cast("double") / F.col("f_c") / F.lit(100.0)).alias("avg_value"),
     )
 
 
@@ -6190,9 +6174,9 @@ def q129_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v GROUP BY 1
     )
     SELECT v.event_type,
-           round(CAST(sum(CAST(floor(
+           (CAST(sum(CAST(floor(
                least(greatest(CAST(v.val_c AS DOUBLE), p.p05), p.p95) * 10000
-               + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0, 9)
+               + 0.5) AS BIGINT)) AS DOUBLE) / count(*) / 1000000.0)
              AS winsorized_mean,
            CAST(count(*) AS BIGINT) AS n
     FROM v JOIN p ON p.event_type = v.event_type
@@ -6232,9 +6216,8 @@ def q130_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("w_uc"),
     )
     return clamped.groupBy("event_type").agg(
-        F.round(
-            F.sum("w_uc").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0), 9
-        ).alias("winsorized_mean"),
+        (
+            F.sum("w_uc").cast("double") / F.count(F.lit(1)) / F.lit(1000000.0)).alias("winsorized_mean"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -6415,7 +6398,7 @@ def _adc_oracle(dim: int = 64, m: int = 4, k: int = 8, seed: int = 101) -> str:
       FROM adc
     )
     SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS BIGINT) AS rnk,
-           round(adc_micro / 1000000.0, 9) AS adc_dist
+           (adc_micro / 1000000.0) AS adc_dist
     FROM ranked WHERE rnk <= 5
     """
 
@@ -6456,7 +6439,7 @@ def q133_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.col("rnk").cast("long").alias("rnk"),
-            F.round(F.col("adc_micro") / F.lit(1000000.0), 9).alias("adc_dist"),
+            (F.col("adc_micro") / F.lit(1000000.0)).alias("adc_dist"),
         )
     )
 
@@ -6901,9 +6884,9 @@ def q139_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.type_a, e.type_b, CAST(64 AS BIGINT) AS k,
            CAST(e.n_shared AS BIGINT) AS n_shared,
-           round(e.n_shared / CAST(e.n_union_k AS DOUBLE), 9) AS est_jaccard,
-           round(CAST(x.n_inter AS DOUBLE)
-                 / (x.n_sum - x.n_inter), 9) AS exact_jaccard
+           (e.n_shared / CAST(e.n_union_k AS DOUBLE)) AS est_jaccard,
+           (CAST(x.n_inter AS DOUBLE)
+                 / (x.n_sum - x.n_inter)) AS exact_jaccard
     FROM est e JOIN exact x
       ON x.type_a = e.type_a AND x.type_b = e.type_b
     """,
@@ -6959,11 +6942,9 @@ def q140_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(64).cast("long").alias("k"),
             F.col("n_shared").cast("long").alias("n_shared"),
             "est_jaccard",
-            F.round(
+            (
                 F.col("n_inter").cast("double")
-                / (F.col("n_sum") - F.col("n_inter")),
-                9,
-            ).alias("exact_jaccard"),
+                / (F.col("n_sum") - F.col("n_inter"))).alias("exact_jaccard"),
         )
     )
 
@@ -6988,9 +6969,9 @@ def _cov_oracle(d: int = 8) -> str:
     n AS (SELECT count(*) AS n FROM e),
     m AS ({union})
     SELECT m.i, m.j,
-           round((CAST(m.sxy_u AS DOUBLE) / 1e6
+           ((CAST(m.sxy_u AS DOUBLE) / 1e6
                   - CAST(m.sx_u AS DOUBLE) * m.sy_u / 1e12 / n.n)
-                 / n.n, 9) AS cov
+                 / n.n) AS cov
     FROM m, n
     """
 
@@ -7042,7 +7023,7 @@ def q141_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i",
             "j",
-            F.round(
+            (
                 (
                     F.col("sxy_u").cast("double") / F.lit(1e6)
                     - F.col("sx_u").cast("double")
@@ -7050,9 +7031,7 @@ def q141_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
                     / F.lit(1e12)
                     / F.col("n")
                 )
-                / F.col("n"),
-                9,
-            ).alias("cov"),
+                / F.col("n")).alias("cov"),
         )
     )
 
@@ -7063,8 +7042,8 @@ def q141_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_of_day,
            CAST(count(*) AS BIGINT) AS n,
-           round(count(*) / CAST(sum(count(*)) OVER (PARTITION BY event_type)
-                            AS DOUBLE), 9) AS share
+           (count(*) / CAST(sum(count(*)) OVER (PARTITION BY event_type)
+                            AS DOUBLE)) AS share
     FROM events GROUP BY 1, 2
     """,
 )
@@ -7084,7 +7063,7 @@ def q142_diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "hour_of_day",
         "n",
-        F.round(F.col("n") / F.sum("n").over(w).cast("double"), 9).alias("share"),
+        (F.col("n") / F.sum("n").over(w).cast("double")).alias("share"),
     )
 
 
@@ -7106,9 +7085,9 @@ def q142_diurnal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY p.event_id, p.ts
     )
     SELECT CAST(count(*) AS BIGINT) AS n_conversions,
-           round(quantile_cont(lat_ms, 0.5) / 1000.0, 9) AS p50_s,
-           round(quantile_cont(lat_ms, 0.95) / 1000.0, 9) AS p95_s,
-           round(max(lat_ms) / 1000.0, 9) AS max_s
+           (quantile_cont(lat_ms, 0.5) / 1000.0) AS p50_s,
+           (quantile_cont(lat_ms, 0.95) / 1000.0) AS p95_s,
+           (max(lat_ms) / 1000.0) AS max_s
     FROM m
     """,
 )
@@ -7138,11 +7117,11 @@ def q143_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     lat = matched.select((F.col("t") - F.col("asof_t")).alias("lat_ms"))
     return lat.agg(
         F.count(F.lit(1)).alias("n_conversions"),
-        F.round(percentile_exact("lat_ms", 0.5) / F.lit(1000.0), 9).alias("p50_s"),
-        F.round(percentile_exact("lat_ms", 0.95) / F.lit(1000.0), 9).alias(
+        (percentile_exact("lat_ms", 0.5) / F.lit(1000.0)).alias("p50_s"),
+        (percentile_exact("lat_ms", 0.95) / F.lit(1000.0)).alias(
             "p95_s"
         ),
-        F.round(F.max("lat_ms") / F.lit(1000.0), 9).alias("max_s"),
+        (F.max("lat_ms") / F.lit(1000.0)).alias("max_s"),
     )
 
 
@@ -7240,7 +7219,7 @@ def _ivf_recall_oracle() -> str:
     SELECT b.query_id,
            CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
            CAST(5 AS BIGINT) AS k,
-           round(count(i.neighbor_id) / 5.0, 9) AS recall
+           (count(i.neighbor_id) / 5.0) AS recall
     FROM ({brute}) b
     LEFT JOIN ({ivf}) i
       ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
@@ -7281,7 +7260,7 @@ def q146_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("qid").alias("query_id")).agg(
         F.count("i_neighbor").cast("long").alias("n_matched"),
         F.lit(5).cast("long").alias("k"),
-        F.round(F.count("i_neighbor") / F.lit(5.0), 9).alias("recall"),
+        (F.count("i_neighbor") / F.lit(5.0)).alias("recall"),
     )
 
 
@@ -7397,7 +7376,7 @@ def q147_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     wt AS (SELECT sum(w_nano) AS s FROM w)
     SELECT w.source, w.n_tokens,
-           round(w.w_nano / CAST(wt.s AS DOUBLE), 9) AS mix_weight,
+           (w.w_nano / CAST(wt.s AS DOUBLE)) AS mix_weight,
            CAST(floor(w.w_nano * 1000000.0 / wt.s + 0.5) AS BIGINT)
              AS tokens_per_million
     FROM w, wt
@@ -7447,7 +7426,7 @@ def q148_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.join(F.broadcast(wt)).select(
         "source",
         "n_tokens",
-        F.round(F.col("w_nano") / F.col("s").cast("double"), 9).alias(
+        (F.col("w_nano") / F.col("s").cast("double")).alias(
             "mix_weight"
         ),
         F.floor(
@@ -7593,7 +7572,7 @@ def q150_resize_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
       FROM scored
     )
-    SELECT query_id, neighbor_id, round(cosine, 9) AS cosine,
+    SELECT query_id, neighbor_id, (cosine) AS cosine,
            CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= 5
     """,
@@ -7624,7 +7603,7 @@ def q151_media_embed_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id",
         "neighbor_id",
-        F.round("cosine", 9).alias("cosine"),
+        F.col("cosine").alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
 
@@ -8450,7 +8429,7 @@ def _hard_negatives_oracle() -> str:
     # reuse the q64 scoring pipeline verbatim, then strike exact-dup twins
     # of the query and re-rank the survivors
     tail = (
-        "SELECT qid, doc, round(CAST(sm AS DOUBLE) / 1000000, 9) AS bm25,\n"
+        "SELECT qid, doc, (CAST(sm AS DOUBLE) / 1000000) AS bm25,\n"
         "           CAST(rank AS BIGINT) AS rank\n"
         "    FROM ranked WHERE rank <= 10"
     )
@@ -8466,7 +8445,7 @@ def _hard_negatives_oracle() -> str:
       JOIN fpd df ON df.doc_id = r.doc
       WHERE r.rank <= 10 AND qf.fp <> df.fp
     )
-    SELECT qid, doc, round(CAST(sm AS DOUBLE) / 1000000, 9) AS bm25,
+    SELECT qid, doc, (CAST(sm AS DOUBLE) / 1000000) AS bm25,
            CAST(neg_rank AS BIGINT) AS neg_rank
     FROM kept WHERE neg_rank <= 3""",
     ).replace(
