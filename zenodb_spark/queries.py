@@ -24,6 +24,12 @@ order-insensitive value-hash comparison is exact, not approximate):
   fixed IEEE sequences and need no quantization (q70);
 - rankings/top-k always order on exact integers (cents, micro-units) with
   an id tie-break, never on recomputed floats;
+- NO engine-side round(x, 9) on integer-ratio outputs: both engines emit
+  the identical raw double and the driver's canonicalizer rounds once, in
+  Python — engine round() implementations disagree exactly at the decimal
+  half-points integer ratios frequently produce. Transcendental outputs
+  (ln: q20, z12) are the one exception: they differ by 1 ulp across
+  engines, never sit on decimal halves, and therefore round on BOTH sides;
 - deterministic sampling uses md5-uniform (conv of the hex prefix), never
   rand() (q37/q58/q65).
 
