@@ -9208,3 +9208,130 @@ def q172_sliding_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("exact_users").cast("long").alias("exact_users"),
         "kmv_estimate",
     )
+
+
+@query(
+    "q173_share_of_parent",
+    f"""
+    WITH b AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             sum({C.format(x='o.o_totalprice')}) AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           rev_c/100.0 AS revenue,
+           CAST(rev_c AS DOUBLE)
+             / CAST(sum(rev_c) OVER (PARTITION BY region) AS DOUBLE)
+             AS share_of_region,
+           CAST(sum(rev_c) OVER (PARTITION BY region) AS DOUBLE)
+             / CAST(sum(rev_c) OVER () AS DOUBLE)
+             AS region_share_of_total
+    FROM b
+    """,
+)
+def q173_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchy rollup (nation share of region, region
+    share of total) — the drill-down ratio panel every OLAP UI wants. One
+    fact aggregate; both shares are window sums OVER THE 25-ROW AGGREGATE,
+    so the windows cost nothing at any fact scale. Ratios of exact cent
+    integers."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nd = n.select(F.col("n_nationkey").alias("nk"), F.col("n_name").alias("nation"),
+                  F.col("n_regionkey").alias("rk"))
+    rd = r.select(F.col("r_regionkey").alias("rk"), F.col("r_name").alias("region"))
+    b = (
+        o.join(c.select("c_custkey", "c_nationkey"), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nd), F.col("nk") == F.col("c_nationkey"))
+        .join(F.broadcast(rd), "rk")
+        .groupBy("region", "nation")
+        .agg(F.sum(cents("o_totalprice")).alias("rev_c"))
+    )
+    w_r = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return b.select(
+        "region",
+        "nation",
+        (F.col("rev_c") / F.lit(100.0)).alias("revenue"),
+        (F.col("rev_c").cast("double") / F.sum("rev_c").over(w_r).cast("double")).alias(
+            "share_of_region"
+        ),
+        (
+            F.sum("rev_c").over(w_r).cast("double")
+            / F.sum("rev_c").over(w_all).cast("double")
+        ).alias("region_share_of_total"),
+    )
+
+
+@query(
+    "q174_customer_snapshot_diff",
+    f"""
+    WITH a AS (
+      SELECT o_custkey, sum({C.format(x='o_totalprice')}) AS rev_c,
+             count(*) AS n
+      FROM orders WHERE o_orderdate < TIMESTAMP '1999-01-01'
+      GROUP BY 1
+    ),
+    b AS (
+      SELECT o_custkey, sum({C.format(x='o_totalprice')}) AS rev_c,
+             count(*) AS n
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+        AND o_orderdate < TIMESTAMP '2001-01-01'
+      GROUP BY 1
+    ),
+    j AS (
+      SELECT coalesce(a.o_custkey, b.o_custkey) AS cust,
+             a.rev_c AS rev_a, b.rev_c AS rev_b,
+             CASE WHEN a.o_custkey IS NULL THEN 'new'
+                  WHEN b.o_custkey IS NULL THEN 'churned'
+                  ELSE 'active' END AS status
+      FROM a FULL OUTER JOIN b ON b.o_custkey = a.o_custkey
+    )
+    SELECT status, count(*) AS n_customers,
+           coalesce(sum(rev_a), 0)/100.0 AS revenue_before,
+           coalesce(sum(rev_b), 0)/100.0 AS revenue_after
+    FROM j GROUP BY 1
+    """,
+)
+def q174_customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (SCD-style churn panel): customers present only
+    before the cutoff are 'churned', only after are 'new', both sides
+    'active', with exact cent revenue on each side. One full-outer join
+    of two period aggregates on the customer key — both sides shrink to
+    per-customer rows BEFORE the join, so the exchange is keyed on
+    customers, not orders."""
+    o = load_table(spark, sf_dir, "orders")
+    cut = "1999-01-01"
+    hi = "2001-01-01"
+    a = (
+        o.filter(F.col("o_orderdate") < cut)
+        .groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("rev_a"))
+        .withColumnRenamed("o_custkey", "ck_a")
+    )
+    b = (
+        o.filter((F.col("o_orderdate") >= cut) & (F.col("o_orderdate") < hi))
+        .groupBy("o_custkey")
+        .agg(F.sum(cents("o_totalprice")).alias("rev_b"))
+        .withColumnRenamed("o_custkey", "ck_b")
+    )
+    j = a.join(b, a["ck_a"] == b["ck_b"], "full_outer").select(
+        F.when(F.col("ck_a").isNull(), "new")
+        .when(F.col("ck_b").isNull(), "churned")
+        .otherwise("active")
+        .alias("status"),
+        "rev_a",
+        "rev_b",
+    )
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        (F.coalesce(F.sum("rev_a"), F.lit(0)) / F.lit(100.0)).alias("revenue_before"),
+        (F.coalesce(F.sum("rev_b"), F.lit(0)) / F.lit(100.0)).alias("revenue_after"),
+    )
