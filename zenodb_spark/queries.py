@@ -9335,3 +9335,70 @@ def q174_customer_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.sum("rev_a"), F.lit(0)) / F.lit(100.0)).alias("revenue_before"),
         (F.coalesce(F.sum("rev_b"), F.lit(0)) / F.lit(100.0)).alias("revenue_after"),
     )
+
+
+@query(
+    "q175_embedding_drift",
+    """
+    WITH m AS (
+      SELECT CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
+                       AS INTEGER) % 2 = 0 THEN 'A' ELSE 'B' END AS half,
+             i AS dim,
+             CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000 + 0.5)
+                  AS BIGINT) AS q
+      FROM embeddings, unnest(range(0, len(embedding))) AS u(i)
+    ),
+    agg AS (
+      SELECT half, dim, sum(q) AS sq, count(*) AS n FROM m GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT a.dim,
+             CAST(a.sq AS DOUBLE) / a.n AS ma,
+             CAST(b.sq AS DOUBLE) / b.n AS mb
+      FROM agg a JOIN agg b ON b.dim = a.dim
+      WHERE a.half = 'A' AND b.half = 'B'
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           ma / 1000000.0 AS mean_a,
+           mb / 1000000.0 AS mean_b,
+           (ma - mb) / 1000000.0 AS mean_shift
+    FROM w
+    """,
+)
+def q175_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift panel between two deterministic halves of the
+    embedding corpus (md5-bucket split standing in for "last month vs
+    this month"): per-dimension mean shift — the monitoring signal that
+    catches encoder or upstream-data changes before they poison ANN
+    indexes. Micro-quantized integer sums; one posexplode + one 128-group
+    aggregate + a 64-row self-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    half = F.when(
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 2 == 0,
+        "A",
+    ).otherwise("B")
+    m = emb.select(
+        half.alias("half"), F.posexplode("embedding").alias("dim", "val")
+    ).select(
+        "half",
+        "dim",
+        F.floor(F.col("val").cast("double") * F.lit(1_000_000) + F.lit(0.5))
+        .cast("long")
+        .alias("q"),
+    )
+    agg = m.groupBy("half", "dim").agg(
+        F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    a = agg.filter(F.col("half") == "A").select(
+        "dim", (F.col("sq").cast("double") / F.col("n")).alias("ma")
+    )
+    b = agg.filter(F.col("half") == "B").select(
+        F.col("dim").alias("dim_b"), (F.col("sq").cast("double") / F.col("n")).alias("mb")
+    )
+    return a.join(b, a["dim"] == b["dim_b"]).select(
+        F.col("dim").cast("long").alias("dim"),
+        (F.col("ma") / F.lit(1e6)).alias("mean_a"),
+        (F.col("mb") / F.lit(1e6)).alias("mean_b"),
+        ((F.col("ma") - F.col("mb")) / F.lit(1e6)).alias("mean_shift"),
+    )
