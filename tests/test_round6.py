@@ -222,3 +222,27 @@ class TestExactQuantile2Pass:
         df = spark.range(1, 1001, 1, 4).select(F.col("id").cast("double").alias("x"))
         assert exact_quantile_2pass(df, "x", 0.001).collect()[0]["value"] == 1.0
         assert exact_quantile_2pass(df, "x", 1.0).collect()[0]["value"] == 1000.0
+
+
+def test_grouped_quantile_matches_per_group_sort(spark):
+    import math
+
+    from zenodb_spark.operators.percentile import exact_quantile_2pass_grouped
+
+    df = spark.range(0, 30_000, 1, 8).select(
+        (F.col("id") % 7).alias("g"),
+        F.when(F.col("id") % 3 == 0, F.lit(5.0))  # heavy ties in every group
+        .otherwise((F.col("id") % 977).cast("double"))
+        .alias("x"),
+    )
+    got = {
+        tuple(r[:1]): (r["k"], r["n"], r["value"])
+        for r in exact_quantile_2pass_grouped(df, ["g"], "x", 0.9).collect()
+    }
+    rows = df.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["g"], []).append(r["x"])
+    for g, vals in by_g.items():
+        k = max(1, int(math.ceil(0.9 * len(vals))))
+        assert got[(g,)] == (k, len(vals), sorted(vals)[k - 1])

@@ -169,3 +169,62 @@ def exact_quantile_2pass(
             F.col("v").alias("value"),
         )
     )
+
+
+def exact_quantile_2pass_grouped(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    q: float,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Per-group EXACT q-quantile (k-th smallest, k = ceil(q·n_g)) with no
+    per-group sort and NO driver round-trip — the grouped generalization
+    of ``exact_quantile_2pass``:
+
+    1. one aggregate computes each group's approx bracket (percentile
+       error bounds only the bracket width) and exact count;
+    2. the brackets join back (broadcast when groups fit, shuffle-keyed
+       otherwise — either way a plain equi-join);
+    3. exact ranks below each bracket are one filtered count;
+    4. a row_number window over each group's ~2n_g/accuracy bracketed
+       SLICE — partitioned by group, so no global single-task sort —
+       selects the element whose exact rank is k.
+
+    Returns one row per group: (keys…, k, n, value). Null values are
+    ignored; empty groups do not appear."""
+    v = F.col(value_col)
+    src = df.filter(v.isNotNull()).select(*keys, v.alias("__v"))
+    lo_q = max(0.0, q - 1.0 / accuracy)
+    hi_q = min(1.0, q + 1.0 / accuracy)
+    br = src.groupBy(*keys).agg(
+        F.percentile_approx("__v", [lo_q, hi_q], accuracy).alias("__br"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    br = br.select(
+        *keys,
+        F.col("__br")[0].alias("__lo"),
+        F.col("__br")[1].alias("__hi"),
+        "__n",
+        F.ceil(F.lit(q) * F.col("__n")).cast("long").alias("__k"),
+    )
+    j = src.join(br, keys)
+    below = (
+        j.filter(F.col("__v") < F.col("__lo"))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__below"))
+    )
+    w = Window.partitionBy(*keys).orderBy("__v")
+    return (
+        j.filter((F.col("__v") >= F.col("__lo")) & (F.col("__v") <= F.col("__hi")))
+        .join(below, keys, "left")
+        .withColumn("__below", F.coalesce(F.col("__below"), F.lit(0)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == F.col("__k") - F.col("__below"))
+        .select(
+            *keys,
+            F.col("__k").alias("k"),
+            F.col("__n").alias("n"),
+            F.col("__v").alias("value"),
+        )
+    )

@@ -9402,3 +9402,34 @@ def q175_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("mb") / F.lit(1e6)).alias("mean_b"),
         ((F.col("ma") - F.col("mb")) / F.lit(1e6)).alias("mean_shift"),
     )
+
+
+@query(
+    "q176_exact_quantile_grouped",
+    """
+    WITH v AS (
+      SELECT event_type, value FROM events WHERE value IS NOT NULL
+    ),
+    nn AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+    r AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn
+      FROM v
+    )
+    SELECT r.event_type, CAST(ceil(0.95 * nn.n) AS BIGINT) AS k,
+           CAST(nn.n AS BIGINT) AS n, r.value
+    FROM r JOIN nn ON nn.event_type = r.event_type
+    WHERE r.rn = CAST(ceil(0.95 * nn.n) AS BIGINT)
+    """,
+)
+def q176_exact_quantile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group P95 (k-th smallest per event type) with no
+    per-group sort and no driver collect: grouped bracket aggregate →
+    bracket join-back → exact rank counts → row_number over each group's
+    ~2n/accuracy bracketed slice (operators/percentile.
+    exact_quantile_2pass_grouped). The oracle sorts every group fully;
+    the two-pass form still works when each group holds 10^10 rows."""
+    from zenodb_spark.operators.percentile import exact_quantile_2pass_grouped
+
+    ev = load_table(spark, sf_dir, "events")
+    return exact_quantile_2pass_grouped(ev, ["event_type"], "value", 0.95)
