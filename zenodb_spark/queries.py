@@ -9433,3 +9433,98 @@ def q176_exact_quantile_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return exact_quantile_2pass_grouped(ev, ["event_type"], "value", 0.95)
+
+
+@query(
+    "q177_ipf_balance",
+    """
+    WITH cells AS (
+      SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT sum(n) AS nn,
+             count(DISTINCT source) AS ns,
+             count(DISTINCT lang) AS nl
+      FROM cells
+    ),
+    rows_ AS (SELECT source, sum(n) AS rn FROM cells GROUP BY 1),
+    -- pass 1: scale each row to the uniform row target, quantized to
+    -- integer micro-units so the cross-row column sums stay exact
+    r1 AS (
+      SELECT rows_.source,
+             CAST(floor(CAST(tot.nn AS DOUBLE) / tot.ns
+                        / CAST(rows_.rn AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT) AS r_micro
+      FROM rows_, tot
+    ),
+    cols AS (
+      SELECT cells.lang, sum(cells.n * r1.r_micro) AS s_micro
+      FROM cells JOIN r1 ON r1.source = cells.source
+      GROUP BY 1
+    ),
+    f AS (
+      SELECT cols.lang,
+             CAST(tot.nn AS DOUBLE) / tot.nl * 1000000.0
+               / CAST(cols.s_micro AS DOUBLE) AS fl
+      FROM cols, tot
+    )
+    SELECT c.source, c.lang, CAST(c.n AS BIGINT) AS n_docs,
+           CAST(r1.r_micro AS DOUBLE) / 1000000.0 * f.fl AS weight
+    FROM cells c
+    JOIN r1 ON r1.source = c.source
+    JOIN f ON f.lang = c.lang
+    """,
+)
+def q177_ipf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative-proportional-fitting (raking) balance weights: one
+    row-pass + one column-pass rescales each (source, lang) cell so the
+    weighted corpus approaches UNIFORM marginals over sources and langs —
+    the standard way to hit a target data mixture without dropping
+    documents. Row factors quantize to integer micro-units before the
+    cross-row column sums (associative), and each output weight is the
+    same two-factor IEEE product in both engines. Aggregate volume is
+    |sources|×|langs| cells; the corpus is touched once."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(
+        F.sum("n").alias("nn"),
+        F.countDistinct("source").alias("ns"),
+        F.countDistinct("lang").alias("nl"),
+    )
+    rows_ = cells.groupBy("source").agg(F.sum("n").alias("rn"))
+    r1 = rows_.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.floor(
+            F.col("nn").cast("double")
+            / F.col("ns")
+            / F.col("rn").cast("double")
+            * F.lit(1000000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("r_micro"),
+    )
+    cols = (
+        cells.join(r1, "source")
+        .groupBy("lang")
+        .agg(F.sum(F.col("n") * F.col("r_micro")).alias("s_micro"))
+    )
+    fdf = cols.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        (
+            F.col("nn").cast("double") / F.col("nl") * F.lit(1000000.0)
+            / F.col("s_micro").cast("double")
+        ).alias("fl"),
+    )
+    return (
+        cells.join(r1, "source")
+        .join(F.broadcast(fdf), "lang")
+        .select(
+            "source",
+            "lang",
+            F.col("n").cast("long").alias("n_docs"),
+            (F.col("r_micro").cast("double") / F.lit(1000000.0) * F.col("fl")).alias(
+                "weight"
+            ),
+        )
+    )
