@@ -9528,3 +9528,85 @@ def q177_ipf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q178_classifier_lift",
+    f"""
+    WITH t AS (
+      SELECT doc_id, md5({NORM.format(x='text')}) AS fp,
+             list_filter(string_split({NORM.format(x='text')}, ' '),
+                         x -> len(x) > 0) AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_sym,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_dig
+      FROM documents
+    ), f AS (
+      SELECT doc_id, fp,
+             -1.5 + 3.0 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                  - 0.2 * (CAST(n_chars AS DOUBLE) / len(toks))
+                  - 4.0 * (CAST(n_sym AS DOUBLE) / n_chars)
+                  - 2.0 * (CAST(n_dig AS DOUBLE) / n_chars) AS logit
+      FROM t WHERE len(toks) > 0 AND n_chars > 0
+    ), d AS (
+      SELECT fp, count(*) AS c FROM f GROUP BY 1
+    ), s AS (
+      SELECT f.doc_id, f.logit,
+             CASE WHEN d.c >= 2 THEN 1 ELSE 0 END AS is_dup,
+             ntile(10) OVER (ORDER BY f.logit DESC, f.doc_id) AS decile
+      FROM f JOIN d ON d.fp = f.fp
+    )
+    SELECT CAST(decile AS BIGINT) AS decile,
+           count(*) AS n_docs,
+           CAST(sum(is_dup) AS DOUBLE) / count(*) AS dup_rate,
+           CAST(sum(CAST(floor(logit * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / count(*) / 1000000.0 AS avg_logit
+    FROM s GROUP BY 1
+    """,
+)
+def q178_classifier_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lift table for the q160 quality classifier: documents ranked into
+    deciles by logit (deterministic ntile: logit + doc tiebreak), each
+    decile scored against the exact-duplicate outcome — the standard
+    check that a filter model actually orders the corpus by the thing it
+    claims to predict. Per-doc logits micro-quantize before the decile
+    average so the sums are exact; the dup label is one fingerprint
+    aggregate."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text("text"), " "), lambda x: F.length(x) > 0)
+    t = docs.select(
+        "doc_id",
+        F.md5(normalize_text("text")).alias("fp"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(toks).alias("n_tok"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9 ]", "")).alias("n_sym"),
+        F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).alias("n_dig"),
+    ).filter((F.col("n_tok") > 0) & (F.col("n_chars") > 0))
+    logit = (
+        F.lit(-1.5)
+        + F.lit(3.0) * (F.col("n_uniq").cast("double") / F.col("n_tok"))
+        - F.lit(0.2) * (F.col("n_chars").cast("double") / F.col("n_tok"))
+        - F.lit(4.0) * (F.col("n_sym").cast("double") / F.col("n_chars"))
+        - F.lit(2.0) * (F.col("n_dig").cast("double") / F.col("n_chars"))
+    )
+    f = t.select("doc_id", "fp", logit.alias("logit"))
+    d = f.groupBy("fp").agg(F.count(F.lit(1)).alias("c"))
+    s = f.join(d, "fp").select(
+        "doc_id",
+        "logit",
+        F.when(F.col("c") >= 2, 1).otherwise(0).alias("is_dup"),
+        F.ntile(10).over(Window.orderBy(F.col("logit").desc(), "doc_id")).alias("decile"),
+    )
+    return s.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("is_dup").cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+        (
+            F.sum(F.floor(F.col("logit") * F.lit(1_000_000) + F.lit(0.5)).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1))
+            / F.lit(1000000.0)
+        ).alias("avg_logit"),
+    )
