@@ -163,3 +163,121 @@ def test_exact_quantile_2pass_equals_sorted_kth(spark, rows, q):
     k = max(1, int(math.ceil(q * len(rows))))
     want = sorted(rows)[k - 1]
     assert len(got) == 1 and got[0]["value"] == want and got[0]["k"] == k
+
+
+# --------------------------------------------------------------------------
+# percentile sketch state vs reference HDR semantics (expr/percentile.go:
+# 115-144): out-of-bounds values are DROPPED (BOUNDED updated=false, not
+# clamped — expr/bounded.go:41-48), in-bounds values land in the
+# round-to-nearest bin, hi itself stays in the top bin, merge is exact.
+# Adversarial bounds per the round-3 verdict: negative lo, lo == hi,
+# precision 0 and 5.
+# --------------------------------------------------------------------------
+
+import math
+
+
+def _model_quantile(vals, p, lo, hi, precision):
+    """Driver-side model of hist_agg+hist_quantile: quantize in-bounds
+    values to bin lower bounds, pick element ceil(p/100·n)."""
+    scale = float(10**precision)
+    nbins = int(round((hi - lo) * scale)) + 1
+    bins = sorted(
+        min(int(math.floor((v - lo) * scale + 0.5)), nbins - 1)
+        for v in vals
+        if lo <= v <= hi
+    )
+    if not bins:
+        return None
+    k = max(1, math.ceil(p / 100.0 * len(bins)))
+    # hist_quantile: first occupied bin where cumulative count >= target;
+    # target 0 (p=0) → first occupied bin
+    if p == 0:
+        k = 1
+    return bins[k - 1] / scale + lo
+
+
+_bounds = st.sampled_from(
+    [(-5.0, 5.0), (0.0, 0.3), (-10.0, -10.0), (0.0, 100.0), (-7.3, 2.9)]
+)
+_precisions = st.sampled_from([0, 1, 2, 5])
+_pcts = st.sampled_from([0.0, 1.0, 25.0, 50.0, 95.0, 99.0, 100.0])
+
+
+@settings(**_SETTINGS)
+@given(
+    raw=st.lists(
+        st.floats(min_value=-12.0, max_value=12.0, allow_nan=False),
+        min_size=0,
+        max_size=40,
+    ),
+    bounds=_bounds,
+    precision=_precisions,
+    p=_pcts,
+)
+def test_hist_quantile_matches_model(spark, raw, bounds, precision, p):
+    from zenodb_spark.operators.percentile import hist_agg, hist_quantile
+
+    lo, hi = bounds
+    vals = raw + [lo, hi]  # always exercise the exact edges
+    df = spark.createDataFrame([Row(g=1, v=float(v)) for v in vals])
+    out = (
+        hist_agg(df, ["g"], "v", lo, hi, precision)
+        .select(hist_quantile("hist", p, lo, precision).alias("q"))
+        .collect()
+    )
+    got = out[0]["q"] if out else None
+    want = _model_quantile(vals, p, lo, hi, precision)
+    if want is None:
+        assert got is None
+    else:
+        assert got is not None and abs(got - want) < 1e-9, (got, want, vals)
+
+
+@settings(**_SETTINGS)
+@given(
+    raw=st.lists(
+        st.floats(min_value=-12.0, max_value=12.0, allow_nan=False),
+        min_size=2,
+        max_size=40,
+    ),
+    split=st.integers(min_value=1, max_value=39),
+    bounds=_bounds,
+    precision=_precisions,
+)
+def test_hist_merge_equals_single_pass(spark, raw, split, bounds, precision):
+    from zenodb_spark.operators.percentile import hist_agg, hist_merge, hist_quantile
+
+    lo, hi = bounds
+    vals = raw + [lo, hi]
+    split = min(split, len(vals) - 1)
+    df_all = spark.createDataFrame([Row(g=1, v=float(v)) for v in vals])
+    parts = [
+        spark.createDataFrame([Row(g=1, v=float(v)) for v in chunk])
+        for chunk in (vals[:split], vals[split:])
+    ]
+    merged = (
+        hist_agg(parts[0], ["g"], "v", lo, hi, precision)
+        .unionByName(hist_agg(parts[1], ["g"], "v", lo, hi, precision))
+        .groupBy("g")
+        .agg(hist_merge("hist").alias("hist"))
+        .select(hist_quantile("hist", 50.0, lo, precision).alias("q"))
+        .collect()
+    )
+    single = (
+        hist_agg(df_all, ["g"], "v", lo, hi, precision)
+        .select(hist_quantile("hist", 50.0, lo, precision).alias("q"))
+        .collect()
+    )
+    got = merged[0]["q"] if merged else None
+    want = single[0]["q"] if single else None
+    assert (got is None and want is None) or abs(got - want) < 1e-12
+
+
+def test_hist_bin_rejects_inverted_bounds(spark):
+    import pytest
+
+    from zenodb_spark.operators.percentile import hist_bin
+
+    with pytest.raises(ValueError, match="inverted"):
+        hist_bin(F.lit(1.0), 5.0, -5.0, 1)

@@ -149,9 +149,11 @@ class TestPlanShapes:
 
         df = Q.QUERIES["q155_pagerank"](spark, "/root/testdata/sf0.001")
         plan = df._jdf.queryExecution().executedPlan().toString()
-        # the 5-way fact join appears once (cached); iterations reference
-        # InMemoryTableScan instead of re-joining the facts
-        assert plan.count("InMemoryTableScan") >= 4
+        # the 5-way fact join ran once, eagerly, into a localCheckpoint;
+        # iterations scan the checkpointed RDD instead of re-joining the
+        # facts (and the checkpoint is ContextCleaner-freed on GC, unlike
+        # the persist() this replaced which pinned a cache entry per call)
+        assert plan.count("Scan ExistingRDD") >= 4
         assert df.count() == 25
 
 

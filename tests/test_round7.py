@@ -1,0 +1,273 @@
+"""Round-7 fixes (round-4 ADVICE items): interval_join integer precision on
+epoch-ns axes, COUNTDISTINCT -0.0 normalization + state version + size
+guard, zorder_write conf isolation, persist-leak removal."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _pairs(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+class TestIntervalJoinEpochNs:
+    """`(c - c%b)/b` in DOUBLE loses integer precision above 2^53; bin ids
+    on an epoch-ns axis (~1.7e18) could be off by one, silently dropping
+    matching point/interval pairs. The fix keeps the division integral."""
+
+    def test_point_matches_own_interval_at_epoch_ns(self, spark):
+        from zenodb_spark.operators.timeops import interval_join
+
+        rng = random.Random(42)
+        base = 1_700_000_000_000_000_000  # ~2023 in epoch ns
+        pts = [base + rng.randrange(10**15) for _ in range(200)]
+        left = spark.createDataFrame([Row(pid=i, p=p) for i, p in enumerate(pts)])
+        # each point gets exactly one enclosing width-1 interval: any bin
+        # misassignment on either side loses the pair
+        right = spark.createDataFrame(
+            [Row(rid=i, s=p, e=p + 1) for i, p in enumerate(pts)]
+        )
+        out = interval_join(left, right, "p", "s", "e", bin_width=1000)
+        got = _pairs(out.select("pid", "rid"))
+        assert got == [(i, i) for i in range(200)]
+
+    def test_matches_theta_join_at_epoch_ns(self, spark):
+        from zenodb_spark.operators.timeops import interval_join
+
+        rng = random.Random(7)
+        base = 1_699_999_999_999_000_000
+        left = spark.createDataFrame(
+            [Row(pid=i, p=base + rng.randrange(5_000_000)) for i in range(150)]
+        )
+        right = spark.createDataFrame(
+            [
+                Row(rid=i, s=s, e=s + rng.randrange(1, 20_000))
+                for i in range(40)
+                for s in [base + rng.randrange(5_000_000)]
+            ]
+        )
+        got = interval_join(left, right, "p", "s", "e", bin_width=7_919)
+        want = left.join(
+            right, (F.col("p") >= F.col("s")) & (F.col("p") < F.col("e"))
+        )
+        assert _pairs(got.select("pid", "rid")) == _pairs(want.select("pid", "rid"))
+
+    def test_negative_axis_floor_semantics(self, spark):
+        from zenodb_spark.operators.timeops import interval_join
+
+        left = spark.createDataFrame(
+            [Row(pid=i, p=p) for i, p in enumerate([-100, -1, 0, 1, -1001])]
+        )
+        right = spark.createDataFrame([Row(rid=1, s=-1000, e=1)])
+        out = interval_join(left, right, "p", "s", "e", bin_width=64)
+        assert sorted(r.p for r in out.collect()) == [-100, -1, 0]
+
+    def test_rejects_nonpositive_bin_width(self, spark):
+        from zenodb_spark.operators.timeops import interval_join
+
+        df = spark.createDataFrame([Row(p=1, s=0, e=2)])
+        with pytest.raises(ValueError):
+            interval_join(df, df, "p", "s", "e", bin_width=0)
+
+
+_E = 1420070400  # 2015-01-01, matches the suite's virtual-clock anchor
+
+
+def _ts(off: int) -> dt.datetime:
+    return dt.datetime.fromtimestamp(_E + off, dt.timezone.utc)
+
+
+def _cd_schema():
+    return {
+        "m": {
+            "sql": "SELECT COUNTDISTINCT(v) AS dv FROM pts GROUP BY k, period('1h')",
+            "retentionperiod": "48h",
+        }
+    }
+
+
+class TestCountDistinctState:
+    def test_negative_zero_collapses_with_zero(self, spark):
+        """SQL DISTINCT treats -0.0 and 0.0 as one value; the string-cast
+        state must too (normalized via `+ 0.0` before the cast)."""
+        from zenodb_spark.engine import DB
+
+        db = DB(spark, now=_E + 100)
+        db.apply_schema(_cd_schema())
+        db.insert(
+            "pts",
+            spark.createDataFrame(
+                [
+                    Row(ts=_ts(1), k="a", v=-0.0),
+                    Row(ts=_ts(2), k="a", v=0.0),
+                    Row(ts=_ts(3), k="a", v=2.0),
+                ]
+            ),
+        )
+        rows = db.query("SELECT dv FROM m GROUP BY k").collect()
+        assert len(rows) == 1 and rows[0]["dv"] == 2.0
+
+    def test_state_column_carries_version_tag(self, spark):
+        from zenodb_spark.engine import DB
+
+        db = DB(spark, now=_E + 100)
+        db.apply_schema(_cd_schema())
+        db.insert(
+            "pts", spark.createDataFrame([Row(ts=_ts(1), k="a", v=1.0)])
+        )
+        t = db.tables["m"]
+        assert any(s.col.endswith("__dsetv2") for s in t.registry.all_specs())
+
+    def test_legacy_v1_store_rejected_loudly(self, spark, tmpdir):
+        """A persisted v1 state column (`_sN__dset`) must fail on reopen
+        with a migration message, not merge silently."""
+        import os
+        import shutil
+
+        from zenodb_spark.engine import DB
+
+        wd = f"{tmpdir}/w"
+        db = DB(spark, now=_E + 100, workdir=wd)
+        db.apply_schema(_cd_schema())
+        db.insert(
+            "pts", spark.createDataFrame([Row(ts=_ts(1), k="a", v=1.0)])
+        )
+        db.tables["m"].compact()
+        tdir = f"{wd}/m/main"
+        assert os.path.isdir(tdir), os.listdir(wd)
+        st = spark.read.parquet(tdir)
+        legacy_cols = [
+            F.col(c).alias(c.replace("__dsetv2", "__dset")) for c in st.columns
+        ]
+        st.select(legacy_cols).write.mode("overwrite").parquet(f"{tmpdir}/v1")
+        shutil.rmtree(tdir)
+        shutil.copytree(f"{tmpdir}/v1", tdir)
+        db2 = DB(spark, now=_E + 100, workdir=wd)
+        with pytest.raises(ValueError, match="v1 COUNTDISTINCT"):
+            db2.apply_schema(_cd_schema())
+
+    def test_dset_guard_raises_past_cap(self, spark, monkeypatch):
+        import zenodb_spark.plans.compiler as C
+
+        monkeypatch.setattr(C, "DSET_MAX_MEMBERS", 10)
+        df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+        arr = F.array_sort(F.collect_set(F.col("v").cast("string")))
+        guarded = df.agg(C._dset_guard(arr).alias("s"))
+        with pytest.raises(Exception, match="COUNTDISTINCT exact state exceeded"):
+            guarded.collect()
+
+    def test_dset_guard_passes_under_cap(self, spark):
+        import zenodb_spark.plans.compiler as C
+
+        df = spark.range(5).select(F.col("id").cast("double").alias("v"))
+        arr = F.array_sort(F.collect_set(F.col("v").cast("string")))
+        out = df.agg(C._dset_guard(arr).alias("s")).collect()
+        assert len(out[0]["s"]) == 5
+
+
+class TestZorderConfIsolation:
+    def test_session_conf_untouched_by_write(self, spark, tmp_path):
+        from zenodb_spark.sources.layout import zorder_write
+
+        key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+        before = spark.conf.get(key)
+        df = spark.range(1000).select(
+            (F.col("id") % 37).alias("x"), (F.col("id") % 11).alias("y")
+        )
+        zorder_write(df, str(tmp_path / "z"), ["x", "y"], n_files=4)
+        assert spark.conf.get(key) == before
+        # and the write itself is intact
+        back = spark.read.parquet(str(tmp_path / "z"))
+        assert back.count() == 1000
+        assert set(back.columns) == {"x", "y"}
+
+
+class TestNoPersistLeak:
+    def test_running_total_leaves_no_cache_entry(self, spark):
+        from zenodb_spark.operators.prefix import running_total
+
+        # the leak was a DataFrame.persist() entry in the CacheManager,
+        # which nothing ever unpersisted over a long driver session; a
+        # localCheckpoint RDD is NOT tracked there and the ContextCleaner
+        # frees its blocks once the frame is garbage collected
+        cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+        was_empty = cache_mgr.isEmpty()
+        df = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+        )
+        out = running_total(df, ["k"], "v", "rt")
+        total = out.agg(F.max("rt")).collect()[0][0]
+        assert total == sum(i % 97 for i in range(10_000))
+        assert cache_mgr.isEmpty() == was_empty, (
+            "running_total must not pin a CacheManager entry"
+        )
+
+
+class TestStarConnectedComponents:
+    """Large-star/small-star CC (Kiveris et al.): same labels as min-label
+    propagation on random graphs, O(log n) rounds on a chain adversary."""
+
+    def _labels(self, df):
+        return sorted((r["node"], r["lab"]) for r in df.collect())
+
+    def test_matches_minlabel_on_random_graphs(self, spark):
+        from zenodb_spark.operators.dedup import connected_components
+
+        rng = random.Random(1234)
+        for trial in range(4):
+            n = 60
+            edges = [
+                Row(doc_a=rng.randrange(n), doc_b=rng.randrange(n))
+                for _ in range(40 + trial * 25)
+            ]
+            e = spark.createDataFrame(edges).filter("doc_a != doc_b")
+            star = connected_components(e, algorithm="star")
+            minl = connected_components(e, algorithm="minlabel")
+            assert self._labels(star) == self._labels(minl), f"trial {trial}"
+
+    def test_chain_adversary_converges_in_log_rounds(self, spark):
+        from zenodb_spark.operators.dedup import connected_components
+
+        # a 200-node chain: diameter 199. min-label needs ~diameter rounds
+        # (capped by max_iter); star must finish in O(log n).
+        chain = spark.createDataFrame(
+            [Row(doc_a=i, doc_b=i + 1) for i in range(199)]
+        )
+        st = {}
+        out = connected_components(chain, algorithm="star", max_iter=30, stats=st)
+        labs = self._labels(out)
+        assert labs == [(i, 0) for i in range(200)]
+        assert st["rounds"] <= 12, st  # log2(200) ~ 7.6 + slack
+
+        st2 = {}
+        # min-label on a short chain (20 nodes) to keep the test fast:
+        # rounds scale with diameter
+        short = spark.createDataFrame(
+            [Row(doc_a=i, doc_b=i + 1) for i in range(19)]
+        )
+        connected_components(short, algorithm="minlabel", stats=st2)
+        st3 = {}
+        connected_components(short, algorithm="star", stats=st3)
+        assert st3["rounds"] < st2["rounds"], (st3, st2)
+
+    def test_disconnected_components_and_dupes(self, spark):
+        from zenodb_spark.operators.dedup import connected_components
+
+        e = spark.createDataFrame(
+            [
+                Row(doc_a=5, doc_b=3),
+                Row(doc_a=3, doc_b=5),  # dup reversed
+                Row(doc_a=3, doc_b=9),
+                Row(doc_a=20, doc_b=21),
+                Row(doc_a=7, doc_b=7),  # self loop ignored
+                Row(doc_a=21, doc_b=22),
+            ]
+        )
+        out = self._labels(connected_components(e, algorithm="star"))
+        assert out == [(3, 3), (5, 3), (9, 3), (20, 20), (21, 20), (22, 20)]

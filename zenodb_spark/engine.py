@@ -189,6 +189,20 @@ class Table:
             return
         self.registry = build_registry(self.fields)
         state_cols = {s.col for s in self.registry.all_specs()}
+        # state-format version gate: v1 COUNTDISTINCT states (`_sN__dset`)
+        # used an incompatible encoding; the current suffix is `dsetv2`.
+        # Refuse to silently merge a stale store — the fix is recompute
+        # (drop the store dir) or an offline re-encode, never a quiet merge.
+        legacy = [
+            c for c in parts[0].columns if c.endswith("__dset") or c.endswith("__hll")
+        ]
+        if legacy:
+            raise ValueError(
+                f"table {self.tdef.name!r}: persisted state columns {legacy} "
+                "use the v1 COUNTDISTINCT format; current format is dsetv2 "
+                "(sorted string array). Recompute the store (delete "
+                f"{path}) or re-encode offline before reopening."
+            )
         if self.dims is None:
             self.dims = [
                 c

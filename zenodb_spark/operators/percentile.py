@@ -46,10 +46,15 @@ def hist_bin(value: Column | str, lo: float, hi: float, precision: int) -> Colum
     precision = decimal digits retained (reference scales to ints the same
     way; expr/percentile.go:43–53). Bin width = 10^-precision.
     """
+    if hi < lo:
+        raise ValueError(f"percentile bounds inverted: lo={lo} > hi={hi}")
     value = F.col(value) if isinstance(value, str) else value
     scale = float(10**precision)
+    # round, not truncate: (hi-lo)*scale can land at x.9999999… in floats
+    # (e.g. (0.3-0.0)*10), and truncation would clamp hi itself into the
+    # wrong bin — must agree with plans/compiler.py's _hist_bin_expr
+    nbins = int(round((hi - lo) * scale)) + 1
     idx = F.floor((value - F.lit(lo)) * scale + F.lit(0.5)).cast("long")
-    nbins = int((hi - lo) * scale) + 1
     return F.when((value >= lo) & (value <= hi), F.least(idx, F.lit(nbins - 1)))
 
 

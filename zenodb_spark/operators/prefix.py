@@ -33,20 +33,23 @@ def running_total(
     window (parallel), one per-partition aggregate (num_partitions rows),
     one single-row-per-partition window over THAT, one broadcast join of
     the offsets. No step is single-task over the data."""
-    from pyspark import StorageLevel
-
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    # PERSIST before branching: the ranged frame feeds BOTH the local
+    # MATERIALIZE before branching: the ranged frame feeds BOTH the local
     # window and the per-partition totals. As two separate exchanges the
     # range boundaries would be SAMPLED TWICE (seeded by RDD id) — the two
     # branches can disagree on row→partition assignment and the offsets
     # then correct the wrong rows (observed at sf0.1: ±30-part drift in
-    # the Pareto classes). One cached subtree = one shuffle = one set of
-    # boundaries, whatever the optimizer does with exchange reuse.
+    # the Pareto classes). One materialized subtree = one shuffle = one
+    # set of boundaries. localCheckpoint rather than persist(): a persist
+    # is pinned in the CacheManager until an explicit unpersist that no
+    # caller of a lazily-returned frame can place, so long driver sessions
+    # leaked MEMORY_AND_DISK entries; checkpoint blocks are released by
+    # the ContextCleaner as soon as the returned frame is garbage
+    # collected.
     ranged = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     local_w = (
         Window.partitionBy("__pid")

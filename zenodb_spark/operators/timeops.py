@@ -280,10 +280,23 @@ def interval_join(
     within user_id, within event_type, …) that ride along in the join key.
     """
     keys = keys or []
-    b = F.lit(int(bin_width))
+    bw = int(bin_width)
+    if bw <= 0:
+        raise ValueError(f"bin_width must be positive, got {bin_width}")
+    b = F.lit(bw)
 
     def _bin(c: Column) -> Column:
-        return ((c - c % b) / b).cast("long")
+        # Exact integral floor-division, long end-to-end. `(c - c % b) / b`
+        # would promote long/long to DOUBLE, which has 53 bits of mantissa —
+        # on an epoch-nanosecond axis (~1.7e18 today) the bin id can come
+        # out off by a few units and silently drop matching pairs (point
+        # and interval land in different bins). Subtract the positive
+        # remainder (floor semantics for negative points too), then divide
+        # as decimal(38,0): the dividend is an exact multiple of b, so the
+        # quotient is exact at any long magnitude.
+        c = c.cast("long")
+        fl = c - (((c % b) + b) % b)
+        return (fl.cast("decimal(38,0)") / b).cast("long")
 
     # end is exclusive: an interval ending exactly on a bin edge does not
     # reach into that bin

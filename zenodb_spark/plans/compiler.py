@@ -160,6 +160,31 @@ def _state_name(idx: int, suffix: str) -> str:
     return f"_s{idx}__{suffix}"
 
 
+# Hard cap on the per-group member count of an exact COUNTDISTINCT state.
+# The dset state grows linearly with group cardinality by design (exactness
+# contract); past this bound a stored-view path would be on an OOM track,
+# so fail loudly and point at the approximate operators instead.
+DSET_MAX_MEMBERS = 1_000_000
+
+
+def _dset_guard(arr: Column) -> Column:
+    """Return ``arr`` unchanged while enforcing DSET_MAX_MEMBERS at runtime.
+
+    `assert_true` evaluates to NULL when the predicate holds and raises
+    otherwise, so gating on its NULL-ness passes the array through without
+    a type-coercion dance and cannot be constant-folded away."""
+    ok = F.assert_true(
+        F.size(arr) <= F.lit(DSET_MAX_MEMBERS),
+        F.lit(
+            "COUNTDISTINCT exact state exceeded "
+            f"{DSET_MAX_MEMBERS} members in one group; use the "
+            "approximate distinct operators (HLL/KMV) for unbounded "
+            "cardinality"
+        ),
+    )
+    return F.when(ok.isNull(), arr)
+
+
 class StateRegistry:
     """Collects the distinct aggregate leaves of a set of field expressions
     and assigns state columns (dedup'd: `ii` and `COUNT(ii)` appearing in two
@@ -200,10 +225,15 @@ class StateRegistry:
                 # scale, which is what the oracle gate demands (an earlier
                 # HLL-sketch state drifted from the exact count once groups
                 # left coupon mode at sf0.1). State size grows with group
-                # cardinality — the documented trade; for unbounded-
-                # cardinality telemetry use the KMV/HLL operator library
-                # (q140/q172), which owns the approximate contract.
-                cols = [StateSpec(k, _state_name(idx, "dset"), "dset")]
+                # cardinality — the documented trade, enforced by
+                # DSET_MAX_MEMBERS (loud runtime error past the cap); for
+                # unbounded-cardinality telemetry use the KMV/HLL operator
+                # library (q140/q172), which owns the approximate contract.
+                # Suffix carries the state-format version: v2 = sorted
+                # string array with -0.0 normalized; a stored v1 state
+                # (HLL binary under `__dset`) fails loudly on column-name
+                # mismatch instead of silently mis-merging.
+                cols = [StateSpec(k, _state_name(idx, "dsetv2"), "dset")]
             elif kind == "POINTS":
                 cols = [StateSpec(k, _state_name(idx, "points"), "sum")]
             else:
@@ -440,8 +470,12 @@ def _raw_state_agg(e: MExpr, spec: StateSpec, has_col, dim_resolve) -> list[Colu
     if leaf.kind == "COUNTDISTINCT":
         # string-cast for a type-uniform set (dialect values are doubles;
         # JVM double→string is deterministic); sorted for a canonical
-        # stored state
-        return [F.array_sort(F.collect_set(v.cast("string"))).alias(spec.col)]
+        # stored state. `+ 0.0` first: IEEE -0.0 + 0.0 = 0.0, so the two
+        # zeros collapse to one member the way SQL DISTINCT (and the
+        # oracle) treats them — without it "-0.0"/"0.0" would be two
+        # distinct strings.
+        arr = F.array_sort(F.collect_set((v + F.lit(0.0)).cast("string")))
+        return [_dset_guard(arr).alias(spec.col)]
     raise AssertionError(spec)
 
 
@@ -633,11 +667,10 @@ def merge_states(
         elif spec.merge == "max":
             aggs.append(F.max(src).alias(spec.col))
         elif spec.merge == "dset":
-            aggs.append(
-                F.array_sort(
-                    F.array_distinct(F.flatten(F.collect_list(src)))
-                ).alias(spec.col)
+            merged = F.array_sort(
+                F.array_distinct(F.flatten(F.collect_list(src)))
             )
+            aggs.append(_dset_guard(merged).alias(spec.col))
         elif spec.merge == "hist":
             empty = F.expr("CAST(map() AS map<bigint,bigint>)")
             aggs.append(

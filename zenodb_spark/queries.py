@@ -7856,8 +7856,6 @@ def q155_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed IEEE expression over those exact integers; 1e-6 quantization per
     iteration is ~1e5 times below any rank gap. Dangling nations leak mass
     identically in both engines (none exist in this graph's 25×25 matrix)."""
-    from pyspark import StorageLevel
-
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
@@ -7879,7 +7877,10 @@ def q155_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .alias("w"))
     )
     ow = edges.groupBy("src").agg(F.sum("w").alias("outw"))
-    e = edges.join(ow, "src").persist(StorageLevel.MEMORY_AND_DISK)
+    # localCheckpoint (not persist): released by the ContextCleaner when
+    # the returned frame is dropped — a persist here leaked a cache entry
+    # per query invocation over a long driver session
+    e = edges.join(ow, "src").localCheckpoint(eager=True)
     nodes = n.select(F.col("n_name").alias("node"))
     r = nodes.withColumn("pr", F.lit(1.0) / F.lit(25.0))
     for _ in range(4):
@@ -9076,7 +9077,9 @@ def q171_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         e0.crossJoin(F.broadcast(stats))
         .filter(F.col("w") * F.col("ne") >= F.col("tw"))
         .select("a", "b")
-        .persist()
+        # localCheckpoint (not persist): ContextCleaner frees the blocks
+        # when the result frame is GC'd; persist leaked per invocation
+        .localCheckpoint(eager=True)
     )
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))

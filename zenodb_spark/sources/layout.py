@@ -85,28 +85,34 @@ def zorder_write(
     writing: the boundary-sketch pass reads only the z column and the
     reservoir is capped at ``sample_size_per_partition`` longs
     (~160 KB/partition at 20k), which is noise next to the write
-    itself."""
+    itself.
+
+    The override is scoped to a CLONED session (``newSession()`` shares
+    the SparkContext but owns an isolated SQLConf), so concurrent queries
+    planned on the caller's session never see the 200× sample size and
+    concurrent zorder_writes can't clobber each other's restore value.
+    The frame crosses sessions via a global temp view (plan re-resolved
+    against the same catalog/files)."""
     spark = df.sparkSession
-    key = "spark.sql.execution.rangeExchange.sampleSizePerPartition"
+    z = df.withColumn("__z", zorder_value(df, cols))
+    view = f"__zorder_write_{abs(hash((path, tuple(cols)))) % 10**10}"
+    z.createOrReplaceGlobalTempView(view)
+    writer = spark.newSession()
+    writer.conf.set(
+        "spark.sql.execution.rangeExchange.sampleSizePerPartition",
+        str(sample_size_per_partition),
+    )
     try:
-        prev = spark.conf.get(key)
-    except Exception:
-        prev = None
-    spark.conf.set(key, str(sample_size_per_partition))
-    try:
-        z = df.withColumn("__z", zorder_value(df, cols))
         (
-            z.repartitionByRange(n_files, "__z")
+            writer.table(f"global_temp.{view}")
+            .repartitionByRange(n_files, "__z")
             .sortWithinPartitions("__z")
             .drop("__z")
             .write.mode(mode)
             .parquet(path)
         )
     finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+        spark.catalog.dropGlobalTempView(view)
 
 
 def bloom_write(
