@@ -271,3 +271,36 @@ class TestStarConnectedComponents:
         )
         out = self._labels(connected_components(e, algorithm="star"))
         assert out == [(3, 3), (5, 3), (9, 3), (20, 20), (21, 20), (22, 20)]
+
+
+class TestBM25DenseRegime:
+    """bm25_topk's dense fast path must be bit-identical to the posting
+    join: same integer scores, same (score desc, doc asc) tie-breaks."""
+
+    def test_dense_equals_posting(self, spark):
+        from zenodb_spark.operators.retrieval import bm25_topk
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        corpus = docs.filter(F.col("doc_id") % 100 != 0)
+        queries = docs.filter(F.col("doc_id") % 100 == 0).select(
+            F.col("doc_id").alias("qid"), "text"
+        )
+        posting = bm25_topk(corpus, queries, mode="posting")
+        dense = bm25_topk(corpus, queries, mode="dense")
+        p = sorted(map(tuple, posting.collect()))
+        d = sorted(map(tuple, dense.collect()))
+        assert p == d
+        assert len(p) > 0
+
+    def test_auto_picks_posting_on_sparse_vocab(self, spark):
+        from zenodb_spark.operators import retrieval
+
+        # unique per-doc vocab → join_rows tiny → posting path must win
+        docs = spark.createDataFrame(
+            [(i, f"tok{i} tok{i + 1} shared") for i in range(200)],
+            ["doc_id", "text"],
+        )
+        qs = spark.createDataFrame([(0, "tok5 tok6")], ["qid", "text"])
+        out = retrieval.bm25_topk(docs, qs)
+        rows = out.collect()
+        assert {r["doc"] for r in rows} == {4, 5, 6}

@@ -7,6 +7,12 @@ environment so "passes locally" means "passes the driver gate".
 
 Usage: python tools/driver_check.py [pattern] [sf_dir]
        SPARK_GRAFT_CHECK_SF_DIR=/root/testdata/sf0.1 python tools/driver_check.py
+
+With no explicit sf_dir (arg or env), the gate runs at BOTH sf0.01 and
+sf0.1 — the dual-scale pass is the default because three real bugs (HLL
+drift, double-sampled range boundaries, round-half disagreement) were
+invisible at sf0.01 and only caught at the second scale. Pass an sf_dir
+to run a single scale (e.g. while iterating on one query).
 """
 
 from __future__ import annotations
@@ -23,7 +29,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import duckdb
 from pyspark.sql import SparkSession
 
-SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR", "/root/testdata/sf0.01")
+SF_DIR = os.environ.get("SPARK_GRAFT_CHECK_SF_DIR")
+DEFAULT_SF_DIRS = ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
 
 
 def _canon(v):
@@ -46,25 +53,18 @@ def _rows(cols, data):
     return sorted(out, key=repr)
 
 
-def main() -> int:
-    global SF_DIR
-    pattern = sys.argv[1] if len(sys.argv) > 1 else ""
-    if len(sys.argv) > 2:
-        SF_DIR = sys.argv[2]
-    # Bare session: mirror the driver, NOT zenodb_spark.session.get_spark.
-    spark = (
-        SparkSession.builder.appName("driver_check").master("local[16]").getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-
+def check_sf(spark, pattern: str, sf_dir: str) -> list:
+    """Run the gate for one SF dir; returns the failed-query names."""
     from zenodb_spark import queries as Q
 
+    print(f"== {sf_dir} ==")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
     ):
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    SF_DIR = sf_dir
 
     names = [n for n in sorted(Q.QUERIES) if pattern in n]
     failed = []
@@ -100,7 +100,27 @@ def main() -> int:
             print(f"  {name}: ERROR {time.time()-t0:.1f}s")
             traceback.print_exc(limit=3)
     print(f"\n{len(names)-len(failed)}/{len(names)} ok; failed: {failed}")
-    return 1 if failed else 0
+    return failed
+
+
+def main() -> int:
+    pattern = sys.argv[1] if len(sys.argv) > 1 else ""
+    if len(sys.argv) > 2:
+        sf_dirs = [sys.argv[2]]
+    elif SF_DIR:
+        sf_dirs = [SF_DIR]
+    else:
+        sf_dirs = DEFAULT_SF_DIRS
+    # Bare session: mirror the driver, NOT zenodb_spark.session.get_spark.
+    spark = (
+        SparkSession.builder.appName("driver_check").master("local[16]").getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    rc = 0
+    for sf_dir in sf_dirs:
+        if check_sf(spark, pattern, sf_dir):
+            rc = 1
+    return rc
 
 
 if __name__ == "__main__":

@@ -165,14 +165,18 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
         "n_chars": pa.array(np.array([len(t) for t in texts]), pa.int64()),
     }))
 
-    # embeddings: unit-norm, clustered by label (10 centers on the sphere)
-    centers = rng.standard_normal((N_LABELS, EMB_DIM))
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    labels = rng.integers(0, N_LABELS, n_doc)
-    vecs = centers[labels] * 0.6 + rng.standard_normal((n_doc, EMB_DIM)) * 0.35
+    # embeddings: measured against the driver's data these are PURE random
+    # unit vectors (intra-label mean cosine == inter-label == 0.0, both
+    # p(cos>=0.4) ~ 4.6e-4 — the d=64 random-sphere value) with uniform
+    # random labels, and the table scales SUB-linearly: 500 at sf<=0.01,
+    # 2000 at sf0.1 → max(500, 20000·sf). Deliberate: exact all-pairs
+    # similarity output is O(N²·4.6e-4), so the driver bounds N.
+    n_emb = max(500, int(20_000 * sf))
+    labels = rng.integers(0, N_LABELS, n_emb)
+    vecs = rng.standard_normal((n_emb, EMB_DIM))
     vecs = (vecs / np.linalg.norm(vecs, axis=1, keepdims=True)).astype("float32")
     _write(out_dir, "embeddings", pa.table({
-        "vec_id": pa.array(np.arange(n_doc), pa.int64()),
+        "vec_id": pa.array(np.arange(n_emb), pa.int64()),
         "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
         "label": pa.array(labels, pa.int32()),
     }))

@@ -20,6 +20,12 @@ from zenodb_spark.operators.dedup import normalize_text
 from zenodb_spark.operators.util import spread
 
 
+# regime planner bounds for bm25_topk's dense fast path
+DENSE_POSTING_THRESHOLD = 5_000_000  # est. posting-join rows to trip densify
+DENSE_MAX_VOCAB = 4_096  # query-vocab width a dense block matrix may take
+DENSE_MAX_QENTRIES = 2_000_000  # (qid, tok) pairs broadcastable to tasks
+
+
 def bm25_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -30,6 +36,7 @@ def bm25_topk(
     k1: float = 1.5,
     b: float = 0.75,
     topk: int = 10,
+    mode: str = "auto",
 ) -> DataFrame:
     """Top-k corpus documents per query by Okapi BM25.
 
@@ -37,13 +44,29 @@ def bm25_topk(
     the Lucene form — always positive); score(q,d) = Σ_t idf·tf·(k1+1) /
     (tf + k1·(1 − b + b·dl/avgdl)).
 
-    Scale shape: corpus token stats are two hash aggregates (doc-token tf,
-    token df); the query side joins on token — a shuffle of corpus tf rows
-    for the query vocabulary only (Catalyst pushes the semi-join of query
-    tokens into the scan side under AQE); ranking is a per-query top-k
-    window on integer scores (map-side WindowGroupLimit prunes to k rows
-    per partition before the final exchange). No driver-side index, no
-    cross join; the inverted index IS the tf DataFrame.
+    Two physical regimes, same integer scores (``mode``: auto | posting |
+    dense):
+
+    - **posting** (sparse vocab — real Zipf corpora): the query side joins
+      the tf frame on token — a shuffle of Σ_t qcount(t)·df(t) rows
+      (Catalyst pushes the query-token semi-join into the scan under AQE);
+      ranking is a per-query top-k window on integer scores (map-side
+      WindowGroupLimit prunes to k rows per partition before the final
+      exchange). No driver-side index; the inverted index IS the tf frame.
+    - **dense** (tiny shared vocab — every doc matches every query term, so
+      the posting join degenerates to n_q·n_docs·|q| rows): per-doc integer
+      term scores stay (doc, tok, s_micro) rows; the query set densifies to
+      an n_q × |V| 0/1 matrix broadcast to tasks; each doc-hashed partition
+      builds its block score matrix and computes S @ Qᵀ in int64 numpy
+      (exact — the same s_micro integers summed), emitting only its local
+      top-k per query under the global (score desc, doc asc) order, so the
+      final window ranks n_partitions·k rows per query instead of n_docs.
+      ``auto`` picks dense only when the estimated posting volume exceeds
+      DENSE_POSTING_THRESHOLD and the query matrix fits the broadcast caps
+      — at 100 TB a Zipf corpus stays on the posting path; the dense path
+      exists for degenerate/templated vocabularies where the posting join
+      is the scale bug (measured 80× per 10× data on the 31-word synthetic
+      corpus before this).
     """
     toks = spread(corpus).select(
         F.col(id_col).alias("doc"),
@@ -81,13 +104,9 @@ def bm25_topk(
         .filter(F.length("tok") > 0)
         .distinct()
     )
-    term = (
-        qtok.join(idf, "tok")
-        .join(tf, "tok")
-        .join(dl, "doc")
-        .select(
-            "qid",
-            "doc",
+
+    def _s_micro() -> F.Column:
+        return (
             F.floor(
                 (F.col("idf_micro").cast("double") / F.lit(1_000_000.0))
                 * (F.col("tf") * F.lit(k1 + 1.0))
@@ -103,10 +122,40 @@ def bm25_topk(
                 + F.lit(0.5)
             )
             .cast("long")
-            .alias("s_micro"),
+            .alias("s_micro")
         )
-    )
-    scored = term.groupBy("qid", "doc").agg(F.sum("s_micro").alias("score_micro"))
+
+    if mode == "auto":
+        est = qtok.join(df_t, "tok").agg(
+            F.sum("df").alias("join_rows"),
+            F.count_distinct("tok").alias("n_vocab"),
+            F.count(F.lit(1)).alias("n_qentries"),
+        ).collect()[0]
+        dense = (
+            (est["join_rows"] or 0) > DENSE_POSTING_THRESHOLD
+            and est["n_vocab"] <= DENSE_MAX_VOCAB
+            and est["n_qentries"] <= DENSE_MAX_QENTRIES
+        )
+    else:
+        dense = mode == "dense"
+
+    if dense:
+        srow = (
+            idf.join(tf, "tok").join(dl, "doc").select("doc", "tok", _s_micro())
+        )
+        scored = _bm25_dense_topk(
+            srow, qtok, queries.schema[qid_col].dataType, topk
+        )
+    else:
+        term = (
+            qtok.join(idf, "tok")
+            .join(tf, "tok")
+            .join(dl, "doc")
+            .select("qid", "doc", _s_micro())
+        )
+        scored = term.groupBy("qid", "doc").agg(
+            F.sum("s_micro").alias("score_micro")
+        )
     w = Window.partitionBy("qid").orderBy(F.desc("score_micro"), F.asc("doc"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -120,3 +169,97 @@ def bm25_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def _bm25_dense_topk(srow: DataFrame, qtok: DataFrame, qid_dtype, topk: int) -> DataFrame:
+    """Dense-regime scoring: S_block @ Qᵀ in int64 numpy per doc-hashed
+    partition, local (score desc, doc asc) top-k per query, exact.
+
+    A (q, d) pair is a candidate iff q ∩ d ≠ ∅ — matched via a parallel
+    0/1 presence matmul, so docs sharing only zero-scored terms still rank
+    (bit-identical to the posting join) and docs sharing none never appear.
+    """
+    from pyspark.sql import types as T
+
+    spark = srow.sparkSession
+    # query matrix: small by the planner's caps (vocab ≤ DENSE_MAX_VOCAB,
+    # entries ≤ DENSE_MAX_QENTRIES) — broadcast once, not per task
+    q_entries = qtok.collect()
+    if len(q_entries) > DENSE_MAX_QENTRIES:
+        raise ValueError(
+            f"bm25_topk dense mode: {len(q_entries)} (qid, tok) entries "
+            f"exceed DENSE_MAX_QENTRIES={DENSE_MAX_QENTRIES}; the query "
+            "matrix would not broadcast — use mode='posting'"
+        )
+    vocab = sorted({r["tok"] for r in q_entries})
+    if len(vocab) > DENSE_MAX_VOCAB:
+        raise ValueError(
+            f"bm25_topk dense mode: query vocabulary {len(vocab)} exceeds "
+            f"DENSE_MAX_VOCAB={DENSE_MAX_VOCAB}; per-partition score "
+            "matrices would balloon — use mode='posting'"
+        )
+    tok_idx = {t: i for i, t in enumerate(vocab)}
+    qids = sorted({r["qid"] for r in q_entries})
+    qid_idx = {q: i for i, q in enumerate(qids)}
+    import numpy as np
+
+    Q = np.zeros((len(qids), len(vocab)), dtype="int64")
+    for r in q_entries:
+        Q[qid_idx[r["qid"]], tok_idx[r["tok"]]] = 1
+    bc = spark.sparkContext.broadcast((qids, tok_idx, Q))
+
+    vocab_df = F.broadcast(
+        spark.createDataFrame([(t,) for t in vocab], ["tok"])
+    )
+    part = srow.join(vocab_df, "tok").repartition("doc")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("qid", qid_dtype),
+            T.StructField("doc", T.LongType()),
+            T.StructField("score_micro", T.LongType()),
+        ]
+    )
+
+    def score_partition(batches):
+        import pandas as pd
+
+        chunks = list(batches)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        qids_l, tok_idx_l, Qm = bc.value
+        docs = pdf["doc"].unique()
+        doc_pos = {d: i for i, d in enumerate(docs)}
+        S = np.zeros((len(docs), Qm.shape[1]), dtype="int64")
+        P = np.zeros_like(S)  # term presence (s_micro may be 0 yet count)
+        di = pdf["doc"].map(doc_pos).to_numpy()
+        ti = pdf["tok"].map(tok_idx_l).to_numpy()
+        S[di, ti] = pdf["s_micro"].to_numpy()
+        P[di, ti] = 1
+        # chunk the query axis so block_docs × n_q never balloons
+        out_q, out_d, out_s = [], [], []
+        k = topk
+        docs_arr = np.asarray(docs, dtype="int64")
+        for lo in range(0, Qm.shape[0], 4096):
+            Qc = Qm[lo : lo + 4096]
+            scores = S @ Qc.T  # (docs, qchunk) exact int64
+            overlap = P @ Qc.T
+            for j in range(Qc.shape[0]):
+                cand = np.nonzero(overlap[:, j])[0]
+                if cand.size == 0:
+                    continue
+                sc = scores[cand, j]
+                # local top-k under the GLOBAL order (score desc, doc asc):
+                # any global winner is in its block's top-k
+                order = np.lexsort((docs_arr[cand], -sc))[:k]
+                sel = cand[order]
+                out_q.extend([qids_l[lo + j]] * len(sel))
+                out_d.extend(docs_arr[sel].tolist())
+                out_s.extend(scores[sel, j].tolist())
+        if out_q:
+            yield pd.DataFrame(
+                {"qid": out_q, "doc": out_d, "score_micro": out_s}
+            )
+
+    return part.mapInPandas(score_partition, out_schema)
