@@ -81,6 +81,8 @@ HEADLINE = [
     "q155_pagerank",
     "q162_cdc_chunks",
     "q165_dup_span_strike",
+    "q180_contamination_frac",
+    "q182_filter_funnel",
     "z01_engine_rollup_sketch",
     "z02_engine_shift",
     "z06_engine_crosstab",

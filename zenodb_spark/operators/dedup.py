@@ -72,11 +72,32 @@ def shingle_arrays(
     Set semantics survive up to hash collisions, P ≈ n²/2⁶⁵ over n distinct
     shingles (~1e-11 at a billion shingles) — far below any oracle's
     resolution; callers that must echo shingle TEXT keep the default.
+
+    Two load-bearing physical choices:
+
+    - Empty-text docs are dropped HERE with a cheap pre-spread predicate
+      (nonempty normalized text ⟺ nonempty shingle array), so every row
+      out has ``size(shingles) > 0``. Callers must NOT re-filter on
+      ``size("shingles")``: predicate pushdown clones such a filter —
+      including the whole shingle expression — BELOW the spread exchange,
+      and the entire shingling then runs at raw-scan parallelism (a
+      single unsplittable parquet row group = 1-2 tasks; measured 40 s
+      vs 2 s on a 50k-doc single-file corpus).
+    - Shingles build from n pre-shifted array slices zipped positionally
+      (O(n) array copies per doc), NOT ``transform(idx, slice(toks, i,
+      n))`` — per-element slices evaluate interpreted and allocate per
+      shingle (measured 3.3× slower at equal parallelism). Output strings
+      are identical, including the short tail shingle for docs with
+      fewer than n tokens (concat_ws skips the nulls arrays_zip pads).
     """
-    df = spread(df)
+    df = spread(df.filter(F.length(normalize_text(text_col)) > 0))
     toks = F.split(normalize_text(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    L = F.size(toks)
+    shifted = [toks] + [
+        F.slice(toks, k + 1, F.greatest(L - k, F.lit(0))) for k in range(1, n)
+    ]
+    z = F.slice(F.arrays_zip(*shifted), 1, F.greatest(L - n, F.lit(0)) + 1)
+    sh = F.transform(z, lambda x: F.concat_ws(" ", *[x[str(k)] for k in range(n)]))
     sh = F.filter(sh, lambda s: F.length(s) > 0)
     if fingerprint:
         sh = F.transform(sh, lambda s: F.xxhash64(s))
@@ -182,7 +203,8 @@ def ngram_jaccard_pairs_prefix(
 
     arrays = (
         shingle_arrays(df, text_col, id_col, n, fingerprint=True)
-        .filter(F.size("shingles") > 0)
+        # no size-filter here: shingle_arrays guarantees nonempty arrays,
+        # and re-filtering would push the shingle expr below the exchange
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sh = arrays.select(
@@ -275,7 +297,7 @@ def cross_doc_dup_fraction(
     side combined), one shuffle join back to the postings, one groupBy(doc)
     — all linear; no pair materialization anywhere.
     """
-    arrays = shingle_arrays(df, text_col, id_col, n).filter(F.size("shingles") > 0)
+    arrays = shingle_arrays(df, text_col, id_col, n)
     sh = arrays.select("doc", F.explode("shingles").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (
@@ -329,7 +351,7 @@ def minhash_lsh_pairs(
 
     arrays = (
         shingle_arrays(df, text_col, id_col, n)
-        .filter(F.size("shingles") > 0)
+        # no size-filter here: shingle_arrays guarantees nonempty arrays
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # signatures straight off the array, NO groupBy shuffle. Hash family is
@@ -750,7 +772,8 @@ def containment_pairs(
 
     arrays = (
         shingle_arrays(df, text_col, id_col, n, fingerprint=True)
-        .filter(F.size("shingles") > 0)
+        # no size-filter here: shingle_arrays guarantees nonempty arrays,
+        # and re-filtering would push the shingle expr below the exchange
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sh = arrays.select(

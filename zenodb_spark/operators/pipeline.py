@@ -34,11 +34,11 @@ def chunk_documents(
     one narrow pass, no shuffle; output is (doc, chunk_idx, n_tokens,
     chunk_hash)."""
     toks = F.split(normalize_text(text_col), " ")
-    d = (
-        spread(df)
-        .select(F.col(id_col).alias("doc"), toks.alias("toks"))
-        .filter(F.size("toks") > 0)
-    )
+    # NOTE: no size-filter on toks — split() never returns an empty array
+    # (empty text gives [""]), so such a filter keeps every row while its
+    # pushed-down clone re-runs the whole split below the spread exchange
+    # at raw-scan parallelism (see shingle_arrays's docstring).
+    d = spread(df).select(F.col(id_col).alias("doc"), toks.alias("toks"))
     starts = F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(stride))
     d = d.select("doc", "toks", F.posexplode(starts).alias("chunk_idx", "start"))
     chunk = F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens)
@@ -98,11 +98,11 @@ def paragraph_dedup(
     reason you run dedup) produces. No self-join, no driver collect.
     """
     toks = F.split(normalize_text(text_col), " ")
-    d = (
-        spread(df)
-        .select(F.col(id_col).alias("doc"), toks.alias("toks"))
-        .filter(F.size("toks") > 0)
-    )
+    # NOTE: no size-filter on toks — split() never returns an empty array
+    # (empty text gives [""]), so such a filter keeps every row while its
+    # pushed-down clone re-runs the whole split below the spread exchange
+    # at raw-scan parallelism (see shingle_arrays's docstring).
+    d = spread(df).select(F.col(id_col).alias("doc"), toks.alias("toks"))
     starts = F.sequence(
         F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(chunk_tokens)
     )
@@ -150,19 +150,21 @@ def decontaminate(
 
     Scale shape: the benchmark's distinct n-gram set is tiny relative to
     the corpus → broadcast; the corpus side is one explode + one broadcast
-    join + one groupBy(doc). No corpus self-join, no driver collect."""
+    join + one groupBy(doc). No corpus self-join, no driver collect.
+
+    Gram construction delegates to dedup.shingles (zip-of-shifted-slices,
+    spread-parallel, empty docs dropped pre-exchange) — same strings as
+    the previous inline transform+slice form, ~3x cheaper per gram."""
+    from zenodb_spark.operators.dedup import shingles
+
     def grams(df: DataFrame) -> DataFrame:
-        toks = F.split(normalize_text(text_col), " ")
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-        arr = F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
-        return df.select(
-            F.col(id_col).alias("doc"), F.explode(arr).alias("gram")
+        return shingles(df, text_col, id_col, n).select(
+            "doc", F.col("shingle").alias("gram")
         )
 
     bench_grams = F.broadcast(grams(benchmark).select("gram").distinct())
     return (
-        grams(spread(corpus))
+        grams(corpus)
         .join(bench_grams, "gram")
         .groupBy("doc")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
@@ -193,12 +195,12 @@ def decontaminate_bloom(
     set → all-k filter → verify join (candidate-sized) → groupBy(doc).
     """
 
+    from zenodb_spark.operators.dedup import shingles
+
     def grams(df: DataFrame) -> DataFrame:
-        toks = F.split(normalize_text(text_col), " ")
-        idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-        sh = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
-        arr = F.array_distinct(F.filter(sh, lambda s: F.length(s) > 0))
-        return df.select(F.col(id_col).alias("doc"), F.explode(arr).alias("gram"))
+        return shingles(df, text_col, id_col, n).select(
+            "doc", F.col("shingle").alias("gram")
+        )
 
     positions = F.array(
         *[F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m_bits)) for i in range(k)]
@@ -207,7 +209,7 @@ def decontaminate_bloom(
     bits = bench_g.select(F.explode(positions).alias("pos")).distinct()
 
     cand = (
-        grams(spread(corpus))
+        grams(corpus)
         .select("doc", "gram", F.explode(positions).alias("pos"))
         .join(F.broadcast(bits), "pos")
         .groupBy("doc", "gram")

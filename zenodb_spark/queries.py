@@ -9613,3 +9613,289 @@ def q178_classifier_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000000.0)
         ).alias("avg_logit"),
     )
+
+
+@query(
+    "q179_domain_cap",
+    """
+    WITH r AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(count(*) - sum(CASE WHEN rn <= 15 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(sum(CASE WHEN rn <= 15 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM r GROUP BY 1
+    """,
+)
+def q179_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the C4/RefinedWeb "max docs per domain"
+    retention rule): keep the top 15 docs per source by (n_chars desc,
+    doc_id asc) — a deterministic integer ordering — and report the
+    per-source retention panel.
+
+    Scale shape: the kept side is a rank-<=15 window whose filter Spark
+    rewrites to WindowGroupLimit — every input partition prunes to 15
+    rows per source BEFORE the exchange, so a giant domain ships
+    O(15 x partitions) rows, not its whole membership; totals are a
+    separate two-phase hash aggregate (skew-safe by partial combine);
+    the two tiny per-source frames join at the end. No full-group sort
+    materializes anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.col("n_chars").desc(), "doc_id")
+    kept = (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+    tot = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return tot.join(kept, "source").select(
+        "source",
+        "n_total",
+        "n_kept",
+        (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+        "kept_chars",
+        "total_chars",
+    )
+
+
+@query(
+    "q180_contamination_frac",
+    f"""
+    WITH sh AS ({_SHINGLE5_SQL}),
+    t AS (
+      SELECT doc, shingle,
+             CAST(('0x' || substr(md5(CAST(doc AS VARCHAR)), 1, 4)) AS INTEGER)
+               % 50 = 0 AS bench
+      FROM sh
+    ),
+    bs AS (SELECT DISTINCT shingle FROM t WHERE bench),
+    ev AS (SELECT doc, shingle FROM t WHERE NOT bench)
+    SELECT ev.doc,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(sum(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hit,
+           sum(CASE WHEN bs.shingle IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE) AS contam_frac
+    FROM ev LEFT JOIN bs ON ev.shingle = bs.shingle
+    GROUP BY 1
+    """,
+)
+def q180_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRACTIONAL benchmark contamination (the GPT-3/PaLM report metric):
+    for every candidate doc, the share of its distinct 5-gram shingles
+    that appear anywhere in the held-out benchmark split (a deterministic
+    2% md5 sample of docs). Complements q46/q61's boolean decontamination:
+    this grades HOW contaminated each doc is, the number a filtering
+    threshold is actually set on.
+
+    Scale shape: shingle explode is linear; the benchmark shingle set is
+    corpus-proportional so it rides a shuffle hash join on 8-byte-ish
+    shingle keys (NOT a broadcast — at 100 TB the bench set alone exceeds
+    executor memory; Spark's runtime bloom filter prunes the probe side,
+    the same shape q61 pins explicitly). One groupBy(doc) finishes; the
+    fraction is a ratio of exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = dedup.shingles(docs, "text", "doc_id", n=5)
+    bench = (
+        F.conv(F.substring(F.md5(F.col("doc").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 50 == 0
+    )
+    t = sh.withColumn("bench", bench)
+    bs = t.filter("bench").select("shingle").distinct()
+    ev = t.filter(~F.col("bench")).select("doc", "shingle")
+    hits = ev.join(bs, "shingle").groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    tot = ev.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        tot.join(hits, "doc", "left")
+        .select(
+            "doc",
+            "n_shingles",
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("contam_frac"),
+        )
+    )
+
+
+@query(
+    "q181_shard_shuffle",
+    """
+    WITH h AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6)) AS BIGINT)
+               AS hv,
+             n_chars
+      FROM documents
+    )
+    SELECT hv % 64 AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           min(hv) AS min_h, max(hv) AS max_h
+    FROM h GROUP BY 1
+    """,
+)
+def q181_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle -> training-shard assignment: shard =
+    md5(doc_id) % 64, the engine-independent permutation a dataset writer
+    uses to break source/time ordering before sequence packing (the same
+    md5-uniform primitive as q37/q58, applied to shard routing). The
+    materializing writer is `repartition(64, shard)` +
+    `sortWithinPartitions(hv)` + parquet write — one shuffle, no global
+    sort; this query returns the verification panel (per-shard counts,
+    char mass, hash-range endpoints) that pins the permutation itself.
+
+    Balance check rides the oracle: 64 shards x exact counts — a skewed
+    or engine-dependent hash would mismatch immediately."""
+    docs = load_table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10
+    ).cast("long")
+    return (
+        docs.select(hv.alias("hv"), "n_chars")
+        .groupBy((F.col("hv") % 64).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("hv").alias("min_h"),
+            F.max("hv").alias("max_h"),
+        )
+    )
+
+
+@query(
+    "q182_filter_funnel",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             md5({NORM.format(x='text')}) AS fp,
+             list_filter(string_split({NORM.format(x='text')}, ' '),
+                         x -> len(x) > 0) AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_sym,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_dig
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, fp, len(toks) AS n_tok,
+             lang = 'en' AS p_lang,
+             lang = 'en' AND len(toks) BETWEEN 20 AND 80 AS p_len,
+             lang = 'en' AND len(toks) BETWEEN 20 AND 80
+               AND -1.5 + 3.0 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                   - 0.2 * (CAST(n_chars AS DOUBLE) / len(toks))
+                   - 4.0 * (CAST(n_sym AS DOUBLE) / n_chars)
+                   - 2.0 * (CAST(n_dig AS DOUBLE) / n_chars) > 0.0 AS p_qual
+      FROM t WHERE len(toks) > 0 AND n_chars > 0
+    ),
+    d AS (
+      SELECT f.*,
+             p_qual AND doc_id = min(CASE WHEN p_qual THEN doc_id END)
+                        OVER (PARTITION BY fp) AS p_dedup
+      FROM f
+    )
+    SELECT * FROM (
+      SELECT 'stage1_all' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d
+      UNION ALL
+      SELECT 'stage2_lang', CAST(sum(CASE WHEN p_lang THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN p_lang THEN n_tok ELSE 0 END) AS BIGINT) FROM d
+      UNION ALL
+      SELECT 'stage3_length', CAST(sum(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN p_len THEN n_tok ELSE 0 END) AS BIGINT) FROM d
+      UNION ALL
+      SELECT 'stage4_quality', CAST(sum(CASE WHEN p_qual THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN p_qual THEN n_tok ELSE 0 END) AS BIGINT) FROM d
+      UNION ALL
+      SELECT 'stage5_dedup', CAST(sum(CASE WHEN p_dedup THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(sum(CASE WHEN p_dedup THEN n_tok ELSE 0 END) AS BIGINT) FROM d
+    )
+    """,
+)
+def q182_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention funnel for a standard quality cascade — lang filter ->
+    length filter -> linear quality classifier (q160's baked model) ->
+    exact dedup (first survivor per fingerprint wins) — reporting docs
+    and token mass surviving each stage. The panel every pipeline report
+    leads with: where the corpus actually went.
+
+    Scale shape: ONE narrow codegen scan computes every per-doc flag;
+    the only shuffle is the fingerprint min-winner aggregate for the
+    dedup stage (algebraic min, map-side combined, skew-immune the same
+    way dedup_apply is); the stage rollup is a single-row aggregate
+    stacked to 5 rows — so the whole funnel costs one scan + one
+    fingerprint shuffle at any corpus size."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text("text"), " "), lambda x: F.length(x) > 0)
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.md5(normalize_text("text")).alias("fp"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9 ]", "")).alias(
+            "n_sym"
+        ),
+        F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).alias("n_dig"),
+    ).filter((F.col("n_tok") > 0) & (F.col("n_chars") > 0))
+    logit = (
+        F.lit(-1.5)
+        + F.lit(3.0) * (F.col("n_uniq").cast("double") / F.col("n_tok"))
+        - F.lit(0.2) * (F.col("n_chars").cast("double") / F.col("n_tok"))
+        - F.lit(4.0) * (F.col("n_sym").cast("double") / F.col("n_chars"))
+        - F.lit(2.0) * (F.col("n_dig").cast("double") / F.col("n_chars"))
+    )
+    f = t.select(
+        "doc_id",
+        "fp",
+        "n_tok",
+        (F.col("lang") == "en").alias("p_lang"),
+        ((F.col("lang") == "en") & F.col("n_tok").between(20, 80)).alias("p_len"),
+        (
+            (F.col("lang") == "en")
+            & F.col("n_tok").between(20, 80)
+            & (logit > 0.0)
+        ).alias("p_qual"),
+    )
+    win = f.filter("p_qual").groupBy("fp").agg(F.min("doc_id").alias("win_id"))
+    d = f.join(win, "fp", "left").withColumn(
+        "p_dedup", F.col("p_qual") & (F.col("doc_id") == F.col("win_id"))
+    )
+    one = d.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.sum("n_tok").alias("t1"),
+        F.sum(F.when(F.col("p_lang"), 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("p_lang"), F.col("n_tok")).otherwise(0)).alias("t2"),
+        F.sum(F.when(F.col("p_len"), 1).otherwise(0)).alias("n3"),
+        F.sum(F.when(F.col("p_len"), F.col("n_tok")).otherwise(0)).alias("t3"),
+        F.sum(F.when(F.col("p_qual"), 1).otherwise(0)).alias("n4"),
+        F.sum(F.when(F.col("p_qual"), F.col("n_tok")).otherwise(0)).alias("t4"),
+        F.sum(F.when(F.col("p_dedup"), 1).otherwise(0)).alias("n5"),
+        F.sum(F.when(F.col("p_dedup"), F.col("n_tok")).otherwise(0)).alias("t5"),
+    )
+    return one.select(
+        F.expr(
+            "stack(5, 'stage1_all', n1, t1, 'stage2_lang', n2, t2, "
+            "'stage3_length', n3, t3, 'stage4_quality', n4, t4, "
+            "'stage5_dedup', n5, t5) AS (stage, n_docs, n_tokens)"
+        )
+    )
