@@ -9899,3 +9899,136 @@ def q182_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'stage5_dedup', n5, t5) AS (stage, n_docs, n_tokens)"
         )
     )
+
+
+@query(
+    "q183_heaps_growth",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+               % 10 AS bkt,
+             list_filter(string_split({NORM.format(x='text')}, ' '),
+                         x -> len(x) > 0) AS toks
+      FROM documents
+      WHERE len({NORM.format(x='text')}) > 0
+    ),
+    t AS (SELECT doc_id, bkt, unnest(toks) AS tok FROM d),
+    firstb AS (SELECT tok, min(bkt) AS fb FROM t GROUP BY tok),
+    occ_b AS (SELECT bkt, count(*) AS n_occ FROM t GROUP BY bkt),
+    docs_b AS (SELECT bkt, count(*) AS n_docs FROM d GROUP BY bkt),
+    vnew AS (SELECT fb AS bkt, count(*) AS new_vocab FROM firstb GROUP BY fb)
+    SELECT o.bkt AS bucket,
+           CAST(sum(db.n_docs) OVER (ORDER BY o.bkt) AS BIGINT) AS docs_cum,
+           CAST(sum(o.n_occ) OVER (ORDER BY o.bkt) AS BIGINT) AS tokens_cum,
+           CAST(sum(coalesce(v.new_vocab, 0)) OVER (ORDER BY o.bkt) AS BIGINT)
+             AS vocab_cum
+    FROM occ_b o
+    JOIN docs_b db ON o.bkt = db.bkt
+    LEFT JOIN vnew v ON o.bkt = v.bkt
+    """,
+)
+def q183_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth panel: cumulative distinct-vocabulary,
+    token, and document counts over 10 deterministic md5 corpus slices —
+    the curve that says whether a corpus keeps yielding new types as it
+    grows (and the empirical check behind SCALE.md's note that the
+    testdata's capped vocabulary saturates where real text would not).
+
+    Scale shape: NO global ordering anywhere — the "growth axis" is the
+    md5 bucket id, so first-appearance is a token-keyed min aggregate and
+    the cumulative sums are a 10-row window. Two corpus-sized hash
+    aggregates total; doc counts come from the un-exploded side."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text("text"), " "), lambda x: F.length(x) > 0)
+    bkt = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 10
+    )
+    d = docs.filter(F.length(normalize_text("text")) > 0).select(
+        "doc_id", bkt.alias("bkt"), toks.alias("toks")
+    )
+    t = d.select("doc_id", "bkt", F.explode("toks").alias("tok"))
+    firstb = t.groupBy("tok").agg(F.min("bkt").alias("fb"))
+    occ_b = t.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_occ"))
+    docs_b = d.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_docs"))
+    vnew = firstb.groupBy(F.col("fb").alias("bkt")).agg(
+        F.count(F.lit(1)).alias("new_vocab")
+    )
+    w = Window.orderBy("bkt")
+    return (
+        occ_b.join(docs_b, "bkt")
+        .join(vnew, "bkt", "left")
+        .select(
+            F.col("bkt").alias("bucket"),
+            F.sum("n_docs").over(w).alias("docs_cum"),
+            F.sum("n_occ").over(w).alias("tokens_cum"),
+            F.sum(F.coalesce("new_vocab", F.lit(0))).over(w).alias("vocab_cum"),
+        )
+    )
+
+
+@query(
+    "q184_zipf_slope",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split({NORM.format(x='text')}, ' ')) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT source, tok, count(*) AS c FROM toks WHERE len(tok) > 0
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT source, c,
+             row_number() OVER (PARTITION BY source ORDER BY c DESC, tok) AS rnk
+      FROM freq
+    ),
+    q AS (
+      SELECT source,
+             CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+      FROM r WHERE rnk <= 100
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_ranks,
+           (CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+            / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE))
+             AS zipf_slope
+    FROM q GROUP BY 1
+    """,
+)
+def q184_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf slope: least-squares fit of ln(frequency) on
+    ln(rank) over each source's top-100 token ranks — the one-number
+    summary of token-distribution shape used to spot templated/synthetic
+    sources (natural text sits near −1; flat slopes flag boilerplate).
+
+    Determinism: ranks order on exact integers (count desc, token asc);
+    both ln() terms micro-quantize per (rank / count) BEFORE the sums, so
+    the regression sums are exact integer arithmetic with one trailing
+    IEEE division. Scale shape: the rank window partitions by source over
+    the VOCABULARY-sized frequency frame (not the corpus), then a
+    per-source 100-row aggregate."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text("text"), " "), lambda x: F.length(x) > 0)
+    t = docs.select("source", F.explode(toks).alias("tok"))
+    freq = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), "tok")
+    r = freq.select("source", "c", F.row_number().over(w).alias("rnk")).filter(
+        F.col("rnk") <= 100
+    )
+    micro = lambda col: F.floor(F.log(col.cast("double")) * F.lit(1_000_000) + F.lit(0.5)).cast("long")
+    q = r.select("source", micro(F.col("rnk")).alias("x"), micro(F.col("c")).alias("y"))
+    n = F.count(F.lit(1))
+    return q.groupBy("source").agg(
+        n.cast("long").alias("n_ranks"),
+        (
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")).cast("double")
+            / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")).cast("double")
+        ).alias("zipf_slope"),
+    )
