@@ -304,3 +304,53 @@ class TestBM25DenseRegime:
         out = retrieval.bm25_topk(docs, qs)
         rows = out.collect()
         assert {r["doc"] for r in rows} == {4, 5, 6}
+
+
+class TestShinglePlanShape:
+    """Pins for the two sf1.0 perf fixes: the shingle expression must be
+    computed exactly once, ABOVE the spread exchange (a pushed-down
+    size(shingles)>0 clone would re-run the whole shingling at raw-scan
+    parallelism), and the domain-cap rank filter must rewrite to
+    WindowGroupLimit (map-side prune before the source exchange)."""
+
+    def _executed(self, df):
+        df.count()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_shingle_expr_not_cloned_into_filters(self, spark):
+        import re
+
+        from zenodb_spark.operators.dedup import ngram_jaccard_pairs_prefix
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        out = ngram_jaccard_pairs_prefix(docs, "text", "doc_id", 3, 0.8)
+        out.count()
+        formatted = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        # the only scan-side predicate may be the cheap nonempty-norm check;
+        # a Condition containing the shingle construction means pushdown
+        # cloned the whole shingling below the spread exchange again
+        conds = re.findall(r"Condition : .*", formatted)
+        assert conds, formatted
+        offenders = [c for c in conds if "arrays_zip" in c]
+        assert not offenders, offenders
+
+    def test_shingle_arrays_guarantees_nonempty(self, spark):
+        from pyspark.sql import functions as F
+        from zenodb_spark.operators.dedup import shingle_arrays
+
+        docs = spark.createDataFrame(
+            [(1, "a b c d"), (2, "   "), (3, ""), (4, "x")],
+            ["doc_id", "text"],
+        )
+        out = shingle_arrays(docs, "text", "doc_id", 3).collect()
+        assert {r["doc"] for r in out} == {1, 4}
+        assert all(len(r["shingles"]) > 0 for r in out)
+
+    def test_domain_cap_window_group_limit(self, spark):
+        from zenodb_spark import queries as Q
+
+        df = Q.QUERIES["q179_domain_cap"](spark, "/root/testdata/sf0.01")
+        plan = self._executed(df)
+        assert "WindowGroupLimit" in plan

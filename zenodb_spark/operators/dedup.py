@@ -91,6 +91,22 @@ def shingle_arrays(
       fewer than n tokens (concat_ws skips the nulls arrays_zip pads).
     """
     df = spread(df.filter(F.length(normalize_text(text_col)) > 0))
+    sh = shingle_expr(text_col, n)
+    if fingerprint:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
+    arr = F.array_distinct(sh)
+    return df.select(F.col(id_col).alias("doc"), arr.alias("shingles"))
+
+
+def shingle_expr(text_col: Column | str, n: int) -> Column:
+    """The word n-gram shingle ARRAY expression (strings, in-text order,
+    pre-distinct): zip of n pre-shifted token-array slices + positional
+    concat_ws — one O(n)-copy pass per doc, 3.3× faster than the
+    per-element ``transform(idx, slice)`` form with identical output,
+    including the short tail shingle for docs with < n tokens (concat_ws
+    skips the nulls arrays_zip pads). Shared by shingle_arrays and
+    pipeline.decontaminate* so every gram producer stays on the fast
+    construction."""
     toks = F.split(normalize_text(text_col), " ")
     L = F.size(toks)
     shifted = [toks] + [
@@ -98,11 +114,7 @@ def shingle_arrays(
     ]
     z = F.slice(F.arrays_zip(*shifted), 1, F.greatest(L - n, F.lit(0)) + 1)
     sh = F.transform(z, lambda x: F.concat_ws(" ", *[x[str(k)] for k in range(n)]))
-    sh = F.filter(sh, lambda s: F.length(s) > 0)
-    if fingerprint:
-        sh = F.transform(sh, lambda s: F.xxhash64(s))
-    arr = F.array_distinct(sh)
-    return df.select(F.col(id_col).alias("doc"), arr.alias("shingles"))
+    return F.filter(sh, lambda s: F.length(s) > 0)
 
 
 def shingles(

@@ -152,19 +152,21 @@ def decontaminate(
     the corpus → broadcast; the corpus side is one explode + one broadcast
     join + one groupBy(doc). No corpus self-join, no driver collect.
 
-    Gram construction delegates to dedup.shingles (zip-of-shifted-slices,
-    spread-parallel, empty docs dropped pre-exchange) — same strings as
-    the previous inline transform+slice form, ~3x cheaper per gram."""
-    from zenodb_spark.operators.dedup import shingles
+    Gram construction uses dedup.shingle_expr (zip-of-shifted-slices,
+    ~3x cheaper than the per-element transform+slice form, identical
+    strings) inline — no pre-filter, no extra exchange on the small
+    benchmark side (a delegation to dedup.shingles measured 2x slower
+    here: its pre-spread predicate re-normalizes the corpus at raw-scan
+    parallelism and repartitions the tiny benchmark frame)."""
+    from zenodb_spark.operators.dedup import shingle_expr
 
     def grams(df: DataFrame) -> DataFrame:
-        return shingles(df, text_col, id_col, n).select(
-            "doc", F.col("shingle").alias("gram")
-        )
+        arr = F.array_distinct(shingle_expr(text_col, n))
+        return df.select(F.col(id_col).alias("doc"), F.explode(arr).alias("gram"))
 
     bench_grams = F.broadcast(grams(benchmark).select("gram").distinct())
     return (
-        grams(corpus)
+        grams(spread(corpus))
         .join(bench_grams, "gram")
         .groupBy("doc")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
@@ -195,12 +197,11 @@ def decontaminate_bloom(
     set → all-k filter → verify join (candidate-sized) → groupBy(doc).
     """
 
-    from zenodb_spark.operators.dedup import shingles
+    from zenodb_spark.operators.dedup import shingle_expr
 
     def grams(df: DataFrame) -> DataFrame:
-        return shingles(df, text_col, id_col, n).select(
-            "doc", F.col("shingle").alias("gram")
-        )
+        arr = F.array_distinct(shingle_expr(text_col, n))
+        return df.select(F.col(id_col).alias("doc"), F.explode(arr).alias("gram"))
 
     positions = F.array(
         *[F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m_bits)) for i in range(k)]
@@ -209,7 +210,7 @@ def decontaminate_bloom(
     bits = bench_g.select(F.explode(positions).alias("pos")).distinct()
 
     cand = (
-        grams(corpus)
+        grams(spread(corpus))
         .select("doc", "gram", F.explode(positions).alias("pos"))
         .join(F.broadcast(bits), "pos")
         .groupBy("doc", "gram")
