@@ -1,5 +1,5 @@
-"""Compare a fresh bench.py run against a recorded baseline (BENCH_r01.json
-by default): per-query ratio table, flagging >1.5x regressions.
+"""Compare a fresh bench.py run against a recorded baseline (the latest
+driver-recorded BENCH_r{NN}.json by default): per-query ratio table, flagging >1.5x regressions.
 
 Usage: python bench.py 2>/dev/null | tail -1 | python tools/bench_delta.py
    or: python tools/bench_delta.py <bench_json_file> [baseline_file]
@@ -19,7 +19,12 @@ def main() -> int:
         cur = json.loads(Path(sys.argv[1]).read_text())
     else:
         cur = json.loads(sys.stdin.read().strip().splitlines()[-1])
-    base_path = Path(sys.argv[2]) if len(sys.argv) > 2 else ROOT / "BENCH_r01.json"
+    if len(sys.argv) > 2:
+        base_path = Path(sys.argv[2])
+    else:
+        # latest driver-recorded round bench is the default baseline
+        rounds = sorted(ROOT.glob("BENCH_r[0-9][0-9].json"))
+        base_path = rounds[-1] if rounds else ROOT / "BENCH_r01.json"
     base = json.loads(base_path.read_text())
     # driver-recorded BENCH_r{N}.json wraps the bench line under "parsed"
     base = base.get("parsed", base)

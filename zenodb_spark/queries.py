@@ -10032,3 +10032,57 @@ def q184_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")).cast("double")
         ).alias("zipf_slope"),
     )
+
+
+@query(
+    "q185_stratified_sample",
+    """
+    WITH r AS (
+      SELECT source, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY source, lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+             count(*) OVER (PARTITION BY source, lang) AS n_total
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(max(n_total) AS BIGINT) AS n_total,
+           CAST(sum(CASE WHEN rn <= ceil(0.1 * n_total) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled,
+           CAST(sum(CASE WHEN rn <= ceil(0.1 * n_total) THEN n_chars ELSE 0 END)
+                AS BIGINT) AS sampled_chars
+    FROM r GROUP BY 1, 2
+    """,
+)
+def q185_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT stratified sampling: ceil(10%) of every (source, lang) stratum,
+    chosen by md5 order — unlike Bernoulli `sampleBy` (and q37's hash
+    buckets) the per-stratum count is exactly ⌈f·n⌉, and the md5 ordering
+    makes the chosen subset engine- and run-independent. The panel reports
+    per-stratum totals / sampled counts / sampled char mass.
+
+    Scale shape: one shuffle on the stratum key serves both the rank and
+    the stratum-size window (same partitioning, no second exchange); the
+    variable per-stratum cutoff means no WindowGroupLimit rewrite — for
+    constant-k caps q179 shows the map-side-pruned form. Strata are
+    (source × lang) so a single stratum is ~1/|strata| of the corpus;
+    under stratum skew the md5-rank window salts the same way q104's
+    packing windows do (documented there)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wc = Window.partitionBy("source", "lang")
+    r = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n_total"),
+    )
+    keep = F.col("rn") <= F.ceil(F.lit(0.1) * F.col("n_total"))
+    return r.groupBy("source", "lang").agg(
+        F.max("n_total").alias("n_total"),
+        F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"),
+        F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).alias("sampled_chars"),
+    )
