@@ -81,8 +81,12 @@ HEADLINE = [
     "q155_pagerank",
     "q162_cdc_chunks",
     "q165_dup_span_strike",
+    "q179_domain_cap",
     "q180_contamination_frac",
     "q182_filter_funnel",
+    "q183_heaps_growth",
+    "q184_zipf_slope",
+    "q185_stratified_sample",
     "z01_engine_rollup_sketch",
     "z02_engine_shift",
     "z06_engine_crosstab",

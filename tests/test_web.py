@@ -291,3 +291,21 @@ def test_metrics_endpoint_reports_freshness(dash):
     hw2 = json.loads(raw)["tables"]["hits2"]["high_water"]
     assert hw2 >= hw1
     assert hw2 >= E + 80  # bucketed to 10s resolution
+
+
+def test_cache_purges_expired_entries(tmp_path):
+    from zenodb_spark.web import STATUS_SUCCESS, ResultCache
+
+    rc = ResultCache(ttl=0.01, cache_dir=str(tmp_path))
+    ce = rc.begin("SELECT 1")
+    rc.succeed(ce, b"payload")
+    assert rc.by_permalink(ce.permalink) is not None or ce.expired()
+    time.sleep(0.05)
+    rc._last_purge = 0.0  # force the amortized purge window open
+    ce2 = rc.begin("SELECT 2")
+    assert ce.permalink not in rc._by_permalink
+    assert rc._by_sql.get("SELECT 1") is None
+    assert not (tmp_path / f"{ce.permalink}.gz").exists()
+    # live entries survive the purge
+    rc.succeed(ce2, b"p2")
+    assert ce2.permalink in rc._by_permalink

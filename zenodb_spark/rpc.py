@@ -32,6 +32,7 @@ batching.
 from __future__ import annotations
 
 import datetime as dt
+import hmac
 import json
 import socket
 import socketserver
@@ -98,7 +99,9 @@ class _RPCHandler(socketserver.BaseRequestHandler):
         # sends PasswordKey="pwd" in gRPC metadata and checks it per
         # stream — rpc/rpc.go:17, rpc/server/rpc_server.go:262–279; empty
         # server password = world-readable, same as the reference)
-        if self.password and first.get("pwd") != self.password:
+        if self.password and not hmac.compare_digest(
+            str(first.get("pwd") or ""), self.password
+        ):
             _send(sock, {"error": "not authorized", "end_of_results": True})
             return
         kind = first.get("type")

@@ -114,15 +114,43 @@ class ResultCache:
     disk persistence (one gzip payload file per permalink + a JSON index —
     the reference's boltdb buckets, web/cache.go:27–30)."""
 
+    PURGE_INTERVAL = 60.0
+
     def __init__(self, ttl: float = DEFAULT_CACHE_TTL, cache_dir: str | None = None):
         self.ttl = ttl
         self.cache_dir = cache_dir
         self._by_sql: dict[str, CacheEntry] = {}
         self._by_permalink: dict[str, CacheEntry] = {}
         self._lock = threading.Lock()
+        self._last_purge = time.time()
         if cache_dir:
             os.makedirs(cache_dir, exist_ok=True)
             self._load_index()
+
+    def _purge_locked(self) -> None:
+        """Evict expired entries from BOTH maps (amortized: at most once per
+        PURGE_INTERVAL) — without this a long-lived dashboard session
+        accumulates one dead entry per distinct SQL forever. Disk payloads
+        of evicted entries are removed too; pending entries are never
+        evicted (their runner still holds them)."""
+        now = time.time()
+        if now - self._last_purge < self.PURGE_INTERVAL:
+            return
+        self._last_purge = now
+        dead = [
+            ce
+            for ce in self._by_permalink.values()
+            if ce.expired() and ce.status != STATUS_PENDING
+        ]
+        for ce in dead:
+            if self._by_sql.get(ce.sql) is ce:
+                del self._by_sql[ce.sql]
+            del self._by_permalink[ce.permalink]
+            if self.cache_dir:
+                try:
+                    os.remove(self._payload_path(ce.permalink))
+                except FileNotFoundError:
+                    pass
 
     # -- disk layer ---------------------------------------------------------
     def _index_path(self) -> str:
@@ -191,6 +219,7 @@ class ResultCache:
         no-cache path, web/query.go:145–150)."""
         ce = CacheEntry(sql=sql, expires=time.time() + self.ttl)
         with self._lock:
+            self._purge_locked()
             self._by_sql[sql] = ce
             self._by_permalink[ce.permalink] = ce
         return ce
@@ -200,6 +229,7 @@ class ResultCache:
         pending ones too, so N concurrent identical queries share ONE
         execution (web/query.go:151–160)."""
         with self._lock:
+            self._purge_locked()
             ce = self._by_sql.get(sql)
             if ce is not None and not ce.expired():
                 return ce, False
