@@ -10086,3 +10086,81 @@ def q185_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(keep, 1).otherwise(0)).alias("n_sampled"),
         F.sum(F.when(keep, F.col("n_chars")).otherwise(0)).alias("sampled_chars"),
     )
+
+
+@query(
+    "q186_incremental_dedup",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             md5({NORM.format(x='text')}) AS fp,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+               % 5 = 0 AS incoming
+      FROM documents
+    ),
+    store AS (SELECT DISTINCT fp FROM d WHERE NOT incoming),
+    inc AS (
+      SELECT i.doc_id, i.fp,
+             s.fp IS NOT NULL AS dup_of_store,
+             row_number() OVER (PARTITION BY i.fp ORDER BY i.doc_id) AS rn
+      FROM (SELECT * FROM d WHERE incoming) i
+      LEFT JOIN store s ON i.fp = s.fp
+    )
+    SELECT
+      CAST(count(*) AS BIGINT) AS n_incoming,
+      CAST(sum(CASE WHEN dup_of_store THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_of_store,
+      CAST(sum(CASE WHEN NOT dup_of_store AND rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_dup_in_batch,
+      CAST(sum(CASE WHEN NOT dup_of_store AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_new
+    FROM inc
+    """,
+)
+def q186_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta) dedup — the shape every CONTINUOUSLY-growing
+    corpus pipeline runs: an incoming batch (a 20% md5 split) is deduped
+    against the already-ingested store's fingerprint set AND within
+    itself, reporting new / dup-of-store / dup-within-batch counts.
+    Complements q23/q40's whole-corpus dedup: at 100 TB you never re-scan
+    the store's text — only its fingerprint column.
+
+    Scale shape: the store side is a distinct over ONE md5 column (narrow
+    scan — at scale this is the persisted fingerprint index, not the
+    corpus); the batch joins it on fp (AQE-sided; the batch is the small
+    side and broadcasts when it fits), in-batch dups are a fingerprint
+    window over the batch only, and the report is a single-row aggregate."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.md5(normalize_text("text")).alias("fp"),
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 5 == 0
+        ).alias("incoming"),
+    )
+    store = d.filter(~F.col("incoming")).select("fp").distinct()
+    inc = (
+        d.filter("incoming")
+        .join(store.withColumnRenamed("fp", "sfp"), F.col("fp") == F.col("sfp"), "left")
+        .select(
+            "doc_id",
+            "fp",
+            F.col("sfp").isNotNull().alias("dup_of_store"),
+            F.row_number()
+            .over(Window.partitionBy("fp").orderBy("doc_id"))
+            .alias("rn"),
+        )
+    )
+    return inc.agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum(F.when(F.col("dup_of_store"), 1).otherwise(0)).alias("n_dup_of_store"),
+        F.sum(
+            F.when(~F.col("dup_of_store") & (F.col("rn") > 1), 1).otherwise(0)
+        ).alias("n_dup_in_batch"),
+        F.sum(
+            F.when(~F.col("dup_of_store") & (F.col("rn") == 1), 1).otherwise(0)
+        ).alias("n_new"),
+    )
