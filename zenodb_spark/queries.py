@@ -2611,10 +2611,11 @@ def q63_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_step(emb, ivf_centroids(64, 8, 43))
 
 
-def _bm25_oracle(k1: float = 1.5, b: float = 0.75, topk: int = 10) -> str:
+def _bm25_cte(k1: float = 1.5, b: float = 0.75) -> str:
+    """The BM25 oracle's CTE chain (corpus/query split → `ranked`), shared
+    by q64 and the q187 RRF fusion so the two oracles cannot drift."""
     n = NORM.format(x="text")
-    return f"""
-    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),
+    return f"""corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 100 <> 0),
     qs AS (SELECT doc_id AS qid, text FROM documents WHERE doc_id % 100 = 0),
     toks AS (SELECT doc_id AS doc, unnest(string_split({n}, ' ')) AS tok FROM corpus),
     tf AS (SELECT doc, tok, count(*) AS tf FROM toks WHERE len(tok) > 0 GROUP BY 1, 2),
@@ -2645,7 +2646,12 @@ def _bm25_oracle(k1: float = 1.5, b: float = 0.75, topk: int = 10) -> str:
     ranked AS (
       SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sm DESC, doc) AS rank
       FROM scored
-    )
+    )"""
+
+
+def _bm25_oracle(k1: float = 1.5, b: float = 0.75, topk: int = 10) -> str:
+    return f"""
+    WITH {_bm25_cte(k1, b)}
     SELECT qid, doc, (CAST(sm AS DOUBLE) / 1000000) AS bm25,
            CAST(rank AS BIGINT) AS rank
     FROM ranked WHERE rank <= {topk}
@@ -10163,4 +10169,139 @@ def q186_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when(~F.col("dup_of_store") & (F.col("rn") == 1), 1).otherwise(0)
         ).alias("n_new"),
+    )
+
+
+def _rrf_oracle() -> str:
+    n = NORM.format(x="text")
+    return f"""
+    WITH {_bm25_cte()},
+    t3c AS (SELECT doc_id, string_split({n}, ' ') AS t FROM corpus),
+    carr AS (
+      SELECT doc_id AS doc,
+             list_filter(list_distinct(
+               [array_to_string(t[i+1:i+3], ' ')
+                for i in range(greatest(len(t)-2, 1))]), x -> len(x) > 0) AS sh
+      FROM t3c
+    ),
+    csh AS (SELECT doc, unnest(sh) AS shingle, len(sh) AS sz FROM carr
+            WHERE len(sh) > 0),
+    t3q AS (SELECT qid, string_split({n}, ' ') AS t FROM qs),
+    qarr AS (
+      SELECT qid,
+             list_filter(list_distinct(
+               [array_to_string(t[i+1:i+3], ' ')
+                for i in range(greatest(len(t)-2, 1))]), x -> len(x) > 0) AS sh
+      FROM t3q
+    ),
+    qsh AS (SELECT qid, unnest(sh) AS shingle, len(sh) AS sz FROM qarr
+            WHERE len(sh) > 0),
+    jp AS (
+      SELECT q.qid, c.doc, count(*) AS inter,
+             max(q.sz) AS szq, max(c.sz) AS szc
+      FROM qsh q JOIN csh c USING (shingle)
+      WHERE q.qid <> c.doc
+      GROUP BY 1, 2
+    ),
+    jranked AS (
+      SELECT qid, doc,
+             row_number() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(inter AS DOUBLE) / (szq + szc - inter) DESC, doc)
+               AS jrank
+      FROM jp
+    ),
+    btop AS (SELECT qid, doc, rank AS brank FROM ranked
+             WHERE rank <= 20 AND qid <> doc),
+    jtop AS (SELECT qid, doc, jrank FROM jranked WHERE jrank <= 20),
+    fused AS (
+      SELECT coalesce(b.qid, j.qid) AS qid, coalesce(b.doc, j.doc) AS doc,
+             coalesce(CAST(floor(1000000.0 / (60 + b.brank) + 0.5) AS BIGINT), 0)
+           + coalesce(CAST(floor(1000000.0 / (60 + j.jrank) + 0.5) AS BIGINT), 0)
+               AS rrf_micro,
+             b.brank IS NOT NULL AS in_bm25, j.jrank IS NOT NULL AS in_jac
+      FROM btop b FULL OUTER JOIN jtop j ON b.qid = j.qid AND b.doc = j.doc
+    )
+    SELECT qid, doc, rrf_micro, in_bm25, in_jac,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY qid ORDER BY rrf_micro DESC, doc) AS rank
+          FROM fused)
+    WHERE rank <= 10
+    """
+
+
+@query("q187_rrf_hybrid", _rrf_oracle())
+def q187_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: BM25 top-20 and 3-gram
+    Jaccard top-20 per query, fused with RRF(60) — the standard way to
+    combine heterogeneous rankers without score calibration (Cormack et
+    al., SIGIR'09). Self-hits are struck from both rankers.
+
+    Determinism: each ranker ranks on exact integers / identical IEEE
+    doubles with a doc tie-break; the fusion score is a sum of per-rank
+    micro-quantized integers (ranks agree across engines, so the floors
+    agree exactly). Scale shape: BM25 rides the q64 posting/dense regime
+    planner; the Jaccard side is a query-vocab-bounded inverted-index
+    join (shuffle volume = Σ qshingle·df); the fusion joins two ≤20-row-
+    per-query rank lists — negligible. One full-outer join, no corpus
+    self-join."""
+    from zenodb_spark.operators.dedup import shingle_arrays
+    from zenodb_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 100 != 0)
+    qs = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("qid"), "text"
+    )
+    btop = (
+        bm25_topk(corpus, qs, topk=20)
+        .filter(F.col("qid") != F.col("doc"))
+        .select("qid", "doc", F.col("rank").alias("brank"))
+    )
+    csh = shingle_arrays(corpus, "text", "doc_id", 3, fingerprint=True).select(
+        "doc", F.explode("shingles").alias("shingle"), F.size("shingles").alias("szc")
+    )
+    qsh = shingle_arrays(qs, "text", "qid", 3, fingerprint=True).select(
+        F.col("doc").alias("qid"),
+        F.explode("shingles").alias("shingle"),
+        F.size("shingles").alias("szq"),
+    )
+    jp = (
+        qsh.join(csh, "shingle")
+        .filter(F.col("qid") != F.col("doc"))
+        .groupBy("qid", "doc")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("szq").alias("szq"),
+            F.max("szc").alias("szc"),
+        )
+    )
+    jw = Window.partitionBy("qid").orderBy(
+        (F.col("inter").cast("double") / (F.col("szq") + F.col("szc") - F.col("inter"))).desc(),
+        "doc",
+    )
+    jtop = (
+        jp.select("qid", "doc", F.row_number().over(jw).alias("jrank"))
+        .filter(F.col("jrank") <= 20)
+    )
+    rr = lambda r: F.floor(F.lit(1_000_000.0) / (F.lit(60) + r) + F.lit(0.5)).cast("long")
+    fused = (
+        btop.join(jtop, ["qid", "doc"], "full_outer")
+        .select(
+            "qid",
+            "doc",
+            (
+                F.coalesce(rr(F.col("brank")), F.lit(0))
+                + F.coalesce(rr(F.col("jrank")), F.lit(0))
+            ).alias("rrf_micro"),
+            F.col("brank").isNotNull().alias("in_bm25"),
+            F.col("jrank").isNotNull().alias("in_jac"),
+        )
+    )
+    fw = Window.partitionBy("qid").orderBy(F.col("rrf_micro").desc(), "doc")
+    return (
+        fused.withColumn("rank", F.row_number().over(fw))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "doc", "rrf_micro", "in_bm25", "in_jac", F.col("rank").cast("long").alias("rank"))
     )
