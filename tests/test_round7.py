@@ -354,3 +354,35 @@ class TestShinglePlanShape:
         df = Q.QUERIES["q179_domain_cap"](spark, "/root/testdata/sf0.01")
         plan = self._executed(df)
         assert "WindowGroupLimit" in plan
+
+
+class TestDegenerateInputs:
+    """Empty / single-row inputs must yield empty results, not crashes —
+    the states a 100 TB pipeline's per-partition filters routinely hand an
+    operator (a day with no data, a source filtered to nothing)."""
+
+    def _empty_docs(self, spark):
+        return spark.createDataFrame([], "doc_id long, text string")
+
+    def test_empty_everything(self, spark):
+        from pyspark.sql import functions as F
+
+        from zenodb_spark.operators import dedup, retrieval, similarity
+
+        empty = self._empty_docs(spark)
+        one = spark.createDataFrame([(1, "hello world foo")], "doc_id long, text string")
+        eq = empty.select(F.col("doc_id").alias("qid"), "text")
+        assert dedup.ngram_jaccard_pairs_prefix(empty, "text", "doc_id", 3, 0.8).count() == 0
+        assert dedup.exact_dedup(empty, "text", "doc_id").count() == 0
+        assert dedup.minhash_lsh_pairs(empty, "text", "doc_id").count() == 0
+        assert dedup.connected_components(
+            spark.createDataFrame([], "doc_a long, doc_b long")
+        ).count() == 0
+        assert retrieval.bm25_topk(empty, one.select(F.col("doc_id").alias("qid"), "text")).count() == 0
+        assert retrieval.bm25_topk(one, eq).count() == 0
+        # dense mode with an empty query set must not crash on schema inference
+        assert retrieval.bm25_topk(one, eq, mode="dense").count() == 0
+        assert dedup.ngram_jaccard_pairs_prefix(one, "text", "doc_id", 3, 0.8).count() == 0
+        emb_e = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        emb_1 = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+        assert similarity.cosine_topk(emb_e, emb_1, "vec_id", "embedding", k=3, dim=2).count() == 0

@@ -192,6 +192,21 @@ def _bm25_dense_topk(srow: DataFrame, qtok: DataFrame, qid_dtype, topk: int) -> 
             "matrix would not broadcast — use mode='posting'"
         )
     vocab = sorted({r["tok"] for r in q_entries})
+    if not vocab:
+        # empty query set: emit an empty frame of the output schema rather
+        # than letting createDataFrame choke on schema inference
+        from pyspark.sql import types as T
+
+        return srow.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField("qid", qid_dtype),
+                    T.StructField("doc", T.LongType()),
+                    T.StructField("score_micro", T.LongType()),
+                ]
+            ),
+        )
     if len(vocab) > DENSE_MAX_VOCAB:
         raise ValueError(
             f"bm25_topk dense mode: query vocabulary {len(vocab)} exceeds "
