@@ -87,6 +87,7 @@ HEADLINE = [
     "q183_heaps_growth",
     "q184_zipf_slope",
     "q185_stratified_sample",
+    "q187_rrf_hybrid",
     "z01_engine_rollup_sketch",
     "z02_engine_shift",
     "z06_engine_crosstab",
