@@ -309,3 +309,33 @@ def test_cache_purges_expired_entries(tmp_path):
     # live entries survive the purge
     rc.succeed(ce2, b"p2")
     assert ce2.permalink in rc._by_permalink
+
+
+def test_static_token_auth_and_index(dash):
+    # reuse the dash fixture's db but start a NEW guarded server
+    from zenodb_spark import web as W
+
+    srv, base, db = dash
+    srv2 = W.serve(db, password="s3cret")
+    try:
+        port = srv2.server_address[1]
+        b2 = f"http://127.0.0.1:{port}"
+        # no token -> 401 on every route
+        for path in ("/", "/query?sql=SELECT+1", "/metrics"):
+            req = urllib.request.Request(b2 + path)
+            try:
+                urllib.request.urlopen(req)
+                raise AssertionError("expected 401")
+            except urllib.error.HTTPError as e:
+                assert e.code == 401
+        # with token -> index served as html
+        req = urllib.request.Request(b2 + "/", headers={"X-Zeno-Auth-Token": "s3cret"})
+        with urllib.request.urlopen(req) as r:
+            assert r.status == 200
+            assert "text/html" in r.headers["Content-Type"]
+            assert b"zenodb-spark" in r.read()
+        # unguarded server still serves the index openly
+        with urllib.request.urlopen(base + "/") as r:
+            assert r.status == 200
+    finally:
+        srv2.shutdown()

@@ -476,6 +476,25 @@ def build_query_result(
 # --------------------------------------------------------------------------
 
 
+AUTH_HEADER = "X-Zeno-Auth-Token"  # reference web/auth.go:14
+
+INDEX_HTML = """<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8"><title>zenodb-spark</title></head>
+<body><h3>zenodb-spark</h3>
+<form onsubmit="run(event)"><textarea id="sql" rows="4" cols="90"
+placeholder="SELECT ..."></textarea><br><button>Run</button></form>
+<pre id="out"></pre>
+<script>
+async function run(e) {
+  e.preventDefault();
+  const sql = document.getElementById('sql').value;
+  const r = await fetch('/run?sql=' + encodeURIComponent(sql));
+  document.getElementById('out').textContent = await r.text();
+}
+</script></body></html>
+"""
+
+
 class _Handler(BaseHTTPRequestHandler):
     db: DB  # set on the subclass by serve()
     cache: ResultCache
@@ -483,9 +502,27 @@ class _Handler(BaseHTTPRequestHandler):
     short_timeout: float
     long_timeout: float
     max_response_bytes: int
+    password: str | None = None
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
+
+    def _authenticate(self) -> bool:
+        """Static-token auth (reference web/auth.go:35–41: the
+        ``X-Zeno-Auth-Token`` header checked before the OAuth fallback).
+        The reference's GitHub-OAuth cookie flow needs an external identity
+        provider and is intentionally out of scope; with no password set
+        the server is open, exactly like an OAuth-unconfigured reference
+        deployment (auth.go:29–31)."""
+        if not self.password:
+            return True
+        import hmac as _hmac
+
+        given = self.headers.get(AUTH_HEADER, "")
+        if _hmac.compare_digest(given, self.password):
+            return True
+        self._reply(401, {"error": "not authorized"})
+        return False
 
     def _reply(self, code: int, payload: dict | str, gzipped: bytes | None = None) -> None:
         if gzipped is not None:
@@ -625,6 +662,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- routing ------------------------------------------------------------
     def do_POST(self) -> None:
+        if not self._authenticate():
+            return
         url = urlparse(self.path)
         parts = [p for p in url.path.split("/") if p]
         if len(parts) == 2 and parts[0] == "insert":
@@ -640,10 +679,19 @@ class _Handler(BaseHTTPRequestHandler):
             self._reply(404, {"error": f"no route {url.path}"})
 
     def do_GET(self) -> None:
+        if not self._authenticate():
+            return
         url = urlparse(self.path)
         path = url.path.rstrip("/")
         parts = [p for p in path.split("/") if p]
-        if path == "/query":
+        if path == "":
+            body = INDEX_HTML.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+        elif path == "/query":
             qs = parse_qs(url.query)
             self._handle_query(qs.get("sql", [""])[0])
         elif path == "/run":
@@ -670,6 +718,7 @@ def serve(
     short_timeout: float = DEFAULT_SHORT_TIMEOUT,
     long_timeout: float = 3600.0,
     max_response_bytes: int = DEFAULT_MAX_RESPONSE_BYTES,
+    password: str | None = None,
 ):
     """Start the HTTP layer on a daemon thread; returns the server (its
     ``.server_address`` carries the bound port; call ``.shutdown()`` to
@@ -692,6 +741,7 @@ def serve(
             "short_timeout": short_timeout,
             "long_timeout": long_timeout,
             "max_response_bytes": max_response_bytes,
+            "password": password,
         },
     )
     srv = ThreadingHTTPServer((host, port), handler)
