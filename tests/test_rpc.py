@@ -124,3 +124,27 @@ def test_password_auth(spark):
         assert [r[fields.index("n")] for r in rows] == [3.0]
     finally:
         srv.shutdown()
+
+
+def test_cli_remote_mode(rpc, capsys):
+    """zeno-cli shape: --addr routes the query over the framed transport,
+    no local SparkSession; --porcelain drops the header."""
+    client, db = rpc
+    host, port = client._addr
+    from zenodb_spark.cli import main
+
+    # self-sufficient: seed via the transport (test selection must not
+    # depend on the insert test having run first)
+    ins = client.new_inserter("rclicks")
+    ins.insert(E + 50, {"site": "cli"}, {"n": 7.0})
+    ins.close()
+    sql = "SELECT n FROM rhits GROUP BY site ORDER BY site"
+    rc = main(["--addr", f"{host}:{port}", "--query", sql])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out[0].split("\t")[-1] == "n"  # header row present
+    assert len(out) > 1
+    rc = main(["--addr", f"{host}:{port}", "--porcelain", "--query", sql])
+    assert rc == 0
+    out2 = capsys.readouterr().out.strip().splitlines()
+    assert len(out2) == len(out) - 1  # no header

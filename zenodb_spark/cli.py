@@ -7,9 +7,17 @@ Usage:
     python -m zenodb_spark.cli --schema schema.yaml [--workdir DIR] \
         [--insert STREAM=points.parquet ...] \
         [--query "SELECT …"] [--timeout SECONDS]
+    python -m zenodb_spark.cli --addr HOST:PORT [--password PWD] \
+        [--porcelain] --query "SELECT …"
 
 With no --query, reads SQL statements from stdin (one per line; blank line
 or EOF exits) — the REPL mode. Results print as Spark's show() table.
+
+``--addr`` switches to REMOTE-CLIENT mode (the reference zeno-cli shape:
+-addr/-password/-porcelain, cmd/zeno-cli/zeno-cli.go:39–46): the SQL runs
+on a server started with ``rpc.serve_rpc`` and rows stream back over the
+framed transport — no local SparkSession is created. ``--porcelain``
+prints tab-separated rows with no header, for machine consumption.
 """
 
 from __future__ import annotations
@@ -20,7 +28,12 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="zenodb-spark", description=__doc__)
-    ap.add_argument("--schema", required=True, help="schema YAML file (table name → {sql, …})")
+    ap.add_argument("--schema", default=None, help="schema YAML file (table name → {sql, …})")
+    ap.add_argument("--addr", default=None, metavar="HOST:PORT",
+                    help="remote-client mode: run queries on an rpc.serve_rpc server")
+    ap.add_argument("--password", default=None, help="remote-client auth token")
+    ap.add_argument("--porcelain", action="store_true",
+                    help="machine-readable output: tab-separated, no header")
     ap.add_argument("--workdir", default=None, help="persistent table store directory")
     ap.add_argument(
         "--insert",
@@ -34,6 +47,11 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--timeout", type=float, default=60.0, help="per-query timeout seconds (reference CLI default 1m)")
     ap.add_argument("--rows", type=int, default=100, help="max rows to display")
     args = ap.parse_args(argv)
+
+    if args.addr:
+        return _remote_main(ap, args)
+    if not args.schema:
+        ap.error("--schema is required (or use --addr for remote-client mode)")
 
     from zenodb_spark.engine import DB
     from zenodb_spark.session import get_spark
@@ -87,3 +105,40 @@ def main(argv: list[str] | None = None) -> int:
 
 if __name__ == "__main__":
     sys.exit(main())
+
+
+def _remote_main(ap, args) -> int:
+    from zenodb_spark.rpc import Client
+
+    host, _, port = args.addr.rpartition(":")
+    if not port.isdigit():
+        ap.error(f"--addr expects HOST:PORT, got {args.addr!r}")
+    client = Client(host or "127.0.0.1", int(port),
+                    timeout=args.timeout, password=args.password)
+
+    def run(sql: str) -> None:
+        fields, rows = client.query(sql)
+        if args.porcelain:
+            for r in rows:
+                print("\t".join("" if v is None else str(v) for v in r))
+        else:
+            print("\t".join(fields))
+            n = 0
+            for r in rows:
+                print("\t".join("" if v is None else str(v) for v in r))
+                n += 1
+                if n >= args.rows:
+                    break
+
+    if args.query is not None:
+        run(args.query)
+        return 0
+    for line in sys.stdin:
+        sql = line.strip()
+        if not sql:
+            break
+        try:
+            run(sql)
+        except Exception as e:
+            print(f"error: {e}", file=sys.stderr)
+    return 0
