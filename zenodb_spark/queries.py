@@ -10305,3 +10305,506 @@ def q187_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("qid", "doc", "rrf_micro", "in_bm25", "in_jac", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation panels (round-4 continuation): rule filters, dedup
+# diagnostics, index tuning, distribution tests
+# ---------------------------------------------------------------------------
+
+_NT = NORM.format(x="text")
+
+
+@query(
+    "q188_gopher_rules",
+    f"""
+    WITH f AS (
+      SELECT source,
+             len(string_split({_NT}, ' ')) AS n,
+             len(list_distinct(string_split({_NT}, ' '))) AS nu,
+             length(replace({_NT}, ' ', '')) AS chars,
+             len(list_filter(string_split({_NT}, ' '),
+                 t -> t = 'the' OR t = 'and' OR t = 'of' OR t = 'to' OR t = 'a')) AS stop_cnt
+      FROM documents
+    ), flags AS (
+      SELECT source, u.rule AS rule, u.fail AS fail FROM (
+        SELECT source, unnest([
+          {{'rule': 'too_short',     'fail': n < 30}},
+          {{'rule': 'too_long',      'fail': n > 90}},
+          {{'rule': 'mean_word_len', 'fail': chars * 10 < 38 * n OR chars * 10 > 45 * n}},
+          {{'rule': 'low_stopword',  'fail': stop_cnt < 2}},
+          {{'rule': 'low_diversity', 'fail': 5 * nu < 2 * n}}
+        ]) AS u FROM f
+      )
+    )
+    SELECT source, rule,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN fail THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+           sum(CASE WHEN fail THEN 1 ELSE 0 END) / count(*) AS frac_fail
+    FROM flags GROUP BY 1, 2
+    """,
+)
+def q188_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule panel (Rae et al. 2021 §A1 adapted to this
+    corpus's word-salad text): per (source, rule), how many documents each
+    retention rule would reject. Rules are pure integer predicates (word
+    count bounds, mean word length via chars*10 vs bounds*n cross-multiply,
+    stopword floor, type-token-ratio floor) so both engines agree exactly.
+
+    Scale shape: ONE codegen scan computes every flag in-row, a 5-element
+    struct explode stacks the panel (5 rows/doc, no joins), one hash
+    aggregate — the same single-pass shape as q182's funnel."""
+    docs = load_table(spark, sf_dir, "documents")
+    from zenodb_spark.operators.dedup import normalize_text
+
+    norm = normalize_text("text")
+    toks = F.split(norm, " ")
+    stopc = F.size(
+        F.filter(
+            toks,
+            lambda t: (t == "the") | (t == "and") | (t == "of") | (t == "to") | (t == "a"),
+        )
+    )
+    base = docs.select(
+        "source",
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("nu"),
+        F.length(F.replace(norm, F.lit(" "), F.lit(""))).alias("chars"),
+        stopc.alias("stop_cnt"),
+    )
+    rules = F.array(
+        F.struct(F.lit("too_short").alias("rule"), (F.col("n") < 30).alias("fail")),
+        F.struct(F.lit("too_long").alias("rule"), (F.col("n") > 90).alias("fail")),
+        F.struct(
+            F.lit("mean_word_len").alias("rule"),
+            (
+                (F.col("chars") * 10 < 38 * F.col("n"))
+                | (F.col("chars") * 10 > 45 * F.col("n"))
+            ).alias("fail"),
+        ),
+        F.struct(F.lit("low_stopword").alias("rule"), (F.col("stop_cnt") < 2).alias("fail")),
+        F.struct(
+            F.lit("low_diversity").alias("rule"),
+            (5 * F.col("nu") < 2 * F.col("n")).alias("fail"),
+        ),
+    )
+    flags = base.select("source", F.explode(rules).alias("r")).select(
+        "source", F.col("r.rule").alias("rule"), F.col("r.fail").alias("fail")
+    )
+    return (
+        flags.groupBy("source", "rule")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("fail"), 1).otherwise(0)).alias("n_fail"),
+        )
+        .withColumn("frac_fail", F.col("n_fail") / F.col("n_docs"))
+    )
+
+
+@query(
+    "q189_cluster_size_dist",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.2
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc
+    ),
+    labs AS (SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY 1),
+    pc AS (SELECT cluster_id, count(*) AS sz FROM labs GROUP BY 1),
+    hist AS (
+      SELECT CAST(sz AS BIGINT) AS cluster_size,
+             CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(sz) AS BIGINT) AS n_docs
+      FROM pc GROUP BY 1
+    )
+    SELECT * FROM hist
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(count(*) AS BIGINT), CAST(count(*) AS BIGINT)
+    FROM documents WHERE doc_id NOT IN (SELECT doc FROM labs)
+    """,
+)
+def q189_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the curation dashboard's
+    "how duplicated is this corpus" histogram (cluster_size → number of
+    clusters, documents covered), singletons included as size 1. The
+    interesting read-outs: mass in big clusters = boilerplate/mirror
+    candidates; singleton fraction = effective corpus size after dedup.
+
+    Scale shape: rides q47's lossless prefix-join edges + O(log n)
+    large-star/small-star components; the histogram itself is two hash
+    aggregates over (docs-in-pairs) rows, and the singleton row is one
+    broadcast-able anti-join count. Oracle recomputes components with a
+    recursive reachability CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    cl = dedup.dedup_clusters(docs, "text", "doc_id", n=3, threshold=0.2)
+    per_cluster = cl.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    hist = per_cluster.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"), F.sum("sz").cast("long").alias("n_docs")
+    )
+    singles = (
+        docs.join(cl.select(F.col("doc").alias("doc_id")), "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            F.col("n").alias("n_clusters"),
+            F.col("n").alias("n_docs"),
+        )
+    )
+    return hist.unionByName(singles)
+
+
+def _lsh_band_oracle(num_hashes: int = 16, configs=((16, 1), (8, 2), (4, 4))) -> str:
+    mins = ", ".join(
+        f"min(md5(concat('{i}|', shingle))) AS h{i}" for i in range(num_hashes)
+    )
+    structs = []
+    for bands, r in configs:
+        for b in range(bands):
+            hs = ", ".join(f"h{b * r + i}" for i in range(r))
+            structs.append(
+                f"{{'bands': {bands}, 'bucket': concat_ws('|', '{b}', {hs})}}"
+            )
+    arr = "[" + ", ".join(structs) + "]"
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+    buckets AS (
+      SELECT doc, u.bands AS bands, u.bucket AS bucket FROM (
+        SELECT doc, unnest({arr}) AS u FROM sig
+      )
+    ),
+    cands AS (
+      SELECT DISTINCT a.bands AS bands, a.doc AS doc_a, b.doc AS doc_b
+      FROM buckets a JOIN buckets b
+        ON a.bucket = b.bucket AND a.bands = b.bands AND a.doc < b.doc
+    ),
+    lists AS (SELECT doc, list(shingle) AS ls, count(*) AS sz FROM sh GROUP BY doc),
+    ver AS (
+      SELECT c.bands, count(*) AS n_verified
+      FROM cands c JOIN lists la ON la.doc = c.doc_a JOIN lists lb ON lb.doc = c.doc_b
+      WHERE len(list_intersect(la.ls, lb.ls))
+            / (la.sz + lb.sz - len(list_intersect(la.ls, lb.ls))) >= 0.5
+      GROUP BY 1
+    ),
+    cc AS (SELECT bands, count(*) AS n_candidates FROM cands GROUP BY 1)
+    SELECT CAST(cc.bands AS BIGINT) AS bands,
+           CAST(cc.n_candidates AS BIGINT) AS n_candidates,
+           CAST(coalesce(ver.n_verified, 0) AS BIGINT) AS n_verified,
+           coalesce(ver.n_verified, 0) / cc.n_candidates AS precision_at_band
+    FROM cc LEFT JOIN ver USING (bands)
+    """
+
+
+@query("q190_lsh_band_panel", _lsh_band_oracle())
+def q190_lsh_band_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-tuning panel: for banding configs (16×1, 8×2, 4×4) over the
+    SAME 16 MinHash functions, the candidate-pair volume and how many
+    candidates verify at Jaccard ≥ 0.5 — the s-curve trade every LSH
+    deployment tunes (more rows/band = fewer, higher-precision candidates).
+    MinHashes are deterministic (lexicographic min of md5('{i}|'+shingle)),
+    so the panel is an exact oracle-checked outcome, not a probability.
+
+    Scale shape: signatures are ONE groupBy over exploded shingles (16 min
+    aggregates); each config's buckets explode from the signature row
+    (28 rows/doc total); candidates come from per-bucket self-joins whose
+    hot buckets are bounded (equal bands ⇒ near-identical docs); exact
+    verification joins candidate pairs to the persisted per-doc shingle
+    arrays — the q25 verify shape, never an all-pairs pass."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    arrays = dedup.shingle_arrays(docs, "text", "doc_id", 3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh = arrays.select("doc", F.explode("shingles").alias("shingle"))
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    band_structs = []
+    for bands, r in ((16, 1), (8, 2), (4, 4)):
+        for b in range(bands):
+            cols = [F.col(f"h{b * r + i}") for i in range(r)]
+            band_structs.append(
+                F.struct(
+                    F.lit(bands).cast("long").alias("bands"),
+                    F.concat_ws("|", F.lit(str(b)), *cols).alias("bucket"),
+                )
+            )
+    buckets = sig.select("doc", F.explode(F.array(*band_structs)).alias("u")).select(
+        "doc", F.col("u.bands").alias("bands"), F.col("u.bucket").alias("bucket")
+    )
+    cands = (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["bands", "bucket"])
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select("bands", F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sets_a = arrays.select(
+        F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"), F.size("shingles").alias("sz_a")
+    )
+    sets_b = arrays.select(
+        F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"), F.size("shingles").alias("sz_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    ver = (
+        cands.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("jaccard", inter / (F.col("sz_a") + F.col("sz_b") - inter))
+        .filter(F.col("jaccard") >= 0.5)
+        .groupBy("bands")
+        .agg(F.count(F.lit(1)).alias("n_verified"))
+    )
+    cc = cands.groupBy("bands").agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        cc.join(ver, "bands", "left")
+        .select(
+            "bands",
+            "n_candidates",
+            F.coalesce(F.col("n_verified"), F.lit(0)).cast("long").alias("n_verified"),
+            (
+                F.coalesce(F.col("n_verified"), F.lit(0)) / F.col("n_candidates")
+            ).alias("precision_at_band"),
+        )
+    )
+
+
+@query(
+    "q191_dedup_survivorship",
+    f"""
+    WITH d AS (
+      SELECT source, doc_id,
+             len(string_split({_NT}, ' ')) AS n,
+             len(list_distinct(string_split({_NT}, ' '))) AS nu,
+             min(doc_id) OVER (PARTITION BY md5({_NT})) AS keeper
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(n) AS BIGINT) AS sum_words,
+           CAST(sum(CASE WHEN doc_id = keeper THEN n ELSE 0 END) AS BIGINT) AS sum_words_kept,
+           sum(nu) / sum(n) AS uniq_frac_all,
+           CASE WHEN sum(CASE WHEN doc_id = keeper THEN n ELSE 0 END) = 0 THEN 0.0
+                ELSE sum(CASE WHEN doc_id = keeper THEN nu ELSE 0 END)
+                     / sum(CASE WHEN doc_id = keeper THEN n ELSE 0 END) END AS uniq_frac_kept
+    FROM d GROUP BY 1
+    """,
+)
+def q191_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship panel: per source, document/token mass before vs
+    after global exact dedup (keep-first by doc id over the normalized-text
+    fingerprint) plus the lexical-diversity shift — the before/after table a
+    curation report leads with, and the check that dedup didn't silently
+    fall hardest on one feed.
+
+    Scale shape: one md5-keyed window (the exact-dedup shuffle, same as
+    q23) then one per-source hash aggregate; zero joins. The keeper rule is
+    cross-source (a doc duplicated across feeds survives only where it
+    first appeared), which is why n_kept can legitimately hit 0 for a feed
+    — the guarded ratio keeps that case exact in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    from zenodb_spark.operators.dedup import normalize_text
+
+    norm = normalize_text("text")
+    toks = F.split(norm, " ")
+    w = Window.partitionBy(F.md5(norm))
+    d = docs.select(
+        "source",
+        "doc_id",
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("nu"),
+        F.min("doc_id").over(w).alias("keeper"),
+    )
+    kept = F.col("doc_id") == F.col("keeper")
+    agg = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum("n").cast("long").alias("sum_words"),
+        F.sum(F.when(kept, F.col("n")).otherwise(0)).cast("long").alias("sum_words_kept"),
+        F.sum("nu").alias("_sum_nu"),
+        F.sum(F.when(kept, F.col("nu")).otherwise(0)).alias("_sum_nu_kept"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "sum_words",
+        "sum_words_kept",
+        (F.col("_sum_nu") / F.col("sum_words")).alias("uniq_frac_all"),
+        F.when(F.col("sum_words_kept") == 0, F.lit(0.0))
+        .otherwise(F.col("_sum_nu_kept") / F.col("sum_words_kept"))
+        .alias("uniq_frac_kept"),
+    )
+
+
+@query(
+    "q192_length_ks",
+    f"""
+    WITH d AS (SELECT source, len(string_split({_NT}, ' ')) AS l FROM documents),
+    c1 AS (SELECT source, l, count(*) AS c FROM d GROUP BY 1, 2),
+    lens AS (SELECT DISTINCT l FROM d),
+    srcs AS (SELECT source, count(*) AS n1 FROM d GROUP BY 1),
+    tot AS (SELECT l, count(*) AS ct FROM d GROUP BY 1),
+    n AS (SELECT count(*) AS nn FROM d),
+    grid AS (SELECT s.source, s.n1, le.l FROM srcs s CROSS JOIN lens le),
+    j AS (
+      SELECT g.source, g.n1, g.l, coalesce(c1.c, 0) AS c, t.ct
+      FROM grid g
+      LEFT JOIN c1 ON c1.source = g.source AND c1.l = g.l
+      JOIN tot t ON t.l = g.l
+    ),
+    cums AS (
+      SELECT source, n1, l,
+             sum(c) OVER (PARTITION BY source ORDER BY l) AS cum1,
+             sum(ct) OVER (PARTITION BY source ORDER BY l) AS cumt
+      FROM j
+    ),
+    ksx AS (
+      SELECT source,
+             max(abs(cum1 * ((SELECT nn FROM n) - n1) - (cumt - cum1) * n1)) AS dint,
+             max(n1) AS n1
+      FROM cums GROUP BY source
+    )
+    SELECT source, CAST(n1 AS BIGINT) AS n_docs,
+           dint / (n1 * ((SELECT nn FROM n) - n1)) AS ks
+    FROM ksx
+    """,
+)
+def q192_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source two-sample Kolmogorov–Smirnov statistic of the document
+    word-length distribution vs the REST of the corpus — the drift test
+    that flags a feed whose length profile diverges (truncation bugs,
+    boilerplate floods) before it skews training. Exact, not asymptotic:
+    D = max_x |F_src(x) − F_rest(x)| computed as integer cross-products
+    max |cum1·n2 − cum2·n1| with ONE trailing division, so both engines
+    emit the identical double.
+
+    Scale shape: lengths live in a bounded value domain, so the CDF grid is
+    (sources × distinct lengths) — a broadcast cross of two tiny aggregates,
+    NOT a corpus-sized structure; cumulative sums are per-source windows
+    over that grid. Overflow-safe to ~3e9 docs (cum·n ≤ N² < 2⁶³)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from zenodb_spark.operators.dedup import normalize_text
+
+    d = docs.select(
+        "source", F.size(F.split(normalize_text("text"), " ")).alias("l")
+    )
+    c1 = d.groupBy("source", "l").agg(F.count(F.lit(1)).alias("c"))
+    srcs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n1"))
+    lens = d.select("l").distinct()
+    tot = d.groupBy("l").agg(F.count(F.lit(1)).alias("ct"))
+    nn = d.agg(F.count(F.lit(1)).alias("nn"))
+    grid = lens.crossJoin(F.broadcast(srcs))
+    j = (
+        grid.join(c1, ["source", "l"], "left")
+        .join(tot, "l")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    wc = (
+        Window.partitionBy("source")
+        .orderBy("l")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = j.select(
+        "source",
+        "n1",
+        F.sum("c").over(wc).alias("cum1"),
+        F.sum("ct").over(wc).alias("cumt"),
+    )
+    ks = (
+        cums.crossJoin(F.broadcast(nn))
+        .groupBy("source")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cum1") * (F.col("nn") - F.col("n1"))
+                    - (F.col("cumt") - F.col("cum1")) * F.col("n1")
+                )
+            ).alias("dint"),
+            F.max("n1").alias("n1"),
+            F.max("nn").alias("nn"),
+        )
+    )
+    return ks.select(
+        "source",
+        F.col("n1").cast("long").alias("n_docs"),
+        (F.col("dint") / (F.col("n1") * (F.col("nn") - F.col("n1")))).alias("ks"),
+    )
+
+
+@query(
+    "q193_vocab_coverage",
+    f"""
+    WITH t AS (
+      SELECT lang, unnest(string_split({_NT}, ' ')) AS tok FROM documents
+    ), cnt AS (SELECT lang, tok, count(*) AS c FROM t GROUP BY 1, 2),
+    ranked AS (
+      SELECT lang, c,
+             row_number() OVER (PARTITION BY lang ORDER BY c DESC, tok) AS rnk
+      FROM cnt
+    ),
+    tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS total_tokens FROM cnt GROUP BY 1),
+    st AS (
+      SELECT lang, k, CAST(sum(c) AS BIGINT) AS covered_tokens
+      FROM ranked, unnest([1, 5, 25]) AS u(k) WHERE rnk <= k GROUP BY 1, 2
+    )
+    SELECT st.lang, CAST(k AS BIGINT) AS k, covered_tokens, total_tokens,
+           covered_tokens / total_tokens AS coverage
+    FROM st JOIN tot USING (lang)
+    """,
+)
+def q193_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary tail-mass panel: per language, the fraction of total
+    token mass covered by the top-1 / top-5 / top-25 most frequent tokens
+    (count-desc, token tie-break) — the coverage curve that sizes a BPE
+    vocabulary and exposes low-diversity feeds (high head mass ⇒
+    templated text).
+
+    Scale shape: one (lang, token) hash aggregate over exploded tokens;
+    ranking windows run over the VOCABULARY-sized frame (like q184's Zipf
+    slope), never the corpus; the k-explode fans out vocab rows only.
+    Integer token masses, one trailing division."""
+    docs = load_table(spark, sf_dir, "documents")
+    from zenodb_spark.operators.dedup import normalize_text
+
+    t = docs.select(
+        "lang", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    )
+    cnt = t.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("lang").orderBy(F.col("c").desc(), "tok")
+    ranked = cnt.select("lang", "c", F.row_number().over(w).alias("rnk"))
+    tot = cnt.groupBy("lang").agg(F.sum("c").cast("long").alias("total_tokens"))
+    st = (
+        ranked.select(
+            "lang",
+            "c",
+            "rnk",
+            F.explode(F.array(F.lit(1), F.lit(5), F.lit(25))).alias("k"),
+        )
+        .filter(F.col("rnk") <= F.col("k"))
+        .groupBy("lang", "k")
+        .agg(F.sum("c").cast("long").alias("covered_tokens"))
+    )
+    return st.join(tot, "lang").select(
+        "lang",
+        F.col("k").cast("long").alias("k"),
+        "covered_tokens",
+        "total_tokens",
+        (F.col("covered_tokens") / F.col("total_tokens")).alias("coverage"),
+    )
