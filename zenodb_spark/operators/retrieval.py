@@ -73,6 +73,17 @@ def bm25_topk(
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)
     tf = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    if mode == "auto":
+        # the auto planner's volume estimate is a SEPARATE action whose
+        # df_t subtree would recompute the whole corpus tokenization that
+        # the scoring action then computes again (within ONE action
+        # Catalyst's ReusedExchange dedupes the tf shuffle; across actions
+        # nothing does — measured ~1.7× on q64 at sf0.1). A lazy
+        # localCheckpoint materializes tf once, on the estimate action,
+        # and the scoring action reads the checkpointed blocks; blocks are
+        # released by the ContextCleaner when the frame is collected, so
+        # no CacheManager pin leaks from this lazily-consumed helper.
+        tf = tf.localCheckpoint(eager=False)
     dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -10808,3 +10808,276 @@ def q193_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         (F.col("covered_tokens") / F.col("total_tokens")).alias("coverage"),
     )
+
+
+@query(
+    "q194_crosslang_leakage",
+    f"""
+    WITH sh AS (
+      SELECT DISTINCT lang, shingle FROM (
+        SELECT lang, unnest(list_distinct(
+          [array_to_string(t[i+1:i+3], ' ') for i in range(greatest(len(t)-2, 1))]
+        )) AS shingle
+        FROM (SELECT lang, string_split({_NT}, ' ') AS t FROM documents)
+      ) WHERE len(shingle) > 0
+    )
+    SELECT a.lang AS lang_a, b.lang AS lang_b,
+           CAST(count(*) AS BIGINT) AS n_shared_shingles
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.lang < b.lang
+    GROUP BY 1, 2
+    """,
+)
+def q194_crosslang_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual contamination matrix: distinct 3-gram shingles shared
+    between each language pair — the signal that a "monolingual" slice is
+    leaking another language's text (mislabeled langid, code-switching,
+    boilerplate). Companion to q73's source×source paragraph matrix at the
+    finer shingle grain.
+
+    Scale shape: ONE aggregate collects each shingle's language SET (set
+    size bounded by #languages, not corpus size), pairs explode from that
+    tiny per-shingle array — never a self-join of the posting table (the
+    oracle does the quadratic self-join; the Spark side is the linear
+    set-based form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        dedup.shingle_arrays(docs, "text", "lang", 3)
+        .select(F.col("doc").alias("lang"), F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    sets = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("lang")).alias("langs")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "langs",
+                    lambda x, i: F.transform(
+                        F.slice(F.col("langs"), i + 2, F.size("langs")),
+                        lambda y: F.struct(x.alias("lang_a"), y.alias("lang_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select("p.lang_a", "p.lang_b")
+    return pairs.groupBy("lang_a", "lang_b").agg(
+        F.count(F.lit(1)).alias("n_shared_shingles")
+    )
+
+
+def _minhash_calib_oracle(num_hashes: int = 16) -> str:
+    mins = ", ".join(
+        f"min(md5(concat('{i}|', shingle))) AS h{i}" for i in range(num_hashes)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, i / (sa.sz + sb.sz - i) AS jaccard FROM inter
+      JOIN sizes sa ON sa.doc = doc_a
+      JOIN sizes sb ON sb.doc = doc_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    ),
+    sig AS (SELECT doc, {mins} FROM sh GROUP BY doc)
+    SELECT doc_a, doc_b, jaccard,
+           CAST({matches} AS BIGINT) AS n_match,
+           CAST({matches} AS BIGINT) / {num_hashes} AS est_jaccard
+    FROM pairs
+    JOIN sig sa ON sa.doc = doc_a
+    JOIN sig sb ON sb.doc = doc_b
+    """
+
+
+@query("q195_minhash_calibration", _minhash_calib_oracle())
+def q195_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator calibration: for every true near-dup pair
+    (Jaccard ≥ 0.5), the exact Jaccard next to the 16-hash MinHash estimate
+    (matching-signature fraction) — the sketch-quality audit that tells you
+    whether 16 hashes suffice before you trust banding thresholds at scale.
+    Deterministic hash family (min of md5('{{i}}|'+shingle)) makes the
+    estimate an exact oracle-checked value, not a sample.
+
+    Scale shape: pairs ride the lossless LSH path (q25); signatures are one
+    groupBy with 16 min aggregates; the estimate joins two vocabulary-thin
+    signature rows per pair — output-sized work after the pair join."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5, num_hashes=16, bands=8
+    )
+    sh = dedup.shingles(docs, "text", "doc_id", 3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    sa = sig.select(
+        F.col("doc").alias("doc_a"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)]
+    )
+    sb = sig.select(
+        F.col("doc").alias("doc_b"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)]
+    )
+    n_match = sum(
+        [
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(1, 16)
+        ],
+        start=F.when(F.col("a0") == F.col("b0"), 1).otherwise(0),
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            n_match.cast("long").alias("n_match"),
+            (n_match.cast("long") / F.lit(16)).alias("est_jaccard"),
+        )
+    )
+
+
+@query(
+    "q196_source_lang_chi2",
+    """
+    WITH o AS (SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+    r AS (SELECT source, sum(o) AS r FROM o GROUP BY 1),
+    c AS (SELECT lang, sum(o) AS c FROM o GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM o),
+    grid AS (SELECT r.source, r.r, c.lang, c.c FROM r CROSS JOIN c),
+    cells AS (
+      SELECT g.source, g.lang,
+             CAST(floor(
+               (CAST(coalesce(o.o, 0) * (SELECT n FROM n) - g.r * g.c AS DOUBLE)
+                * CAST(coalesce(o.o, 0) * (SELECT n FROM n) - g.r * g.c AS DOUBLE))
+               / (CAST((SELECT n FROM n) AS DOUBLE) * CAST(g.r AS DOUBLE) * CAST(g.c AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS term_micro
+      FROM grid g LEFT JOIN o ON o.source = g.source AND o.lang = g.lang
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_cells,
+           sum(term_micro) / 1000000.0 AS chi2_contrib
+    FROM cells GROUP BY 1
+    """,
+)
+def q196_source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence panel for the source × lang
+    contingency table (zero cells included via the full grid): per source,
+    its contribution Σ_lang (O−E)²/E — the mixture-QA test that flags a
+    feed whose language mix diverges from the corpus marginals (cf. q177's
+    IPF, which FIXES marginals; this DETECTS the divergence).
+
+    Determinism: each cell term is computed as ((O·N − R·C)ᵈ)²/(N·R·C)ᵈ —
+    exact integers into a fixed IEEE sequence — then micro-quantized per
+    cell before the per-source integer sum (the ln() policy). Overflow-safe
+    to ~3e9 docs (O·N, R·C < 2⁶³). Scale shape: three tiny aggregates and a
+    broadcast grid; nothing corpus-sized past the first count."""
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    r = o.groupBy("source").agg(F.sum("o").alias("r"))
+    c = o.groupBy("lang").agg(F.sum("o").alias("c"))
+    n = o.agg(F.sum("o").alias("n"))
+    grid = r.crossJoin(F.broadcast(c))
+    diff = (
+        F.coalesce(F.col("o"), F.lit(0)) * F.col("n") - F.col("r") * F.col("c")
+    ).cast("double")
+    term = (
+        diff
+        * diff
+        / (
+            F.col("n").cast("double")
+            * F.col("r").cast("double")
+            * F.col("c").cast("double")
+        )
+    )
+    cells = (
+        grid.join(o, ["source", "lang"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            F.floor(term * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("term_micro"),
+        )
+    )
+    return cells.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        (F.sum("term_micro") / F.lit(1000000.0)).alias("chi2_contrib"),
+    )
+
+
+@query(
+    "q197_hapax_rate",
+    f"""
+    WITH t AS (
+      SELECT source, unnest(string_split({_NT}, ' ')) AS tok FROM documents
+    ), cnt AS (SELECT source, tok, count(*) AS c FROM t GROUP BY 1, 2)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_vocab,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / count(*) AS hapax_rate
+    FROM cnt GROUP BY 1
+    """,
+)
+def q197_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomenon rate per source: the share of each feed's vocabulary
+    occurring exactly once — the classic lexical-richness signal (low rate
+    = templated/repetitive feed; used next to q183's Heaps curve when
+    sizing tokenizers). One (source, token) hash aggregate, one per-source
+    rollup; integer ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    from zenodb_spark.operators.dedup import normalize_text
+
+    t = docs.select(
+        "source", F.explode(F.split(normalize_text("text"), " ")).alias("tok")
+    )
+    cnt = t.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_vocab"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        (
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)) / F.count(F.lit(1))
+        ).alias("hapax_rate"),
+    )
+
+
+@query(
+    "q198_opening_templates",
+    f"""
+    WITH t AS (
+      SELECT array_to_string(string_split({_NT}, ' ')[1:3], ' ') AS opener
+      FROM documents
+    ),
+    cnt AS (SELECT opener, CAST(count(*) AS BIGINT) AS n_docs FROM t GROUP BY 1),
+    rk AS (
+      SELECT opener, n_docs,
+             row_number() OVER (ORDER BY n_docs DESC, opener) AS rank
+      FROM cnt
+    )
+    SELECT opener, n_docs, CAST(rank AS BIGINT) AS rank FROM rk WHERE rank <= 10
+    """,
+)
+def q198_opening_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 document openers (first 3 normalized words): the template /
+    boilerplate-prefix detector — crawled corpora show cookie banners and
+    nav headers here long before full-document dedup notices them.
+    Companion to q147's paragraph-level boilerplate at the doc-head grain.
+
+    Scale shape: one in-row slice (no explode), one hash aggregate over
+    openers (vocabulary-bounded), and a top-k window on the aggregate —
+    map-side WindowGroupLimit prunes before the single-partition final
+    rank, which sees only per-partition top-10s."""
+    docs = load_table(spark, sf_dir, "documents")
+    from zenodb_spark.operators.dedup import normalize_text
+
+    opener = F.array_join(F.slice(F.split(normalize_text("text"), " "), 1, 3), " ")
+    cnt = docs.select(opener.alias("opener")).groupBy("opener").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), "opener")
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("opener", "n_docs", F.col("rank").cast("long").alias("rank"))
+    )
