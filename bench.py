@@ -88,6 +88,10 @@ HEADLINE = [
     "q184_zipf_slope",
     "q185_stratified_sample",
     "q187_rrf_hybrid",
+    "q188_gopher_rules",
+    "q192_length_ks",
+    "q196_source_lang_chi2",
+    "q197_hapax_rate",
     "z01_engine_rollup_sketch",
     "z02_engine_shift",
     "z06_engine_crosstab",
