@@ -7,6 +7,7 @@ round-trip."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import Row, functions as F
 
@@ -281,3 +282,97 @@ def test_hist_bin_rejects_inverted_bounds(spark):
 
     with pytest.raises(ValueError, match="inverted"):
         hist_bin(F.lit(1.0), 5.0, -5.0, 1)
+
+
+# ---------------------------------------------------------------------------
+# distribution statistics (operators/stats.py)
+# ---------------------------------------------------------------------------
+
+
+def _naive_ks(rows, group):
+    """Direct KS: max over thresholds of |F_g − F_rest| via Python floats."""
+    import itertools
+
+    g = sorted(v for gg, v in rows if gg == group)
+    rest = sorted(v for gg, v in rows if gg != group)
+    if not g or not rest:
+        return None
+    xs = sorted(set(g) | set(rest))
+    best = 0.0
+    for x in xs:
+        f1 = sum(1 for v in g if v <= x) / len(g)
+        f2 = sum(1 for v in rest if v <= x) / len(rest)
+        best = max(best, abs(f1 - f2))
+    return best
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), st.integers(min_value=-20, max_value=20)),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_ks_distance_matches_naive(spark, rows):
+    from zenodb_spark.operators.stats import ks_distance_by_group
+
+    df = spark.createDataFrame([Row(g=str(g), x=v) for g, v in rows])
+    got = {
+        r["g"]: (r["n_docs"], r["ks"])
+        for r in ks_distance_by_group(df, "g", "x").collect()
+    }
+    groups = {str(g) for g, _ in rows}
+    assert set(got) == groups
+    for grp in groups:
+        n_docs, ks = got[grp]
+        assert n_docs == sum(1 for g, _ in rows if str(g) == grp)
+        want = _naive_ks([(str(g), v) for g, v in rows], grp)
+        if want is None:  # single-group frame: n2 == 0, D undefined
+            assert ks is None
+            continue
+        assert ks == pytest.approx(want, abs=1e-12)
+
+
+def _naive_chi2(rows):
+    """Direct per-row-category chi2 contributions with micro-quantized
+    cell terms (the operator's documented quantization contract)."""
+    import math
+    from collections import Counter
+
+    o = Counter(rows)
+    rtot = Counter(g for g, _ in rows)
+    ctot = Counter(c for _, c in rows)
+    n = len(rows)
+    out = {}
+    for g in rtot:
+        s = 0
+        for c in ctot:
+            diff = float(o.get((g, c), 0) * n - rtot[g] * ctot[c])
+            term = diff * diff / (float(n) * float(rtot[g]) * float(ctot[c]))
+            s += math.floor(term * 1e6 + 0.5)
+        out[g] = (len(ctot), s / 1e6)
+    return out
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), st.integers(min_value=0, max_value=2)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_chi2_contingency_matches_naive(spark, rows):
+    from zenodb_spark.operators.stats import chi2_contingency
+
+    df = spark.createDataFrame([Row(g=str(g), c=str(c)) for g, c in rows])
+    got = {
+        r["g"]: (r["n_cells"], r["chi2_contrib"])
+        for r in chi2_contingency(df, "g", "c").collect()
+    }
+    want = {str(g): v for g, v in _naive_chi2([(str(g), str(c)) for g, c in rows]).items()}
+    assert set(got) == set(want)
+    for g in want:
+        assert got[g][0] == want[g][0]
+        assert got[g][1] == pytest.approx(want[g][1], abs=1e-9)

@@ -10682,7 +10682,8 @@ def q191_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cums GROUP BY source
     )
     SELECT source, CAST(n1 AS BIGINT) AS n_docs,
-           dint / (n1 * ((SELECT nn FROM n) - n1)) AS ks
+           CASE WHEN (SELECT nn FROM n) > n1
+                THEN dint / (n1 * ((SELECT nn FROM n) - n1)) END AS ks
     FROM ksx
     """,
 )
@@ -10701,51 +10702,12 @@ def q192_length_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     over that grid. Overflow-safe to ~3e9 docs (cum·n ≤ N² < 2⁶³)."""
     docs = load_table(spark, sf_dir, "documents")
     from zenodb_spark.operators.dedup import normalize_text
+    from zenodb_spark.operators.stats import ks_distance_by_group
 
     d = docs.select(
         "source", F.size(F.split(normalize_text("text"), " ")).alias("l")
     )
-    c1 = d.groupBy("source", "l").agg(F.count(F.lit(1)).alias("c"))
-    srcs = d.groupBy("source").agg(F.count(F.lit(1)).alias("n1"))
-    lens = d.select("l").distinct()
-    tot = d.groupBy("l").agg(F.count(F.lit(1)).alias("ct"))
-    nn = d.agg(F.count(F.lit(1)).alias("nn"))
-    grid = lens.crossJoin(F.broadcast(srcs))
-    j = (
-        grid.join(c1, ["source", "l"], "left")
-        .join(tot, "l")
-        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
-    )
-    wc = (
-        Window.partitionBy("source")
-        .orderBy("l")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cums = j.select(
-        "source",
-        "n1",
-        F.sum("c").over(wc).alias("cum1"),
-        F.sum("ct").over(wc).alias("cumt"),
-    )
-    ks = (
-        cums.crossJoin(F.broadcast(nn))
-        .groupBy("source")
-        .agg(
-            F.max(
-                F.abs(
-                    F.col("cum1") * (F.col("nn") - F.col("n1"))
-                    - (F.col("cumt") - F.col("cum1")) * F.col("n1")
-                )
-            ).alias("dint"),
-            F.max("n1").alias("n1"),
-            F.max("nn").alias("nn"),
-        )
-    )
-    return ks.select(
-        "source",
-        F.col("n1").cast("long").alias("n_docs"),
-        (F.col("dint") / (F.col("n1") * (F.col("nn") - F.col("n1")))).alias("ks"),
-    )
+    return ks_distance_by_group(d, "source", "l")
 
 
 @query(
@@ -10976,35 +10938,9 @@ def q196_source_lang_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     to ~3e9 docs (O·N, R·C < 2⁶³). Scale shape: three tiny aggregates and a
     broadcast grid; nothing corpus-sized past the first count."""
     docs = load_table(spark, sf_dir, "documents")
-    o = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
-    r = o.groupBy("source").agg(F.sum("o").alias("r"))
-    c = o.groupBy("lang").agg(F.sum("o").alias("c"))
-    n = o.agg(F.sum("o").alias("n"))
-    grid = r.crossJoin(F.broadcast(c))
-    diff = (
-        F.coalesce(F.col("o"), F.lit(0)) * F.col("n") - F.col("r") * F.col("c")
-    ).cast("double")
-    term = (
-        diff
-        * diff
-        / (
-            F.col("n").cast("double")
-            * F.col("r").cast("double")
-            * F.col("c").cast("double")
-        )
-    )
-    cells = (
-        grid.join(o, ["source", "lang"], "left")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "source",
-            F.floor(term * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("term_micro"),
-        )
-    )
-    return cells.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_cells"),
-        (F.sum("term_micro") / F.lit(1000000.0)).alias("chi2_contrib"),
-    )
+    from zenodb_spark.operators.stats import chi2_contingency
+
+    return chi2_contingency(docs, "source", "lang")
 
 
 @query(
