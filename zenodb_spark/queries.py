@@ -11017,3 +11017,244 @@ def q198_opening_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("opener", "n_docs", F.col("rank").cast("long").alias("rank"))
     )
+
+
+@query(
+    "q199_data_profile",
+    """
+    WITH s AS (
+      SELECT
+        count(*) AS n_rows,
+        count(*) - count(o_orderkey) AS nn_okey, count(DISTINCT o_orderkey) AS nd_okey,
+        CAST(min(o_orderkey) AS DOUBLE) AS mn_okey, CAST(max(o_orderkey) AS DOUBLE) AS mx_okey,
+        count(*) - count(o_custkey) AS nn_ckey, count(DISTINCT o_custkey) AS nd_ckey,
+        CAST(min(o_custkey) AS DOUBLE) AS mn_ckey, CAST(max(o_custkey) AS DOUBLE) AS mx_ckey,
+        count(*) - count(o_totalprice) AS nn_tp, count(DISTINCT o_totalprice) AS nd_tp,
+        min(o_totalprice) AS mn_tp, max(o_totalprice) AS mx_tp,
+        count(*) - count(o_orderstatus) AS nn_st, count(DISTINCT o_orderstatus) AS nd_st,
+        min(o_orderstatus) AS mn_st, max(o_orderstatus) AS mx_st,
+        count(*) - count(o_orderpriority) AS nn_pr, count(DISTINCT o_orderpriority) AS nd_pr,
+        min(o_orderpriority) AS mn_pr, max(o_orderpriority) AS mx_pr,
+        count(*) - count(o_orderdate) AS nn_dt, count(DISTINCT o_orderdate) AS nd_dt,
+        strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mn_dt,
+        strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS mx_dt
+      FROM orders
+    )
+    SELECT u.col AS column, n_rows,
+           u.n_null AS n_null, u.n_distinct AS n_distinct,
+           u.min_num AS min_num, u.max_num AS max_num,
+           u.min_str AS min_str, u.max_str AS max_str
+    FROM (
+      SELECT n_rows, unnest([
+        {'col': 'o_orderkey',      'n_null': nn_okey, 'n_distinct': nd_okey, 'min_num': mn_okey, 'max_num': mx_okey, 'min_str': CAST(NULL AS VARCHAR), 'max_str': CAST(NULL AS VARCHAR)},
+        {'col': 'o_custkey',       'n_null': nn_ckey, 'n_distinct': nd_ckey, 'min_num': mn_ckey, 'max_num': mx_ckey, 'min_str': CAST(NULL AS VARCHAR), 'max_str': CAST(NULL AS VARCHAR)},
+        {'col': 'o_totalprice',    'n_null': nn_tp,   'n_distinct': nd_tp,   'min_num': mn_tp,   'max_num': mx_tp,   'min_str': CAST(NULL AS VARCHAR), 'max_str': CAST(NULL AS VARCHAR)},
+        {'col': 'o_orderstatus',   'n_null': nn_st,   'n_distinct': nd_st,   'min_num': CAST(NULL AS DOUBLE), 'max_num': CAST(NULL AS DOUBLE), 'min_str': mn_st, 'max_str': mx_st},
+        {'col': 'o_orderpriority', 'n_null': nn_pr,   'n_distinct': nd_pr,   'min_num': CAST(NULL AS DOUBLE), 'max_num': CAST(NULL AS DOUBLE), 'min_str': mn_pr, 'max_str': mx_pr},
+        {'col': 'o_orderdate',     'n_null': nn_dt,   'n_distinct': nd_dt,   'min_num': CAST(NULL AS DOUBLE), 'max_num': CAST(NULL AS DOUBLE), 'min_str': mn_dt, 'max_str': mx_dt}
+      ]) AS u FROM s
+    )
+    """,
+)
+def q199_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column-profile panel over `orders`: per column, row
+    count, nulls, exact distinct count, and typed min/max (numeric columns
+    in min_num/max_num, strings in min_str/max_str, timestamps formatted
+    explicitly so both engines render identically) — the data-quality
+    profile a pipeline runs before trusting a new drop.
+
+    Scale shape: ONE aggregate computes every statistic (Spark plans the
+    multi-count-distinct via a single expand — no per-column jobs), then a
+    6-element struct explode stacks the panel; nothing is re-scanned."""
+    orders = load_table(spark, sf_dir, "orders")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    s = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_orderkey")).alias("nn_okey"),
+        F.count_distinct("o_orderkey").alias("nd_okey"),
+        F.min("o_orderkey").cast("double").alias("mn_okey"),
+        F.max("o_orderkey").cast("double").alias("mx_okey"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("nn_ckey"),
+        F.count_distinct("o_custkey").alias("nd_ckey"),
+        F.min("o_custkey").cast("double").alias("mn_ckey"),
+        F.max("o_custkey").cast("double").alias("mx_ckey"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("nn_tp"),
+        F.count_distinct("o_totalprice").alias("nd_tp"),
+        F.min("o_totalprice").alias("mn_tp"),
+        F.max("o_totalprice").alias("mx_tp"),
+        (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("nn_st"),
+        F.count_distinct("o_orderstatus").alias("nd_st"),
+        F.min("o_orderstatus").alias("mn_st"),
+        F.max("o_orderstatus").alias("mx_st"),
+        (F.count(F.lit(1)) - F.count("o_orderpriority")).alias("nn_pr"),
+        F.count_distinct("o_orderpriority").alias("nd_pr"),
+        F.min("o_orderpriority").alias("mn_pr"),
+        F.max("o_orderpriority").alias("mx_pr"),
+        (F.count(F.lit(1)) - F.count("o_orderdate")).alias("nn_dt"),
+        F.count_distinct("o_orderdate").alias("nd_dt"),
+        F.date_format(F.min("o_orderdate"), fmt).alias("mn_dt"),
+        F.date_format(F.max("o_orderdate"), fmt).alias("mx_dt"),
+    )
+    nulld = F.lit(None).cast("double")
+    nulls = F.lit(None).cast("string")
+
+    def num(col, nn, nd, mn, mx):
+        return F.struct(
+            F.lit(col).alias("col"), F.col(nn).alias("n_null"),
+            F.col(nd).alias("n_distinct"), F.col(mn).alias("min_num"),
+            F.col(mx).alias("max_num"), nulls.alias("min_str"),
+            nulls.alias("max_str"),
+        )
+
+    def strc(col, nn, nd, mn, mx):
+        return F.struct(
+            F.lit(col).alias("col"), F.col(nn).alias("n_null"),
+            F.col(nd).alias("n_distinct"), nulld.alias("min_num"),
+            nulld.alias("max_num"), F.col(mn).alias("min_str"),
+            F.col(mx).alias("max_str"),
+        )
+
+    panel = F.array(
+        num("o_orderkey", "nn_okey", "nd_okey", "mn_okey", "mx_okey"),
+        num("o_custkey", "nn_ckey", "nd_ckey", "mn_ckey", "mx_ckey"),
+        num("o_totalprice", "nn_tp", "nd_tp", "mn_tp", "mx_tp"),
+        strc("o_orderstatus", "nn_st", "nd_st", "mn_st", "mx_st"),
+        strc("o_orderpriority", "nn_pr", "nd_pr", "mn_pr", "mx_pr"),
+        strc("o_orderdate", "nn_dt", "nd_dt", "mn_dt", "mx_dt"),
+    )
+    return s.select("n_rows", F.explode(panel).alias("u")).select(
+        F.col("u.col").alias("column"),
+        "n_rows",
+        F.col("u.n_null").alias("n_null"),
+        F.col("u.n_distinct").alias("n_distinct"),
+        F.col("u.min_num").alias("min_num"),
+        F.col("u.max_num").alias("max_num"),
+        F.col("u.min_str").alias("min_str"),
+        F.col("u.max_str").alias("max_str"),
+    )
+
+
+@query(
+    "q200_fk_integrity",
+    """
+    WITH
+    e1 AS (
+      SELECT 'lineitem->orders' AS relation, ck.n, p.k AS pk FROM
+        (SELECT l_orderkey AS k, count(*) AS n FROM lineitem GROUP BY 1) ck
+        FULL OUTER JOIN (SELECT o_orderkey AS k FROM orders) p ON ck.k = p.k
+    ),
+    e2 AS (
+      SELECT 'lineitem->part' AS relation, ck.n, p.k AS pk FROM
+        (SELECT l_partkey AS k, count(*) AS n FROM lineitem GROUP BY 1) ck
+        FULL OUTER JOIN (SELECT p_partkey AS k FROM part) p ON ck.k = p.k
+    ),
+    e3 AS (
+      SELECT 'lineitem->supplier' AS relation, ck.n, p.k AS pk FROM
+        (SELECT l_suppkey AS k, count(*) AS n FROM lineitem GROUP BY 1) ck
+        FULL OUTER JOIN (SELECT s_suppkey AS k FROM supplier) p ON ck.k = p.k
+    ),
+    e4 AS (
+      SELECT 'orders->customer' AS relation, ck.n, p.k AS pk FROM
+        (SELECT o_custkey AS k, count(*) AS n FROM orders GROUP BY 1) ck
+        FULL OUTER JOIN (SELECT c_custkey AS k FROM customer) p ON ck.k = p.k
+    ),
+    u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+          UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)
+    SELECT relation,
+           CAST(coalesce(sum(n), 0) AS BIGINT) AS n_child_rows,
+           CAST(coalesce(sum(CASE WHEN pk IS NULL THEN n END), 0) AS BIGINT) AS n_orphan_rows,
+           CAST(sum(CASE WHEN n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_childless_parents
+    FROM u GROUP BY 1
+    """,
+)
+def q200_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the TPC-H foreign-key graph:
+    per FK edge, child-row count, orphaned child rows (no parent), and
+    childless parents — the first thing a warehouse load validates.
+
+    Scale shape: each edge is ONE pre-aggregated child-key count frame
+    full-outer-joined to the parent-key column (both key-partitioned hash
+    joins, never row-level child×parent), folded to a single row; four
+    edges union to the panel."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+
+    def edge(name, child, ckey, parent, pkey):
+        ck = child.groupBy(F.col(ckey).alias("k")).agg(F.count(F.lit(1)).alias("n"))
+        pp = parent.select(F.col(pkey).alias("k"), F.lit(1).alias("p"))
+        j = ck.join(pp, "k", "full_outer")
+        return j.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n_child_rows"),
+            F.coalesce(F.sum(F.when(F.col("p").isNull(), F.col("n"))), F.lit(0)).alias(
+                "n_orphan_rows"
+            ),
+            F.sum(F.when(F.col("n").isNull(), 1).otherwise(0)).alias(
+                "n_childless_parents"
+            ),
+        ).select(F.lit(name).alias("relation"), "*")
+
+    return (
+        edge("lineitem->orders", li, "l_orderkey", orders, "o_orderkey")
+        .unionByName(edge("lineitem->part", li, "l_partkey", part, "p_partkey"))
+        .unionByName(edge("lineitem->supplier", li, "l_suppkey", supplier, "s_suppkey"))
+        .unionByName(edge("orders->customer", orders, "o_custkey", customer, "c_custkey"))
+    )
+
+
+@query(
+    "q201_order_value_ks",
+    """
+    WITH d AS (
+      SELECT o_orderpriority AS g, CAST(floor(o_totalprice / 10000) AS BIGINT) AS x
+      FROM orders
+    ),
+    c1 AS (SELECT g, x, count(*) AS c FROM d GROUP BY 1, 2),
+    grps AS (SELECT g, count(*) AS n1 FROM d GROUP BY 1),
+    xs AS (SELECT DISTINCT x FROM d),
+    tot AS (SELECT x, count(*) AS ct FROM d GROUP BY 1),
+    n AS (SELECT count(*) AS nn FROM d),
+    grid AS (SELECT s.g, s.n1, le.x FROM grps s CROSS JOIN xs le),
+    j AS (
+      SELECT g.g, g.n1, g.x, coalesce(c1.c, 0) AS c, t.ct
+      FROM grid g LEFT JOIN c1 ON c1.g = g.g AND c1.x = g.x
+      JOIN tot t ON t.x = g.x
+    ),
+    cums AS (
+      SELECT g, n1, x,
+             sum(c) OVER (PARTITION BY g ORDER BY x) AS cum1,
+             sum(ct) OVER (PARTITION BY g ORDER BY x) AS cumt
+      FROM j
+    ),
+    ksx AS (
+      SELECT g,
+             max(abs(cum1 * ((SELECT nn FROM n) - n1) - (cumt - cum1) * n1)) AS dint,
+             max(n1) AS n1
+      FROM cums GROUP BY g
+    )
+    SELECT g AS o_orderpriority, CAST(n1 AS BIGINT) AS n_orders,
+           CASE WHEN (SELECT nn FROM n) > n1
+                THEN dint / (n1 * ((SELECT nn FROM n) - n1)) END AS ks
+    FROM ksx
+    """,
+)
+def q201_order_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value distribution drift per priority class: exact two-sample
+    KS of each priority's o_totalprice profile vs the other priorities —
+    the same stats-library operator as q192 applied to the TPC-H side,
+    with the continuous axis quantized to 10k-wide buckets first (the
+    operator's documented recipe for unbounded value domains)."""
+    from zenodb_spark.operators.stats import ks_distance_by_group
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.col("o_orderpriority"),
+        F.floor(F.col("o_totalprice") / 10000).cast("long").alias("x"),
+    )
+    return ks_distance_by_group(d, "o_orderpriority", "x").select(
+        "o_orderpriority",
+        F.col("n_docs").alias("n_orders"),
+        "ks",
+    )
