@@ -11258,3 +11258,127 @@ def q201_order_value_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").alias("n_orders"),
         "ks",
     )
+
+
+@query(
+    "q202_sketch_calibration",
+    """
+    WITH f AS (SELECT event_type, value FROM events WHERE value >= 0 AND value <= 100),
+    b AS (
+      SELECT event_type, least(CAST(floor(value*10+0.5) AS BIGINT), 1000) AS bin FROM f
+    ), c AS (
+      SELECT event_type, bin, count(*) AS n FROM b GROUP BY 1, 2
+    ), d AS (
+      SELECT event_type, bin,
+             sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(n) OVER (PARTITION BY event_type) AS tot
+      FROM c
+    ), sk AS (
+      SELECT event_type,
+             min(CASE WHEN cum >= CAST(ceil(tot*50/100.0) AS BIGINT) THEN bin END)/10.0 AS s50,
+             min(CASE WHEN cum >= CAST(ceil(tot*95/100.0) AS BIGINT) THEN bin END)/10.0 AS s95,
+             min(CASE WHEN cum >= CAST(ceil(tot*99/100.0) AS BIGINT) THEN bin END)/10.0 AS s99
+      FROM d GROUP BY 1
+    ), ex AS (
+      SELECT event_type,
+             quantile_cont(value, 0.50) AS e50,
+             quantile_cont(value, 0.95) AS e95,
+             quantile_cont(value, 0.99) AS e99
+      FROM f GROUP BY 1
+    )
+    SELECT sk.event_type, u.p AS p, u.exact AS exact, u.sketch AS sketch,
+           abs(u.sketch - u.exact) AS abs_err
+    FROM (
+      SELECT event_type, unnest([
+        {'p': 50, 'exact': e50, 'sketch': s50},
+        {'p': 95, 'exact': e95, 'sketch': s95},
+        {'p': 99, 'exact': e99, 'sketch': s99}
+      ]) AS u
+      FROM sk JOIN ex USING (event_type)
+    ) sk
+    """,
+)
+def q202_sketch_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-sketch calibration panel: for each event type and p ∈
+    {50, 95, 99}, the bounded-histogram sketch read (q14's mergeable state,
+    precision 1) next to the EXACT interpolated percentile and the absolute
+    error — the audit that tells you whether the sketch's bin width is fine
+    enough before trusting its tail reads on the stored rollup.
+
+    Determinism: the sketch read is pure integer bin math; the exact side
+    is percentile ≡ quantile_cont (verified bit-equal engine-to-engine);
+    the error is one IEEE subtraction of identical doubles. Scale shape:
+    the sketch aggregates map-side into bounded bin maps; the exact side is
+    the same single percentile pass q13 runs; one tiny join + 3-struct
+    explode stacks the panel."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        (F.col("value") >= 0) & (F.col("value") <= 100)
+    )
+    h = hist_agg(ev, ["event_type"], "value", 0.0, 100.0, 1, "hist")
+    sk = h.select(
+        "event_type",
+        hist_quantile("hist", 50, 0.0, 1).alias("s50"),
+        hist_quantile("hist", 95, 0.0, 1).alias("s95"),
+        hist_quantile("hist", 99, 0.0, 1).alias("s99"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        percentile_exact(F.col("value"), 0.50).alias("e50"),
+        percentile_exact(F.col("value"), 0.95).alias("e95"),
+        percentile_exact(F.col("value"), 0.99).alias("e99"),
+    )
+    panel = F.array(
+        F.struct(F.lit(50).alias("p"), F.col("e50").alias("exact"), F.col("s50").alias("sketch")),
+        F.struct(F.lit(95).alias("p"), F.col("e95").alias("exact"), F.col("s95").alias("sketch")),
+        F.struct(F.lit(99).alias("p"), F.col("e99").alias("exact"), F.col("s99").alias("sketch")),
+    )
+    return (
+        sk.join(ex, "event_type")
+        .select("event_type", F.explode(panel).alias("u"))
+        .select(
+            "event_type",
+            F.col("u.p").cast("long").alias("p"),
+            F.col("u.exact").alias("exact"),
+            F.col("u.sketch").alias("sketch"),
+            F.abs(F.col("u.sketch") - F.col("u.exact")).alias("abs_err"),
+        )
+    )
+
+
+@query(
+    "q203_priority_mix_drift",
+    """
+    WITH d AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS r_, o_orderpriority AS c_ FROM orders
+    ),
+    o AS (SELECT r_, c_, count(*) AS o FROM d GROUP BY 1, 2),
+    r AS (SELECT r_, sum(o) AS r FROM o GROUP BY 1),
+    c AS (SELECT c_, sum(o) AS c FROM o GROUP BY 1),
+    n AS (SELECT sum(o) AS n FROM o),
+    grid AS (SELECT r.r_, r.r, c.c_, c.c FROM r CROSS JOIN c),
+    cells AS (
+      SELECT g.r_,
+             CAST(floor(
+               (CAST(coalesce(o.o, 0) * (SELECT n FROM n) - g.r * g.c AS DOUBLE)
+                * CAST(coalesce(o.o, 0) * (SELECT n FROM n) - g.r * g.c AS DOUBLE))
+               / (CAST((SELECT n FROM n) AS DOUBLE) * CAST(g.r AS DOUBLE) * CAST(g.c AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT) AS term_micro
+      FROM grid g LEFT JOIN o ON o.r_ = g.r_ AND o.c_ = g.c_
+    )
+    SELECT r_ AS month, CAST(count(*) AS BIGINT) AS n_cells,
+           sum(term_micro) / 1000000.0 AS chi2_contrib
+    FROM cells GROUP BY 1
+    """,
+)
+def q203_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal mix-drift monitor: per calendar month, the chi-square
+    contribution of that month's order-priority mix against the overall
+    marginals — the drift alarm a pipeline puts on any categorical mix
+    (label balance, source mix) per time slice. Second reuse of the
+    chi2_contingency operator (q196), on the month × priority table."""
+    from zenodb_spark.operators.stats import chi2_contingency
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"), "o_orderpriority"
+    )
+    return chi2_contingency(d, "month", "o_orderpriority")
