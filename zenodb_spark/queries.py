@@ -11382,3 +11382,82 @@ def q203_priority_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("o_orderdate", "yyyy-MM").alias("month"), "o_orderpriority"
     )
     return chi2_contingency(d, "month", "o_orderpriority")
+
+
+@query(
+    "q204_simhash_calibration",
+    f"""
+    WITH truth AS ({_JACCARD_SQL.format(thr=0.5)}),
+    f AS ({_simhash_oracle().strip()}),
+    cand AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+      FROM f a JOIN f b ON a.doc < b.doc
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 4
+    ),
+    j AS (
+      SELECT t.doc_a IS NOT NULL AS is_true, c.hamming AS hamming
+      FROM (SELECT doc_a, doc_b FROM truth) t
+      FULL OUTER JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    ),
+    panel AS (
+      SELECT k,
+             sum(CASE WHEN hamming IS NOT NULL AND hamming <= k THEN 1 ELSE 0 END) AS n_candidates,
+             sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS n_true_pairs,
+             sum(CASE WHEN is_true AND hamming IS NOT NULL AND hamming <= k THEN 1 ELSE 0 END) AS n_hits
+      FROM j, unnest([0, 2, 4]) AS u(k) GROUP BY 1
+    )
+    SELECT CAST(k AS BIGINT) AS max_hamming,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CASE WHEN n_candidates = 0 THEN 0.0 ELSE n_hits / n_candidates END AS precision_k,
+           CASE WHEN n_true_pairs = 0 THEN 0.0 ELSE n_hits / n_true_pairs END AS recall_k
+    FROM panel
+    """,
+)
+def q204_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash threshold calibration: precision and recall of
+    hamming ≤ {{0, 2, 4}} candidate pairs against exact 3-gram Jaccard ≥ 0.5
+    ground truth — the companion to q190's MinHash banding panel for the
+    OTHER dedup index family, answering "which hamming cutoff do I ship".
+
+    Scale shape: truth rides the lossless prefix join; candidates ride the
+    pigeonhole segment blocking (5 segments for hamming ≤ 4 — any
+    qualifying pair agrees exactly on ≥1, so buckets bound the join);
+    the panel is one full-outer join of two pair lists + a 3-way explode.
+    The oracle brute-forces all C(N,2) fingerprint pairs, so a pass also
+    re-proves the blocking lossless at both gate scales."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = dedup.ngram_jaccard_pairs_prefix(
+        docs, "text", "doc_id", n=3, threshold=0.5
+    ).select("doc_a", "doc_b", F.lit(True).alias("is_true"))
+    fp = dedup.simhash(docs, "text", "doc_id", bits=16)
+    cand = dedup.simhash_pairs(fp, max_hamming=4, bits=16)
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    stacked = j.select(
+        F.explode(F.array(F.lit(0), F.lit(2), F.lit(4))).alias("k"),
+        "is_true",
+        "hamming",
+    )
+    panel = stacked.groupBy("k").agg(
+        F.sum(F.when(F.col("hamming") <= F.col("k"), 1).otherwise(0)).alias(
+            "n_candidates"
+        ),
+        F.sum(F.when(F.col("is_true"), 1).otherwise(0)).alias("n_true_pairs"),
+        F.sum(
+            F.when(F.col("is_true") & (F.col("hamming") <= F.col("k")), 1).otherwise(0)
+        ).alias("n_hits"),
+    )
+    return panel.select(
+        F.col("k").cast("long").alias("max_hamming"),
+        "n_candidates",
+        "n_true_pairs",
+        "n_hits",
+        F.when(F.col("n_candidates") == 0, F.lit(0.0))
+        .otherwise(F.col("n_hits") / F.col("n_candidates"))
+        .alias("precision_k"),
+        F.when(F.col("n_true_pairs") == 0, F.lit(0.0))
+        .otherwise(F.col("n_hits") / F.col("n_true_pairs"))
+        .alias("recall_k"),
+    )
