@@ -386,3 +386,27 @@ class TestDegenerateInputs:
         emb_e = spark.createDataFrame([], "vec_id long, embedding array<float>")
         emb_1 = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
         assert similarity.cosine_topk(emb_e, emb_1, "vec_id", "embedding", k=3, dim=2).count() == 0
+
+
+class TestStatsDegenerate:
+    """Degenerate inputs for the distribution-stats library (empty frame,
+    one group, one value) — same contract as TestDegenerateInputs."""
+
+    def test_empty_frames(self, spark):
+        from zenodb_spark.operators.stats import chi2_contingency, ks_distance_by_group
+
+        empty = spark.createDataFrame([], "g string, x long")
+        assert ks_distance_by_group(empty, "g", "x").count() == 0
+        empty2 = spark.createDataFrame([], "g string, c string")
+        assert chi2_contingency(empty2, "g", "c").count() == 0
+
+    def test_single_group_single_value(self, spark):
+        from zenodb_spark.operators.stats import chi2_contingency, ks_distance_by_group
+
+        one = spark.createDataFrame([("a", 5), ("a", 5)], "g string, x long")
+        rows = ks_distance_by_group(one, "g", "x").collect()
+        assert len(rows) == 1 and rows[0]["ks"] is None  # empty complement
+        cat = spark.createDataFrame([("a", "x"), ("a", "x")], "g string, c string")
+        crows = chi2_contingency(cat, "g", "c").collect()
+        # a 1x1 table is perfectly independent: zero contribution
+        assert len(crows) == 1 and crows[0]["chi2_contrib"] == 0.0
