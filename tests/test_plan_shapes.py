@@ -117,3 +117,40 @@ def test_asof_join_matches_bruteforce(spark):
             best = max(cand) if cand else (None, None)
             expect.append((k, t, best[0], best[1]))
         assert got == sorted(expect)
+
+
+def test_q199_profile_single_expand_no_rescan(spark):
+    """The column profile's six exact count-distincts must plan as ONE
+    Expand over ONE scan — six separate distinct-aggregate jobs (or six
+    scans) would re-read the table per column at 100 TB."""
+    from zenodb_spark import queries as Q
+
+    plan = _plan(Q.QUERIES["q199_data_profile"](spark, SF_DIR))
+    assert len(re.findall(r"\bExpand\b", plan)) == 1
+    assert len(re.findall(r"Scan parquet", plan)) == 1
+
+
+def test_ks_grid_is_broadcast_cross(spark):
+    """ks_distance_by_group's CDF grid must be a BroadcastNestedLoopJoin of
+    two aggregates (groups × distinct values) — a shuffled cartesian here
+    would materialize corpus-scale intermediate state; and the raw frame
+    must be scanned a bounded number of times, never per-group."""
+    from pyspark.sql import Row
+
+    from zenodb_spark.operators.stats import ks_distance_by_group
+
+    df = spark.createDataFrame([Row(g="a", x=1), Row(g="b", x=2)])
+    plan = _plan(ks_distance_by_group(df, "g", "x"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chi2_grid_is_broadcast_cross(spark):
+    from pyspark.sql import Row
+
+    from zenodb_spark.operators.stats import chi2_contingency
+
+    df = spark.createDataFrame([Row(g="a", c="x"), Row(g="b", c="y")])
+    plan = _plan(chi2_contingency(df, "g", "c"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
