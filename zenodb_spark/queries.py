@@ -11461,3 +11461,156 @@ def q204_simhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("n_hits") / F.col("n_true_pairs"))
         .alias("recall_k"),
     )
+
+
+_Q27_RANKED = """
+      SELECT query_id, neighbor_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_dot_product(qv, cv)
+                        / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) DESC,
+                        neighbor_id
+             ) AS rank
+      FROM (SELECT vec_id AS query_id, {v} AS qv FROM embeddings WHERE vec_id < 10) q
+      JOIN (SELECT vec_id AS neighbor_id, {v} AS cv FROM embeddings) c
+        ON query_id <> neighbor_id
+"""
+
+
+@query(
+    "q205_matryoshka_recall",
+    f"""
+    WITH full_top AS (
+      SELECT query_id, neighbor_id
+      FROM ({_Q27_RANKED.format(v="embedding::DOUBLE[]")}) WHERE rank <= 5
+    ),
+    trunc_top AS (
+      SELECT query_id, neighbor_id
+      FROM ({_Q27_RANKED.format(v="(embedding::DOUBLE[])[1:16]")}) WHERE rank <= 5
+    )
+    SELECT f.query_id,
+           CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) / 5 AS recall_at_5
+    FROM full_top f
+    LEFT JOIN trunc_top t ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY 1
+    """,
+)
+def q205_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation calibration: recall@5 of cosine search run on
+    the FIRST 16 of 64 embedding dimensions against the full-dimension
+    ranking — the audit behind truncating MRL-style embeddings for a
+    cheaper first-stage index (Kusupati et al. 2022). Answers "how much
+    ranking do the first 16 dims carry on THIS corpus".
+
+    Scale shape: two cosine_topk passes (query side broadcast, corpus
+    streamed once each; the truncated pass reads 4× fewer floats), joined
+    on ≤5-row-per-query rank lists — output-sized work after the scans."""
+    from zenodb_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    trunc = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    full_top = cosine_topk(emb, emb.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5, dim=64)
+    trunc_top = cosine_topk(
+        trunc, trunc.filter(F.col("vec_id") < 10), "vec_id", "embedding", k=5, dim=16
+    )
+    j = full_top.select("query_id", "neighbor_id").join(
+        trunc_top.select("query_id", "neighbor_id", F.lit(1).alias("hit")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(5)).alias("recall_at_5"),
+    )
+
+
+def _jl_signs(proj_dim: int = 16, dim: int = 64) -> list[list[float]]:
+    """Deterministic ±1 sign matrix from md5 — reproducible in both
+    engines as literals (no RNG, no seed drift)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"jl|{i}|{j}".encode()).hexdigest()[0], 16) >= 8 else -1.0
+            for j in range(dim)
+        ]
+        for i in range(proj_dim)
+    ]
+
+
+def _jl_oracle(proj_dim: int = 16, dim: int = 64, n_vec: int = 30) -> str:
+    signs = _jl_signs(proj_dim, dim)
+    proj = ", ".join(
+        "list_dot_product(v, [" + ", ".join(repr(x) for x in row) + f"]) AS p{i}"
+        for i, row in enumerate(signs)
+    )
+    parr = "[" + ", ".join(f"p{i}" for i in range(proj_dim)) + "]"
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {n_vec}
+    ),
+    p AS (SELECT vec_id, v, {proj} FROM e),
+    pv AS (SELECT vec_id, v, {parr} AS pvec FROM p),
+    pairs AS (
+      SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+             list_dot_product(a.v, a.v) - 2.0 * list_dot_product(a.v, b.v)
+               + list_dot_product(b.v, b.v) AS d2_orig,
+             list_dot_product(a.pvec, a.pvec) - 2.0 * list_dot_product(a.pvec, b.pvec)
+               + list_dot_product(b.pvec, b.pvec) AS d2_proj
+      FROM pv a JOIN pv b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_id_a, vec_id_b, d2_orig, d2_proj,
+           CASE WHEN d2_orig = 0 THEN NULL
+                ELSE (d2_proj * {dim / proj_dim!r}) / d2_orig END AS ratio
+    FROM pairs
+    """
+
+
+@query("q206_jl_distortion", _jl_oracle())
+def q206_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss distortion audit: project 64-dim embeddings to
+    16 dims with a deterministic ±1 sign matrix and report, for every pair
+    in the probe set, the scaled projected-to-original squared-distance
+    ratio (E[ratio] = 1 under JL) — the measurement that decides whether a
+    cheap random projection can front the ANN index.
+
+    Determinism: the sign matrix derives from md5 at plan-build time and
+    rides BOTH plans as literals; every dot product is sequential-order
+    (zip_with+aggregate ≡ list_dot_product); the distance identity
+    (aa − 2ab + bb) is the same fixed IEEE sequence both engines run.
+    Scale shape: projections are 16 in-row dots per vector (one scan, no
+    shuffle); the probe pair join is bounded by the probe set, and at
+    corpus scale the same projection column feeds the LSH/IVF index
+    builders instead of a pair join."""
+    from zenodb_spark.operators.similarity import dot
+
+    signs = _jl_signs()
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
+    lit_rows = [F.array(*[F.lit(x) for x in row]) for row in signs]
+    p = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        F.array(*[dot(F.col("embedding"), r) for r in lit_rows]).alias("pvec"),
+    )
+    a = p.select(
+        F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"), F.col("pvec").alias("pa")
+    )
+    b = p.select(
+        F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"), F.col("pvec").alias("pb")
+    )
+    pairs = a.join(b, F.col("vec_id_a") < F.col("vec_id_b")).select(
+        "vec_id_a",
+        "vec_id_b",
+        (dot("va", "va") - F.lit(2.0) * dot("va", "vb") + dot("vb", "vb")).alias("d2_orig"),
+        (dot("pa", "pa") - F.lit(2.0) * dot("pa", "pb") + dot("pb", "pb")).alias("d2_proj"),
+    )
+    return pairs.select(
+        "vec_id_a",
+        "vec_id_b",
+        "d2_orig",
+        "d2_proj",
+        F.when(F.col("d2_orig") == 0, F.lit(None).cast("double"))
+        .otherwise((F.col("d2_proj") * F.lit(4.0)) / F.col("d2_orig"))
+        .alias("ratio"),
+    )
