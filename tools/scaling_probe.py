@@ -48,6 +48,14 @@ PROBE = [
     "q154_heavy_hitters",
     "q155_pagerank",
     "q162_cdc_chunks",
+    # round-4 continuation families: panels, CDF-grid stats, contingency,
+    # LSH banding, FK audit
+    "q188_gopher_rules",
+    "q190_lsh_band_panel",
+    "q192_length_ks",
+    "q196_source_lang_chi2",
+    "q199_data_profile",
+    "q200_fk_integrity",
 ]
 
 

@@ -5975,7 +5975,13 @@ def q127_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the oracle), since bucketing changes layout, not content."""
     from zenodb_spark.sources.bucketed import read_bucketed, write_bucketed
 
-    tag = abs(hash(sf_dir)) % 10_000
+    # md5, not hash(): Python string hashing is PYTHONHASHSEED-randomized
+    # per process, so hash()-derived table names were nondeterministic —
+    # each run minted a new managed location and occasionally COLLIDED
+    # with a stale one from an earlier process (LOCATION_ALREADY_EXISTS).
+    import hashlib
+
+    tag = int(hashlib.md5(sf_dir.encode()).hexdigest()[:8], 16) % 10_000
     ot, lt = f"q127_orders_b{tag}", f"q127_lineitem_b{tag}"
     if not spark.catalog.tableExists(ot):
         write_bucketed(
@@ -6831,7 +6837,13 @@ def q139_zorder_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from zenodb_spark.sources.layout import zorder_write
 
-    tag = abs(hash(("q139", sf_dir))) % 10_000
+    # md5, not hash(): PYTHONHASHSEED randomizes hash() per process, so the
+    # cache path changed every run (never reused) and could COLLIDE with a
+    # different sf_dir's store from an earlier process — silently wrong data
+    # behind the _SUCCESS gate.
+    import hashlib
+
+    tag = hashlib.md5(f"q139|{sf_dir}".encode()).hexdigest()[:10]
     path = f"{tempfile.gettempdir()}/zspark_q139_store_{tag}"
     import os
 
@@ -11613,4 +11625,160 @@ def q206_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("d2_orig") == 0, F.lit(None).cast("double"))
         .otherwise((F.col("d2_proj") * F.lit(4.0)) / F.col("d2_orig"))
         .alias("ratio"),
+    )
+
+
+
+@query(
+    "q207_seasonal_anomaly",
+    f"""
+    WITH h AS (
+      SELECT event_type, {BUCKET.format(p=3600)} AS bucket,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    base AS (
+      SELECT event_type, hod, sum(n) AS s, count(*) AS b
+      FROM h GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT h.event_type, h.bucket, CAST(h.n AS BIGINT) AS n,
+             CAST(base.s AS DOUBLE) / base.b AS expected,
+             CAST(abs(h.n * base.b - base.s) AS DOUBLE) / base.s AS rel_dev
+      FROM h JOIN base ON base.event_type = h.event_type AND base.hod = h.hod
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (ORDER BY rel_dev DESC, event_type, bucket) AS rank
+      FROM scored
+    )
+    SELECT event_type, bucket, n, expected, rel_dev, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q207_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly detection: hourly event counts scored
+    against their OWN hour-of-day baseline (q142's diurnal shape), top-10
+    by relative deviation |n·B − S| / S — the alert that fires on "3am
+    spike" instead of "3am is always quiet" (plain z-scores like q70 flag
+    every diurnal peak).
+
+    Determinism: deviations are ratios of exact integers (n·B vs S), so
+    ordering and values agree across engines; ties break on (type,
+    bucket). Scale shape: one hourly aggregate, one hour-of-day rollup
+    (≤ 24·|types| rows, broadcast-joinable), ranking over the AGGREGATED
+    frame only."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        timeops.bucket_epoch("ts", 3600).alias("bucket"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    base = h.groupBy("event_type", "hod").agg(
+        F.sum("n").alias("s"), F.count(F.lit(1)).alias("b")
+    )
+    scored = h.join(base, ["event_type", "hod"]).select(
+        "event_type",
+        "bucket",
+        F.col("n").cast("long").alias("n"),
+        (F.col("s").cast("double") / F.col("b")).alias("expected"),
+        (
+            F.abs(F.col("n") * F.col("b") - F.col("s")).cast("double") / F.col("s")
+        ).alias("rel_dev"),
+    )
+    w = Window.orderBy(F.col("rel_dev").desc(), "event_type", "bucket")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("event_type", "bucket", "n", "expected", "rel_dev",
+                F.col("rank").cast("long").alias("rank"))
+    )
+
+
+@query(
+    "q208_selection_frontier",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split({NORM.format(x='text')}, ' '),
+                         x -> len(x) > 0) AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_sym,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_dig
+      FROM documents
+    ), f AS (
+      SELECT doc_id, len(toks) AS n_tok,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+             CAST(n_chars AS DOUBLE) / len(toks) AS chars_per_tok,
+             CAST(n_sym AS DOUBLE) / n_chars AS sym_frac,
+             CAST(n_dig AS DOUBLE) / n_chars AS dig_frac
+      FROM t WHERE len(toks) > 0 AND n_chars > 0
+    ), q AS (
+      SELECT doc_id, n_tok,
+             -1.5 + 3.0 * ttr - 0.2 * chars_per_tok - 4.0 * sym_frac
+                  - 2.0 * dig_frac AS logit
+      FROM f
+    ), ranked AS (
+      SELECT n_tok, logit,
+             ntile(10) OVER (ORDER BY logit DESC, doc_id) AS decile
+      FROM q
+    ), d AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS decile_tokens,
+             min(logit) AS min_logit
+      FROM ranked GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_docs, decile_tokens,
+           CAST(sum(decile_tokens) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens,
+           min_logit
+    FROM d
+    """,
+)
+def q208_selection_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-selection frontier: documents ranked best-first by the q160
+    quality logit into deciles; per decile, document count, token mass,
+    CUMULATIVE token mass, and the quality cutoff (min logit) — the curve
+    that answers "given an N-token training budget, where does the
+    quality bar land" (the DSIR/quality-filter budget planning step).
+
+    Determinism: the logit is q160's fixed IEEE expression (kept in
+    lockstep, both independently oracle-gated); deciles are the q178
+    deterministic ntile (logit desc, doc tie-break); token masses are
+    integer sums, cumulated over the 10-row decile frame."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text("text"), " "), lambda x: F.length(x) > 0)
+    t = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(toks).alias("n_tok"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9 ]", "")).alias("n_sym"),
+        F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).alias("n_dig"),
+    ).filter((F.col("n_tok") > 0) & (F.col("n_chars") > 0))
+    logit = (
+        F.lit(-1.5)
+        + F.lit(3.0) * (F.col("n_uniq").cast("double") / F.col("n_tok"))
+        - F.lit(0.2) * (F.col("n_chars").cast("double") / F.col("n_tok"))
+        - F.lit(4.0) * (F.col("n_sym").cast("double") / F.col("n_chars"))
+        - F.lit(2.0) * (F.col("n_dig").cast("double") / F.col("n_chars"))
+    )
+    ranked = t.select(
+        "n_tok",
+        logit.alias("logit"),
+        F.ntile(10).over(Window.orderBy(logit.desc(), "doc_id")).alias("decile"),
+    )
+    d = ranked.groupBy(F.col("decile").cast("long").alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("decile_tokens"),
+        F.min("logit").alias("min_logit"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return d.select(
+        "decile",
+        "n_docs",
+        "decile_tokens",
+        F.sum("decile_tokens").over(wc).cast("long").alias("cum_tokens"),
+        "min_logit",
     )

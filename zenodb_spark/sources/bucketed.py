@@ -43,6 +43,21 @@ def write_bucketed(
     bucket of the LARGER join side fits an executor task comfortably
     (rows/bucket ≈ |df| / n_buckets; at 100 TB think thousands, not 8 —
     both sides must use the SAME count for a co-located join)."""
+    if path is None:
+        # saveAsTable with the in-memory catalog refuses to CREATE a table
+        # whose default warehouse location already exists on disk — the
+        # state every fresh process inherits from a prior run's managed
+        # table (catalog forgot it, directory survived). A stale managed
+        # location is cache, not data: remove it before writing.
+        import os
+        import shutil
+
+        wh = df.sparkSession.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        loc = os.path.join(wh, table.lower())
+        if not df.sparkSession.catalog.tableExists(table) and os.path.exists(loc):
+            shutil.rmtree(loc)
     w = df.write.format("parquet").mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
