@@ -11782,3 +11782,48 @@ def q208_selection_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("decile_tokens").over(wc).cast("long").alias("cum_tokens"),
         "min_logit",
     )
+
+
+_Z17_ASOF = "ts >= TIMESTAMP '2024-01-02' AND ts < TIMESTAMP '2024-01-26'"
+
+
+@query(
+    "z17_engine_stride_sketch_limit",
+    f"""
+    WITH base AS (
+      SELECT event_type, {BUCKET.format(p=172800)} AS bucket,
+             CAST(count(value) AS DOUBLE) AS cnt,
+             min(value) + max(value) AS span,
+             CAST(count(CASE WHEN event_type = 'error' THEN value END) AS DOUBLE) AS errors,
+             CAST(count(DISTINCT user_id) AS DOUBLE) AS du
+      FROM events
+      WHERE {_Z17_ASOF}
+      GROUP BY 1, 2
+    ),
+    p AS ({_HIST_REPLAY.format(bucket=BUCKET.format(p=172800), p=75, name="p75").replace(
+        "FROM events WHERE", "FROM events WHERE " + _Z17_ASOF + " AND ")})
+    SELECT base.event_type, base.bucket, base.cnt, base.span, p.p75,
+           base.errors / base.cnt AS err_rate, base.du
+    FROM base JOIN p USING (event_type, bucket)
+    WHERE base.bucket % 345600 < 172800 AND base.du > 1
+    ORDER BY base.bucket, base.event_type
+    LIMIT 6 OFFSET 2
+    """,
+)
+def z17_engine_stride_sketch_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE composition: ASOF/UNTIL range + period('2d') re-merge +
+    stride('4d') bucket-phase filter + a 2-arg PERCENTILE re-read of the
+    stored sketch + COUNTDISTINCT state merged across resolutions + field
+    arithmetic (mn+mx, errors/cnt) + HAVING on a selected field + ORDER BY
+    _time with 'LIMIT offset, n' — the combined shape none of z01–z16
+    exercises in ONE statement (reference query.go pipeline order:
+    filter → merge → having → sort → offset/limit)."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT cnt, mn + mx AS span, PERCENTILE(med, 75) AS p75, "
+        "errors / cnt AS err_rate, du "
+        "FROM ev_hourly ASOF '2024-01-02' UNTIL '2024-01-26' "
+        "GROUP BY event_type, period('2d'), stride('4d') "
+        "HAVING du > 1 ORDER BY _time, event_type LIMIT 2, 6"
+    )
+    return _as_bucket(out)
