@@ -11827,3 +11827,127 @@ def z17_engine_stride_sketch_limit(spark: SparkSession, sf_dir: str) -> DataFram
         "HAVING du > 1 ORDER BY _time, event_type LIMIT 2, 6"
     )
     return _as_bucket(out)
+
+
+@query(
+    "q209_dedup_report",
+    f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, md5({_NT}) AS fp,
+             len(list_filter(string_split({_NT}, ' '), x -> len(x) > 0)) AS n_tok
+      FROM documents
+    ),
+    keepers AS (SELECT fp, min(doc_id) AS keeper FROM t GROUP BY 1),
+    sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc
+    ),
+    labs AS (SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY 1),
+    m AS (
+      SELECT
+        (SELECT count(*) FROM t) AS n_docs,
+        (SELECT count(*) FROM keepers) AS n_unique_texts,
+        (SELECT count(*) FROM (SELECT fp FROM t GROUP BY fp HAVING count(*) >= 2)) AS n_exact_groups,
+        (SELECT count(*) FROM pairs) AS n_neardup_pairs,
+        (SELECT count(DISTINCT cluster_id) FROM labs) AS n_neardup_clusters,
+        (SELECT count(*) FROM labs) AS n_docs_in_clusters,
+        (SELECT sum(n_tok) FROM t) AS tokens_total,
+        (SELECT sum(n_tok) FROM t JOIN keepers ON keepers.fp = t.fp
+          WHERE t.doc_id = keepers.keeper) AS tokens_exact_kept,
+        (SELECT sum(n_tok) FROM t LEFT JOIN labs ON labs.doc = t.doc_id
+          WHERE labs.doc IS NULL OR labs.cluster_id = t.doc_id) AS tokens_cluster_kept
+    )
+    SELECT u.metric AS metric, u.value AS value FROM (
+      SELECT unnest([
+        {{'metric': 'n_docs',             'value': n_docs}},
+        {{'metric': 'n_unique_texts',     'value': n_unique_texts}},
+        {{'metric': 'n_exact_groups',     'value': n_exact_groups}},
+        {{'metric': 'n_neardup_pairs',    'value': n_neardup_pairs}},
+        {{'metric': 'n_neardup_clusters', 'value': n_neardup_clusters}},
+        {{'metric': 'n_docs_in_clusters', 'value': n_docs_in_clusters}},
+        {{'metric': 'tokens_total',       'value': tokens_total}},
+        {{'metric': 'tokens_exact_kept',  'value': tokens_exact_kept}},
+        {{'metric': 'tokens_cluster_kept','value': tokens_cluster_kept}}
+      ]) AS u FROM m
+    )
+    """,
+)
+def q209_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-health report card: document/unique-text counts, exact-dup
+    group count, near-dup (Jaccard ≥ 0.5) pairs/clusters/coverage, and the
+    token mass surviving exact vs cluster dedup — the one-stop panel a
+    curation run publishes, composing q23 (exact), q24 (pairs) and q47
+    (clusters) into (metric, value) rows.
+
+    Scale shape: one scan computes fingerprints + token counts; pairs ride
+    the lossless prefix join; clusters ride star-CC; every metric is an
+    aggregate of those frames' outputs stacked from 1-row aggregates
+    (scalar fan-in broadcasts, no corpus-sized join)."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text("text"), " "), lambda x: F.length(x) > 0)
+    t = docs.select(
+        "doc_id", F.md5(normalize_text("text")).alias("fp"), F.size(toks).alias("n_tok")
+    )
+    w = Window.partitionBy("fp")
+    tk = t.withColumn("keeper", F.min("doc_id").over(w))
+    pairs = dedup.ngram_jaccard_pairs_prefix(docs, "text", "doc_id", n=3, threshold=0.5)
+    labels = dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )
+    base = tk.join(labels, "doc_id", "left")
+    gstats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("n_unique_texts"),
+        F.sum("n_tok").alias("tokens_total"),
+        F.sum(F.when(F.col("doc_id") == F.col("keeper"), F.col("n_tok"))).alias(
+            "tokens_exact_kept"
+        ),
+        F.sum(
+            F.when(
+                F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")),
+                F.col("n_tok"),
+            )
+        ).alias("tokens_cluster_kept"),
+        F.count_distinct("cluster_id").alias("n_neardup_clusters"),
+        F.sum(F.when(F.col("cluster_id").isNotNull(), 1).otherwise(0)).alias(
+            "n_docs_in_clusters"
+        ),
+    )
+    groups = (
+        t.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias("n_exact_groups"))
+    )
+    npairs = pairs.agg(F.count(F.lit(1)).alias("n_neardup_pairs"))
+    one = gstats.crossJoin(F.broadcast(groups)).crossJoin(F.broadcast(npairs))
+    metrics = [
+        "n_docs", "n_unique_texts", "n_exact_groups", "n_neardup_pairs",
+        "n_neardup_clusters", "n_docs_in_clusters", "tokens_total",
+        "tokens_exact_kept", "tokens_cluster_kept",
+    ]
+    panel = F.array(
+        *[
+            F.struct(F.lit(m).alias("metric"), F.col(m).cast("long").alias("value"))
+            for m in metrics
+        ]
+    )
+    return one.select(F.explode(panel).alias("u")).select("u.metric", "u.value")
