@@ -193,8 +193,18 @@ class Table:
         # used an incompatible encoding; the current suffix is `dsetv2`.
         # Refuse to silently merge a stale store — the fix is recompute
         # (drop the store dir) or an offline re-encode, never a quiet merge.
+        import re as _re
+
         legacy = [
-            c for c in parts[0].columns if c.endswith("__dset") or c.endswith("__hll")
+            c
+            for c in parts[0].columns
+            if c.endswith("__dset")
+            or c.endswith("__hll")
+            # pre-ALTER-support stores named the implicit points counter by
+            # registration index (_sN__points); it is now the fixed
+            # _s__points so field APPENDs can't re-bind it. Refuse a silent
+            # zero-points merge.
+            or _re.fullmatch(r"_s\d+__points", c)
         ]
         if legacy:
             raise ValueError(
@@ -211,6 +221,62 @@ class Table:
             ]
         self._parts = parts
         self._materialized = len(parts) == 1  # parquet-backed; >1 still needs a fold
+
+    # -- live ALTER (reference schema.go:16-55 + table_alter semantics) ------
+    def alter_compatible(self, q: Query) -> bool:
+        """A changed definition can be applied IN PLACE (stored parts kept)
+        when only the FIELD list / retention / backfill / partition-by
+        moved: the stream, grouping, resolution and ingest filter must
+        match, because stored rows are keyed by (dims…, bucket) under that
+        filter and cannot be re-derived from state."""
+        return (
+            q.from_table == self.stream
+            and (q.resolution or 1.0) == self.resolution
+            and list(q.group_by) == self.group_by
+            and q.group_by_all == self.group_by_all
+            and q.where == self.where
+        )
+
+    def alter(self, tdef: TableDef, q: Query, fields: list[SelectField]) -> None:
+        """Apply a field-list change without dropping stored state (the
+        reference live-alters tables when the watched schema file moves).
+
+        New fields' state columns are simply ABSENT from old parts:
+        state_df unions with allowMissingColumns, and every merge kind is
+        null-safe (sum/min/max skip nulls; collect_list drops them), so
+        pre-ALTER buckets read the new field as empty — the reference's
+        zeros-before-the-field-existed semantics. Dropped fields stop being
+        selected; their stored columns become dead weight until the next
+        compact() rewrites the canonical part without them.
+
+        Stored state column names carry the field-registration INDEX, so an
+        ALTER is refused (loudly) if re-using an index would silently bind
+        an old column to a different aggregate — append new fields rather
+        than reordering, or change the table name to rebuild."""
+        from zenodb_spark.plans.compiler import build_registry
+
+        if self.registry is not None:
+            new_reg = build_registry(fields)
+            old = {s.key: s.col for s in self.registry.all_specs()}
+            new = {s.key: s.col for s in new_reg.all_specs()}
+            moved = sorted(k for k in old.keys() & new.keys() if old[k] != new[k])
+            rev_old: dict[str, str] = {}
+            for k, c in old.items():
+                rev_old.setdefault(c, k)
+            stolen = sorted(
+                c for k, c in new.items() if k not in old and rev_old.get(c, k) != k
+            )
+            if moved or stolen:
+                raise ValueError(
+                    f"table {self.tdef.name!r}: ALTER would re-bind stored state "
+                    f"columns (reordered aggs: {moved}; name collisions: {stolen}). "
+                    "Append new fields instead of reordering, or rename the table "
+                    "to rebuild from the stream."
+                )
+            self.registry = new_reg
+        self.tdef = tdef
+        self.query_ir = q
+        self.fields = fields
 
     # -- ingest -------------------------------------------------------------
     def ingest(self, points: DataFrame, ts_col: str = "ts") -> None:
@@ -555,6 +621,10 @@ class DB:
             q = eff
         if tdef.virtual:
             self.virtual_defs[tdef.name] = (q, fields)
+            return
+        existing = self.tables.get(tdef.name)
+        if existing is not None and existing.alter_compatible(q):
+            existing.alter(tdef, q, fields)
             return
         self.tables[tdef.name] = Table(self, tdef, q, fields)
 

@@ -199,7 +199,16 @@ class StateRegistry:
         if k not in self.specs:
             idx = len(self.specs)
             kind = _leaf_kind(e)
-            if kind in ("SUM", "COUNT"):
+            if k == agg_key(MAgg("SUM", MFieldRef("_point"), None)):
+                # the implicit points counter (`_points` compiles to
+                # SUM(_point)) registers AFTER the explicit fields, so an
+                # index-carrying name would shift on every field APPEND and
+                # make live ALTER re-bind it; one fixed position-independent
+                # column serves every un-gated reader (gated variants carry
+                # their own keys and stay indexed — their gates re-derive
+                # from this shared source only at query time).
+                cols = [StateSpec(k, "_s__points", "sum")]
+            elif kind in ("SUM", "COUNT"):
                 cols = [StateSpec(k, _state_name(idx, kind.lower()), "sum")]
             elif kind == "MIN":
                 cols = [StateSpec(k, _state_name(idx, "min"), "min")]
@@ -235,7 +244,13 @@ class StateRegistry:
                 # mismatch instead of silently mis-merging.
                 cols = [StateSpec(k, _state_name(idx, "dsetv2"), "dset")]
             elif kind == "POINTS":
-                cols = [StateSpec(k, _state_name(idx, "points"), "sum")]
+                # FIXED name, no registration index: the implicit points
+                # counter registers AFTER the explicit fields, so an
+                # index-carrying name would shift on every field APPEND and
+                # make live ALTER re-bind it. Explicit fields keep indexed
+                # names (append-only stability); the one implicit state is
+                # position-independent by construction.
+                cols = [StateSpec(k, "_s__points", "sum")]
             else:
                 raise ValueError(f"cannot make state for {e!r}")
             self.specs[k] = cols
@@ -657,7 +672,23 @@ def merge_states(
         if spec.col in emitted and not (gates and spec.key in gates):
             continue
         emitted.add(spec.col)
-        src = F.col(spec.col)
+        if spec.col in keyed.columns:
+            src = F.col(spec.col)
+        else:
+            # live-ALTERed table before its first post-ALTER ingest: the new
+            # field's state column exists in NO part yet. Merge a typed null
+            # instead — every merge kind is null-absorbing, so the field
+            # reads as absent/zero exactly like pre-ALTER buckets do once
+            # new parts arrive.
+            src = F.lit(None).cast(
+                {
+                    "sum": "double",
+                    "min": "double",
+                    "max": "double",
+                    "dset": "array<string>",
+                    "hist": "map<bigint,bigint>",
+                }[spec.merge]
+            )
         if gates and spec.key in gates:
             src = F.when(gates[spec.key], src)
         if spec.merge == "sum":
