@@ -11951,3 +11951,62 @@ def q209_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(panel).alias("u")).select("u.metric", "u.value")
+
+
+def _ivf_curve_oracle(probes=(1, 2, 4)) -> str:
+    brute = ORACLE["q27_ann_cosine"]
+    arms = []
+    for np_ in probes:
+        ivf = _ivf_search_oracle(nprobe=np_)
+        arms.append(
+            f"""
+    SELECT CAST({np_} AS BIGINT) AS nprobe,
+           CAST(count(DISTINCT b.query_id) AS BIGINT) AS n_queries,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_matched,
+           count(i.neighbor_id) / (5.0 * count(DISTINCT b.query_id)) AS mean_recall
+    FROM ({brute}) b
+    LEFT JOIN ({ivf}) i
+      ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+    """
+        )
+    return " UNION ALL ".join(arms)
+
+
+@query("q210_ivf_nprobe_curve", _ivf_curve_oracle())
+def q210_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning curve: mean recall@5 at nprobe ∈ {1, 2, 4} against the
+    exact brute-force top-5 — the latency/recall dial read as ONE panel
+    (q146 measures a single point; production tuning wants the curve so
+    the nprobe meeting the recall bar is picked, not guessed).
+
+    Scale shape: the brute baseline runs once; each arm's probe set is
+    centroid-bounded; the recall joins touch only ≤5-row-per-query rank
+    lists. Centroids ride as broadcast literals in every arm."""
+    from zenodb_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qside = emb.filter(F.col("vec_id") < 10)
+    brute = similarity.cosine_topk(emb, qside, "vec_id", "embedding", k=5, dim=64).select(
+        "query_id", "neighbor_id"
+    )
+    cents = similarity.ivf_centroids(64, 8, 43)
+    arms = []
+    for np_ in (1, 2, 4):
+        ivf = similarity.ivf_search(
+            emb, qside, cents, "vec_id", "embedding", k=5, nprobe=np_
+        ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        j = brute.join(ivf, ["query_id", "neighbor_id"], "left")
+        arms.append(
+            j.agg(
+                F.lit(np_).cast("long").alias("nprobe"),
+                F.count_distinct("query_id").alias("n_queries"),
+                F.count("hit").alias("n_matched"),
+                (
+                    F.count("hit") / (F.lit(5.0) * F.count_distinct("query_id"))
+                ).alias("mean_recall"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
