@@ -12010,3 +12010,189 @@ def q210_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     for a in arms[1:]:
         out = out.unionByName(a)
     return out
+
+
+@query(
+    "q211_filter_length_bias",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split({_NT}, ' '), x -> len(x) > 0) AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_sym,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_dig
+      FROM documents
+    ), f AS (
+      SELECT doc_id, len(toks) AS n_tok,
+             -1.5 + 3.0 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                  - 0.2 * (CAST(n_chars AS DOUBLE) / len(toks))
+                  - 4.0 * (CAST(n_sym AS DOUBLE) / n_chars)
+                  - 2.0 * (CAST(n_dig AS DOUBLE) / n_chars) AS logit
+      FROM t WHERE len(toks) > 0 AND n_chars > 0
+    ), d AS (
+      SELECT n_tok, logit,
+             ntile(5) OVER (ORDER BY n_tok, doc_id) AS len_quintile
+      FROM f
+    )
+    SELECT CAST(len_quintile AS BIGINT) AS len_quintile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(n_tok) AS BIGINT) AS min_tok,
+           CAST(max(n_tok) AS BIGINT) AS max_tok,
+           CAST(sum(CASE WHEN logit > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           sum(CASE WHEN logit > 0.0 THEN 1 ELSE 0 END) / count(*) AS keep_rate
+    FROM d GROUP BY 1
+    """,
+)
+def q211_filter_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter length-bias audit: the q160 quality filter's keep rate per
+    document-length quintile — the check that a "quality" model is not
+    just a length detector (the classic failure mode of fastText-style
+    corpus filters; a strongly sloped curve here means the filter reshapes
+    the length distribution, not the quality distribution).
+
+    Deterministic quintiles (n_tok, doc tie-break); keep decisions are
+    q160's fixed IEEE logit; rates are integer ratios."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(normalize_text("text"), " "), lambda x: F.length(x) > 0)
+    t = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(toks).alias("n_tok"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9 ]", "")).alias("n_sym"),
+        F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).alias("n_dig"),
+    ).filter((F.col("n_tok") > 0) & (F.col("n_chars") > 0))
+    logit = (
+        F.lit(-1.5)
+        + F.lit(3.0) * (F.col("n_uniq").cast("double") / F.col("n_tok"))
+        - F.lit(0.2) * (F.col("n_chars").cast("double") / F.col("n_tok"))
+        - F.lit(4.0) * (F.col("n_sym").cast("double") / F.col("n_chars"))
+        - F.lit(2.0) * (F.col("n_dig").cast("double") / F.col("n_chars"))
+    )
+    d = t.select(
+        "n_tok",
+        logit.alias("logit"),
+        F.ntile(5).over(Window.orderBy("n_tok", "doc_id")).alias("len_quintile"),
+    )
+    return d.groupBy(F.col("len_quintile").cast("long").alias("len_quintile")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tok").cast("long").alias("min_tok"),
+        F.max("n_tok").cast("long").alias("max_tok"),
+        F.sum(F.when(F.col("logit") > 0.0, 1).otherwise(0)).alias("n_kept"),
+        (
+            F.sum(F.when(F.col("logit") > 0.0, 1).otherwise(0)) / F.count(F.lit(1))
+        ).alias("keep_rate"),
+    )
+
+
+@query(
+    "q212_cluster_keep_best",
+    f"""
+    WITH RECURSIVE sh AS ({_SHINGLE_SQL}),
+    sizes AS (SELECT doc, count(*) AS sz FROM sh GROUP BY 1),
+    inter AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc = doc_a JOIN sizes sb ON sb.doc = doc_b
+      WHERE i / (sa.sz + sb.sz - i) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, lab) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.doc
+    ),
+    labs AS (SELECT doc, min(lab) AS cluster_id FROM reach GROUP BY 1),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split({_NT}, ' '), x -> len(x) > 0) AS toks,
+             length(text) AS n_chars,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_sym,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_dig
+      FROM documents
+    ), q AS (
+      SELECT doc_id,
+             CAST(floor((-1.5
+               + 3.0 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+               - 0.2 * (CAST(n_chars AS DOUBLE) / len(toks))
+               - 4.0 * (CAST(n_sym AS DOUBLE) / n_chars)
+               - 2.0 * (CAST(n_dig AS DOUBLE) / n_chars)) * 1000000 + 0.5) AS BIGINT)
+               AS logit_micro
+      FROM t WHERE len(toks) > 0 AND n_chars > 0
+    ),
+    scored AS (
+      SELECT labs.cluster_id, labs.doc, q.logit_micro,
+             row_number() OVER (
+               PARTITION BY labs.cluster_id
+               ORDER BY q.logit_micro DESC, labs.doc
+             ) AS rnk,
+             count(*) OVER (PARTITION BY labs.cluster_id) AS csz
+      FROM labs JOIN q ON q.doc_id = labs.doc
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(doc AS BIGINT) AS kept_doc,
+           CAST(logit_micro AS BIGINT) AS kept_logit_micro,
+           CAST(csz - 1 AS BIGINT) AS n_dropped
+    FROM scored WHERE rnk = 1
+    """,
+)
+def q212_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup keep-BEST: within every Jaccard ≥ 0.5 cluster, keep the
+    highest-quality member (q160 logit, micro-quantized for an exact
+    integer ordering) instead of the arbitrary min-id — the curation rule
+    real pipelines ship (q67 does this for exact groups; this is the
+    cluster-level form over q47's components).
+
+    Scale shape: clusters ride the prefix join + star-CC; the winner is
+    one rank window over docs-in-clusters only (never the full corpus);
+    quality scores come from the same single scan q160 uses."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs_prefix(docs, "text", "doc_id", n=3, threshold=0.5)
+    labels = dedup.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
+    )
+    toks = F.filter(F.split(normalize_text("text"), " "), lambda x: F.length(x) > 0)
+    t = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        F.size(toks).alias("n_tok"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9 ]", "")).alias("n_sym"),
+        F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).alias("n_dig"),
+    ).filter((F.col("n_tok") > 0) & (F.col("n_chars") > 0))
+    logit = (
+        F.lit(-1.5)
+        + F.lit(3.0) * (F.col("n_uniq").cast("double") / F.col("n_tok"))
+        - F.lit(0.2) * (F.col("n_chars").cast("double") / F.col("n_tok"))
+        - F.lit(4.0) * (F.col("n_sym").cast("double") / F.col("n_chars"))
+        - F.lit(2.0) * (F.col("n_dig").cast("double") / F.col("n_chars"))
+    )
+    q = t.select(
+        "doc_id",
+        F.floor(logit * F.lit(1_000_000) + F.lit(0.5)).cast("long").alias("logit_micro"),
+    )
+    scored = labels.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.col("logit_micro").desc(), "doc_id")
+    cw = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .withColumn("csz", F.count(F.lit(1)).over(cw))
+        .filter(F.col("rnk") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("logit_micro").alias("kept_logit_micro"),
+            (F.col("csz") - 1).cast("long").alias("n_dropped"),
+        )
+    )
