@@ -95,3 +95,26 @@ def test_retention_only_change_alters_in_place(spark):
     db.apply_schema({"alt1": {**V1["alt1"], "retentionperiod": "720d"}})
     assert db.tables["alt1"] is t
     assert db.tables["alt1"].tdef.retention == pytest.approx(720 * 86400)
+
+
+def test_alter_survives_restart_with_workdir(spark, tmp_path):
+    """ALTER + restart: a store persisted under the OLD field list reopens
+    under the NEW schema (fixed _s__points + allowMissingColumns union), so
+    pre-ALTER buckets read the new field as absent after a process bounce."""
+    wd = str(tmp_path / "alterdb")
+    db1 = DB(spark, workdir=wd, now=E + 100)
+    db1.apply_schema(V1)
+    db1.insert("alts", _points(spark, [10.0, 20.0]))
+    for t in db1.tables.values():
+        t.compact()  # persist under V1's columns
+
+    # process bounce: fresh DB straight onto the V2 schema over the store
+    db2 = DB(spark, workdir=wd, now=E + 100)
+    db2.apply_schema(V2)
+    row = db2.query("SELECT cnt, mx FROM alt1 GROUP BY _").collect()[0]
+    assert row["cnt"] == 2.0
+    assert row["mx"] is None
+
+    db2.insert("alts", _points(spark, [9.0]))
+    row = db2.query("SELECT cnt, mx FROM alt1 GROUP BY _").collect()[0]
+    assert (row["cnt"], row["mx"]) == (3.0, 9.0)

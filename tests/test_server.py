@@ -85,3 +85,60 @@ def test_schema_file_watched_and_reapplied(server):
     while time.time() < deadline and "svtotals" not in handle.db.tables:
         time.sleep(0.1)
     assert "svtotals" in handle.db.tables
+
+
+def test_concurrent_inserts_and_queries(server):
+    """Thread hammer: concurrent RPC inserters + HTTP and RPC readers on
+    the one shared DB must neither error nor lose points (the reference
+    serves both transports from one zenodb.DB under its own locks; here
+    the DataFrame parts list is driver-side state exercised from many
+    threads)."""
+    import threading
+
+    handle, _ = server
+    host, port = handle.rpc_addr
+    hh, hp = handle.http_addr
+    base_ts = E + 1000
+    n_threads, per_thread = 4, 10
+    errors: list[Exception] = []
+
+    def insert_worker(tid: int):
+        try:
+            client = Client(host, port)
+            ins = client.new_inserter("svclicks")
+            for i in range(per_thread):
+                ins.insert(
+                    base_ts + tid * per_thread + i,
+                    {"site": f"hammer{tid}"},
+                    {"n": 1.0},
+                )
+            rep = ins.close()
+            assert rep["received"] == per_thread
+        except Exception as e:  # pragma: no cover - surfaced below
+            errors.append(e)
+
+    def query_worker():
+        try:
+            for _ in range(5):
+                _get(
+                    f"http://{hh}:{hp}/run?"
+                    + urllib.parse.quote("SELECT n FROM svhits GROUP BY site")
+                )
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=insert_worker, args=(t,)) for t in range(n_threads)
+    ] + [threading.Thread(target=query_worker) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(120)
+    assert not errors, errors
+
+    client = Client(host, port)
+    fields, rows = client.query(
+        "SELECT n FROM svhits WHERE site LIKE 'hammer%' GROUP BY site"
+    )
+    got = {r[fields.index("site")]: r[fields.index("n")] for r in rows}
+    assert got == {f"hammer{t}": float(per_thread) for t in range(n_threads)}
