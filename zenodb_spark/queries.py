@@ -12196,3 +12196,65 @@ def q212_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("csz") - 1).cast("long").alias("n_dropped"),
         )
     )
+
+
+@query(
+    "q213_media_dedup",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             ['image', 'audio', 'video'][CAST(doc_id % 3 AS INTEGER) + 1] AS kind,
+             md5(text) AS digest,
+             octet_length(encode(text)) AS n_bytes,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM documents
+    )
+    SELECT kind,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(count(DISTINCT digest) AS BIGINT) AS n_digests,
+           CAST(sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(sum(CASE WHEN doc_id = keeper THEN n_bytes ELSE 0 END) AS BIGINT) AS kept_bytes,
+           1.0 - sum(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END) / count(*) AS dup_rate
+    FROM m GROUP BY 1
+    """,
+)
+def q213_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media dedup report: per modality (kind), item/digest counts, bytes
+    before/after keep-first digest dedup, and the dup rate — the storage
+    planner's first number for a multimodal corpus. Digests come through
+    the Arrow mapInPandas byte path (extract_features), so the panel also
+    end-to-end-exercises the opaque-binary plumbing; keep-first orders on
+    the NUMERIC id (string min would put '10' before '9').
+
+    Scale shape: one mapInPandas pass (Arrow batches, self-contained
+    closure), one digest-keyed window, one per-kind aggregate."""
+    from zenodb_spark.operators.multimodal import attach_media, extract_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_media(docs, "text", "doc_id")
+    feats = extract_features(media).select(
+        F.col("media_id").cast("long").alias("doc_id"), "digest", "n_bytes"
+    )
+    w = Window.partitionBy("digest")
+    m = feats.select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        "digest",
+        "n_bytes",
+        F.min("doc_id").over(w).alias("keeper"),
+    )
+    kept = F.col("doc_id") == F.col("keeper")
+    return m.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.count_distinct("digest").alias("n_digests"),
+        F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum(F.when(kept, F.col("n_bytes")).otherwise(0)).cast("long").alias("kept_bytes"),
+        (
+            F.lit(1.0) - F.sum(F.when(kept, 1).otherwise(0)) / F.count(F.lit(1))
+        ).alias("dup_rate"),
+    )
