@@ -92,6 +92,9 @@ HEADLINE = [
     "q192_length_ks",
     "q196_source_lang_chi2",
     "q197_hapax_rate",
+    "q202_sketch_calibration",
+    "q205_matryoshka_recall",
+    "q213_media_dedup",
     "z01_engine_rollup_sketch",
     "z02_engine_shift",
     "z06_engine_crosstab",

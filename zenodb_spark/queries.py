@@ -12258,3 +12258,69 @@ def q213_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - F.sum(F.when(kept, 1).otherwise(0)) / F.count(F.lit(1))
         ).alias("dup_rate"),
     )
+
+
+@query(
+    "z18_engine_shift_over_subquery",
+    f"""
+    WITH inner_d AS (
+      SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+             CAST(count(value) AS DOUBLE) AS ct
+      FROM events GROUP BY 1, 2
+    ),
+    outer_d AS (
+      SELECT event_type,
+             CAST(floor(bucket / 172800) * 172800 AS BIGINT) AS bucket,
+             sum(ct) AS ct
+      FROM inner_d GROUP BY 1, 2
+    )
+    SELECT o.event_type, o.bucket, o.ct, coalesce(p.ct, 0.0) AS prev_ct
+    FROM outer_d o
+    LEFT JOIN outer_d p
+      ON p.event_type = o.event_type AND p.bucket + 172800 = o.bucket
+    """,
+)
+def z18_engine_shift_over_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE composition: SHIFT applied OVER a FROM-subquery — the
+    inner query re-aggregates the stored table to daily counts, the outer
+    re-groups to 2-day buckets (default-to-SUM on the subquery field) and
+    joins its own 2-day-shifted series. Exercises the unflatten→regroup
+    path (z08) and the co-partitioned shift join (z02) TOGETHER, which no
+    other z query does. Counts stay exact integers inside doubles, so the
+    re-sum is order-independent."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT ct, SHIFT(ct, '2d') AS prev_ct FROM "
+        "(SELECT cnt AS ct FROM ev_hourly GROUP BY event_type, period('1d')) "
+        "GROUP BY event_type, period('2d')"
+    )
+    return _as_bucket(out)
+
+
+@query(
+    "z19_engine_subquery_having_regroup",
+    f"""
+    WITH inner_d AS (
+      SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+             CAST(count(value) AS DOUBLE) AS ct
+      FROM events GROUP BY 1, 2
+      HAVING count(value) > 5
+    )
+    SELECT CAST(floor(bucket / 345600) * 345600 AS BIGINT) AS bucket,
+           sum(ct) AS ct
+    FROM inner_d GROUP BY 1
+    """,
+)
+def z19_engine_subquery_having_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE composition: a HAVING-filtered FROM-subquery re-grouped
+    to the GLOBAL series (GROUP BY _) at a coarser resolution with ORDER BY
+    _time — subquery HAVING rows must drop BEFORE the outer re-aggregation
+    (reference query pipeline order), which z08's plain regroup never
+    checks."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT ct FROM (SELECT cnt AS ct FROM ev_hourly "
+        "GROUP BY event_type, period('1d') HAVING cnt > 5) "
+        "GROUP BY _, period('4d') ORDER BY _time"
+    )
+    return _as_bucket(out)
