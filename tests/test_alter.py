@@ -118,3 +118,37 @@ def test_alter_survives_restart_with_workdir(spark, tmp_path):
     db2.insert("alts", _points(spark, [9.0]))
     row = db2.query("SELECT cnt, mx FROM alt1 GROUP BY _").collect()[0]
     assert (row["cnt"], row["mx"]) == (3.0, 9.0)
+
+
+def test_alter_mid_stream_picks_up_new_field(spark, tmp_path):
+    """Live ALTER between micro-batches: the foreachBatch closure holds the
+    Table OBJECT, and alter() mutates it in place — so the next incremental
+    pass aggregates the new field with no stream restart (the reference's
+    watched-schema behavior for a live ingest pipeline)."""
+    import shutil
+
+    from zenodb_spark.streaming.ingest import start_table_stream
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    db = DB(spark, now=E + 100)
+    db.apply_schema(V1)
+
+    _points(spark, [10.0, 20.0]).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = start_table_stream(
+        db, "alt1", spark.readStream.schema(schema).parquet(src), checkpoint_dir=ckpt
+    )
+    q.awaitTermination(120)
+
+    db.apply_schema(V2)  # live ALTER between micro-batches
+
+    _points(spark, [7.0, 5.0], t0=E + 10).write.mode("append").parquet(src)
+    q2 = start_table_stream(
+        db, "alt1", spark.readStream.schema(schema).parquet(src), checkpoint_dir=ckpt
+    )
+    q2.awaitTermination(120)
+
+    row = db.query("SELECT cnt, mx FROM alt1 GROUP BY _").collect()[0]
+    assert row["cnt"] == 4.0
+    assert row["mx"] == 7.0  # max over post-ALTER batches only
