@@ -152,3 +152,13 @@ def test_alter_mid_stream_picks_up_new_field(spark, tmp_path):
     row = db.query("SELECT cnt, mx FROM alt1 GROUP BY _").collect()[0]
     assert row["cnt"] == 4.0
     assert row["mx"] == 7.0  # max over post-ALTER batches only
+
+
+def test_explain_returns_physical_plan(spark):
+    db = DB(spark, now=E + 100)
+    db.apply_schema(V1)
+    db.insert("alts", _points(spark, [1.0]))
+    txt = db.explain("EXPLAIN SELECT cnt FROM alt1 GROUP BY event_type, period('1h')")
+    assert "Physical Plan" in txt and "HashAggregate" in txt
+    # bare statement (no EXPLAIN keyword) works too
+    assert "Physical Plan" in db.explain("SELECT cnt FROM alt1 GROUP BY event_type")

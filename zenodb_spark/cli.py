@@ -80,6 +80,9 @@ def main(argv: list[str] | None = None) -> int:
     def run(sql: str) -> None:
         import threading
 
+        if sql.strip().upper().startswith("EXPLAIN "):
+            print(db.explain(sql))
+            return
         # reference parity: queries are bounded by a deadline (zeno-cli -timeout)
         timer = threading.Timer(args.timeout, spark.sparkContext.cancelAllJobs)
         timer.start()

@@ -730,6 +730,20 @@ class DB:
                 s.drain()
         return self.plan(q)
 
+    def explain(self, sql: str, mode: str = "formatted") -> str:
+        """Formatted PHYSICAL plan of a dialect query without executing it —
+        the reference CLI's plan introspection surface, answered by
+        Catalyst (`df.explain` text): shows the exchanges, pushed filters,
+        and codegen stages the dialect statement lowers to. ``mode`` is any
+        Spark explain mode (simple|extended|codegen|cost|formatted)."""
+        sql = sql.strip()
+        if sql.upper().startswith("EXPLAIN "):
+            sql = sql[len("EXPLAIN ") :]
+        df = self.plan(parse(sql))
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+
     def plan(self, q: Query | SetOp) -> DataFrame:
         if isinstance(q, SetOp):
             return self._plan_set_op(q)
