@@ -12324,3 +12324,115 @@ def z19_engine_subquery_having_regroup(spark: SparkSession, sf_dir: str) -> Data
         "GROUP BY _, period('4d') ORDER BY _time"
     )
     return _as_bucket(out)
+
+
+@query(
+    "q214_hourly_autocorr",
+    f"""
+    WITH h AS (
+      SELECT event_type, {BUCKET.format(p=3600)} AS bucket, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    lag AS (
+      SELECT a.event_type, a.n AS x, b.n AS y
+      FROM h a JOIN h b
+        ON b.event_type = a.event_type AND b.bucket = a.bucket + 3600
+    ),
+    s AS (
+      SELECT event_type, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      FROM lag GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN NULL
+                ELSE (n * sxy - sx * sy)
+                     / sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE))
+           END AS lag1_autocorr
+    FROM s
+    """,
+)
+def q214_hourly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of hourly event counts per type — the
+    time-series health number behind alerting baselines (high r ⇒ smooth
+    load, near 0 ⇒ memoryless arrivals; q207's seasonal model only helps
+    in the first regime). Pearson r over consecutive-hour pairs from a
+    bucket+3600 self-join sharing the aggregate's partitioning.
+
+    Determinism: all five moments are exact integer sums; r is one fixed
+    IEEE expression over them; degenerate (constant) series → NULL."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy("event_type", timeops.bucket_epoch("ts", 3600).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = h.select("event_type", "bucket", F.col("n").alias("x"))
+    b = h.select("event_type", (F.col("bucket") - 3600).alias("bucket"), F.col("n").alias("y"))
+    lag = a.join(b, ["event_type", "bucket"])
+    s = lag.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.when((varx * vary) == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt((varx * vary).cast("double"))
+        )
+        .alias("lag1_autocorr"),
+    )
+
+
+@query(
+    "q215_fano_burstiness",
+    f"""
+    WITH h AS (
+      SELECT event_type, {BUCKET.format(p=3600)} AS bucket, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type, count(*) AS b, sum(n) AS sn, sum(n * n) AS snn
+      FROM h GROUP BY 1
+    )
+    SELECT event_type,
+           CAST(b AS BIGINT) AS n_buckets,
+           CAST(sn AS BIGINT) AS n_events,
+           CASE WHEN sn = 0 THEN NULL
+                ELSE CAST(b * snn - sn * sn AS DOUBLE) / (CAST(b AS DOUBLE) * sn)
+           END AS fano
+    FROM s
+    """,
+)
+def q215_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance-to-mean of hourly counts) per event type —
+    the burstiness index: ≈1 for Poisson arrivals, ≫1 for bursty/clumped
+    traffic (q111 finds WHICH hours burst; this says HOW bursty a stream
+    is overall). Computed from exact integer moments with one trailing
+    division: var/mean = (B·Σn² − (Σn)²) / (B·Σn)."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy("event_type", timeops.bucket_epoch("ts", 3600).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    s = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("b"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    return s.select(
+        "event_type",
+        F.col("b").cast("long").alias("n_buckets"),
+        F.col("sn").cast("long").alias("n_events"),
+        F.when(F.col("sn") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            (F.col("b") * F.col("snn") - F.col("sn") * F.col("sn")).cast("double")
+            / (F.col("b").cast("double") * F.col("sn"))
+        )
+        .alias("fano"),
+    )
