@@ -12436,3 +12436,102 @@ def q215_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("fano"),
     )
+
+
+def _langid_confusion_oracle() -> str:
+    # same deterministic score/argmax construction as _langid_oracle —
+    # stopword lists are single-sourced from textstats.STOPWORDS
+    def cnt(w: str) -> str:
+        doubled = "regexp_replace(' ' || lower(text) || ' ', ' ', '  ', 'g')"
+        n = f"  {w}  "
+        return f"CAST((len({doubled}) - len(replace({doubled}, '{n}', ''))) / {len(n)} AS BIGINT)"
+
+    langs = sorted(textstats.STOPWORDS)
+    scores = {
+        lang: " + ".join(cnt(w) for w in textstats.STOPWORDS[lang]) for lang in langs
+    }
+    score_cols = ", ".join(f"({scores[lang]}) AS s_{lang}" for lang in langs)
+    best = f"greatest({', '.join('s_' + lang for lang in langs)})"
+    pred = "CASE "
+    for lang in langs:
+        pred += f"WHEN {best} > 0 AND s_{lang} = {best} THEN '{lang}' "
+    pred += "ELSE 'und' END"
+    return f"""
+    WITH s AS (SELECT lang, {score_cols} FROM documents),
+    p AS (SELECT lang, {pred} AS pred_lang FROM s)
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM p GROUP BY 1, 2
+    """
+
+
+@query("q216_langid_confusion", _langid_confusion_oracle())
+def q216_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled × predicted counts — q29
+    reports only per-language accuracy; the OFF-diagonal is what tells you
+    WHICH languages the stopword-argmax classifier conflates (and where
+    'und' fallbacks land), the actionable half of a langid audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = textstats.langid(docs, "text")
+    return p.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "q217_supplier_hhi",
+    f"""
+    WITH r AS (
+      SELECT n.n_name AS nation, s.s_suppkey AS supp,
+             sum({C.format(x='l.l_extendedprice * (1 - l.l_discount)')}) AS rev_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      GROUP BY 1, 2
+    ),
+    t AS (SELECT nation, sum(rev_cents) AS tot FROM r GROUP BY 1),
+    q AS (
+      SELECT r.nation,
+             CAST(floor(
+               (CAST(r.rev_cents AS DOUBLE) / t.tot)
+               * (CAST(r.rev_cents AS DOUBLE) / t.tot) * 1000000000 + 0.5
+             ) AS BIGINT) AS sh2_nano
+      FROM r JOIN t USING (nation)
+    )
+    SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+           sum(sh2_nano) / 1000000000.0 AS hhi
+    FROM q GROUP BY 1
+    """,
+)
+def q217_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-concentration HHI per nation: the Herfindahl index of
+    revenue shares (1/N for perfect competition → 1.0 for a monopoly) —
+    the market-concentration rollup next to q156's share table.
+
+    Determinism: revenues are exact cents; each supplier's squared share
+    is one fixed IEEE expression nano-quantized per DISTINCT supplier
+    before the per-nation integer sum (the ln() policy). Scale shape: one
+    fact aggregate keyed (nation, supplier), dimensions broadcast, totals
+    joined back per nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    r = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("s_suppkey").alias("supp"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "rev_cents"
+            )
+        )
+    )
+    t = r.groupBy("nation").agg(F.sum("rev_cents").alias("tot"))
+    share = F.col("rev_cents").cast("double") / F.col("tot")
+    q = r.join(t, "nation").select(
+        "nation",
+        F.floor(share * share * F.lit(1_000_000_000) + F.lit(0.5))
+        .cast("long")
+        .alias("sh2_nano"),
+    )
+    return q.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        (F.sum("sh2_nano") / F.lit(1_000_000_000.0)).alias("hhi"),
+    )
