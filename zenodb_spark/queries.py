@@ -12535,3 +12535,127 @@ def q217_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_suppliers"),
         (F.sum("sh2_nano") / F.lit(1_000_000_000.0)).alias("hhi"),
     )
+
+
+@query(
+    "q218_user_activity_gini",
+    """
+    WITH u AS (
+      SELECT event_type, user_id, count(*) AS c FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, c,
+             row_number() OVER (
+               PARTITION BY event_type ORDER BY c, user_id) AS i
+      FROM u
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+           (CAST(2 * sum(i * c) - (count(*) + 1) * sum(c) AS DOUBLE)
+                 / CAST(count(*) * sum(c) AS DOUBLE)) AS gini
+    FROM ranked GROUP BY 1
+    """,
+)
+def q218_user_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-activity Gini per event type: inequality of per-user event
+    counts (0 = every user equally active → 1 = one user is the whole
+    stream) — the engagement-concentration number behind "whales vs
+    long tail", computed with q123's exact sorted-rank formula over
+    integer counts (rank ties broken by user id in both engines).
+
+    Scale shape: one (type, user) aggregate, a per-type rank window
+    over the USER-count-sized frame, one rollup — no corpus-sized sort."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("event_type").orderBy("c", "user_id")
+    ranked = u.select("event_type", "c", F.row_number().over(w).alias("i"))
+    n = F.count(F.lit(1))
+    return ranked.groupBy("event_type").agg(
+        n.cast("long").alias("n_users"),
+        (
+            (2 * F.sum(F.col("i") * F.col("c")) - (n + 1) * F.sum("c")).cast("double")
+            / (n * F.sum("c")).cast("double")
+        ).alias("gini"),
+    )
+
+
+@query(
+    "q219_seasonality_strength",
+    f"""
+    WITH h AS (
+      SELECT event_type, {BUCKET.format(p=3600)} AS bucket,
+             CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hod,
+             count(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    ),
+    g AS (SELECT event_type, count(*) AS b, sum(n) AS sn, sum(n * n) AS snn
+          FROM h GROUP BY 1),
+    hg AS (
+      SELECT event_type, hod, count(*) AS bh, sum(n) AS snh
+      FROM h GROUP BY 1, 2
+    ),
+    ssb AS (
+      SELECT hg.event_type,
+             sum(CAST(floor(
+               CAST(hg.bh AS DOUBLE)
+               * (CAST(hg.snh AS DOUBLE) / hg.bh - CAST(g.sn AS DOUBLE) / g.b)
+               * (CAST(hg.snh AS DOUBLE) / hg.bh - CAST(g.sn AS DOUBLE) / g.b)
+               * 1000000 + 0.5) AS BIGINT)) AS ssb_micro
+      FROM hg JOIN g USING (event_type)
+      GROUP BY 1
+    )
+    SELECT g.event_type,
+           CAST(g.b AS BIGINT) AS n_buckets,
+           CASE WHEN g.b * g.snn - g.sn * g.sn = 0 THEN NULL
+                ELSE (ssb.ssb_micro / 1000000.0)
+                     / (CAST(g.snn AS DOUBLE) - CAST(g.sn AS DOUBLE) * g.sn / g.b)
+           END AS seasonality_r2
+    FROM g JOIN ssb USING (event_type)
+    """,
+)
+def q219_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality strength per event type: the share of hourly-count
+    variance explained by the hour-of-day profile (R² = SSB/SST of the
+    24-group ANOVA) — near 1 means q207's seasonal baseline will be
+    sharp, near 0 means diurnal adjustment buys nothing. Between-group
+    terms are micro-quantized per hour-of-day key (24 per type) before
+    the integer sum; SST comes from exact integer moments."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        timeops.bucket_epoch("ts", 3600).alias("bucket"),
+        F.hour("ts").cast("long").alias("hod"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    g = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("b"),
+        F.sum("n").alias("sn"),
+        F.sum(F.col("n") * F.col("n")).alias("snn"),
+    )
+    hg = h.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).alias("bh"), F.sum("n").alias("snh")
+    )
+    diff = (
+        F.col("snh").cast("double") / F.col("bh")
+        - F.col("sn").cast("double") / F.col("b")
+    )
+    ssb = (
+        hg.join(g, "event_type")
+        .select(
+            "event_type",
+            F.floor(F.col("bh").cast("double") * diff * diff * F.lit(1_000_000) + F.lit(0.5))
+            .cast("long")
+            .alias("t_micro"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("t_micro").alias("ssb_micro"))
+    )
+    sst = F.col("snn").cast("double") - F.col("sn").cast("double") * F.col("sn") / F.col("b")
+    return g.join(ssb, "event_type").select(
+        "event_type",
+        F.col("b").cast("long").alias("n_buckets"),
+        F.when(
+            F.col("b") * F.col("snn") - F.col("sn") * F.col("sn") == 0,
+            F.lit(None).cast("double"),
+        )
+        .otherwise((F.col("ssb_micro") / F.lit(1_000_000.0)) / sst)
+        .alias("seasonality_r2"),
+    )
