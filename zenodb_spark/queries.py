@@ -12659,3 +12659,67 @@ def q219_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((F.col("ssb_micro") / F.lit(1_000_000.0)) / sst)
         .alias("seasonality_r2"),
     )
+
+
+@query(
+    "q220_stride_sampling_error",
+    f"""
+    WITH d AS (
+      SELECT event_type, {BUCKET.format(p=86400)} AS bucket, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    full_s AS (SELECT event_type, count(*) AS b_full, sum(n) AS n_full FROM d GROUP BY 1),
+    samp AS (
+      SELECT event_type, count(*) AS b_samp, sum(n) AS n_samp
+      FROM d WHERE bucket % 345600 < 86400 GROUP BY 1
+    )
+    SELECT f.event_type,
+           CAST(f.b_full AS BIGINT) AS buckets_full,
+           CAST(coalesce(s.b_samp, 0) AS BIGINT) AS buckets_sampled,
+           CAST(f.n_full AS DOUBLE) / f.b_full AS mean_full,
+           CASE WHEN coalesce(s.b_samp, 0) = 0 THEN NULL
+                ELSE CAST(s.n_samp AS DOUBLE) / s.b_samp END AS mean_sampled,
+           CASE WHEN coalesce(s.b_samp, 0) = 0 THEN NULL
+                ELSE abs(CAST(s.n_samp AS DOUBLE) / s.b_samp
+                         - CAST(f.n_full AS DOUBLE) / f.b_full)
+                     / (CAST(f.n_full AS DOUBLE) / f.b_full) END AS rel_error
+    FROM full_s f LEFT JOIN samp s USING (event_type)
+    """,
+)
+def q220_stride_sampling_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-downsampling error audit: the dialect's stride('4d') keeps
+    one 1-day slice per 4-day window as a cheap preview of a series — this
+    panel measures what that preview costs, per event type: mean daily
+    count from the sampled slices vs the full series, and the relative
+    error. The governance number for 'can the dashboard's strided view be
+    trusted' (reference StrideSlice, encoding/seq.go:309-316).
+
+    Determinism: counts are exact integers; means and the error are fixed
+    IEEE expressions over them; the stride phase (bucket % stride <
+    resolution) is the engine's own rule (engine.py), so the audit
+    measures exactly what the dialect serves."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy("event_type", timeops.bucket_epoch("ts", 86400).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    full_s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("b_full"), F.sum("n").alias("n_full")
+    )
+    samp = (
+        d.filter(F.col("bucket") % 345600 < 86400)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("b_samp"), F.sum("n").alias("n_samp"))
+    )
+    mean_full = F.col("n_full").cast("double") / F.col("b_full")
+    mean_samp = F.col("n_samp").cast("double") / F.col("b_samp")
+    empty = F.coalesce(F.col("b_samp"), F.lit(0)) == 0
+    return full_s.join(samp, "event_type", "left").select(
+        "event_type",
+        F.col("b_full").cast("long").alias("buckets_full"),
+        F.coalesce(F.col("b_samp"), F.lit(0)).cast("long").alias("buckets_sampled"),
+        mean_full.alias("mean_full"),
+        F.when(empty, F.lit(None).cast("double")).otherwise(mean_samp).alias("mean_sampled"),
+        F.when(empty, F.lit(None).cast("double"))
+        .otherwise(F.abs(mean_samp - mean_full) / mean_full)
+        .alias("rel_error"),
+    )
