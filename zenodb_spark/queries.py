@@ -12723,3 +12723,320 @@ def q220_stride_sampling_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(mean_samp - mean_full) / mean_full)
         .alias("rel_error"),
     )
+
+
+@query(
+    "q221_min_cost_supplier",
+    f"""
+    WITH ps AS (
+      SELECT l_partkey AS part, l_suppkey AS supp,
+             sum({C.format(x='l_extendedprice')}) AS price_c,
+             sum(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT part, supp, (price_c * 10000) // qty AS unit_microcents,
+             row_number() OVER (
+               PARTITION BY part
+               ORDER BY (price_c * 10000) // qty, supp) AS rk
+      FROM ps
+    )
+    SELECT p.p_partkey AS part, p.p_name AS part_name, r.supp AS supp,
+           n.n_name AS nation, r.unit_microcents AS unit_microcents
+    FROM ranked r
+    JOIN part p ON p.p_partkey = r.part AND p.p_size = 15
+    JOIN supplier s ON s.s_suppkey = r.supp
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE r.rk = 1
+    """,
+)
+def q221_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per part (TPC-H Q2's correlated-subquery
+    shape, adapted: no partsupp table, so unit cost is observed
+    sum(extendedprice)/sum(quantity) per (part, supplier) from lineitem):
+    for every size-15 part, the supplier offering the lowest unit price
+    and their nation. The classic `WHERE cost = (SELECT min(cost) ...)`
+    pattern, expressed as one shared aggregate + per-part rank instead
+    of a re-executed correlated scan.
+
+    Determinism: unit cost is exact integer micro-cents via BIGINT
+    floor-division (quantities are integral; all values positive, so
+    Spark `div` and DuckDB `//` agree); rank ties break on suppkey.
+    Scale shape: the part filter broadcasts INTO the fact aggregate (the
+    oracle filters after ranking — same per-part result, but Spark only
+    aggregates matching rows), then one part-sized window; supplier and
+    nation dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    p15 = part.filter(F.col("p_size") == 15).select("p_partkey", "p_name")
+    ps = (
+        li.join(F.broadcast(p15), li.l_partkey == p15.p_partkey)
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.col("l_suppkey").alias("supp"),
+            F.col("p_name").alias("part_name"),
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"))).alias("price_c"),
+            F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+        )
+    )
+    cost = ps.withColumn("unit_microcents", F.expr("(price_c * 10000) div qty"))
+    w = Window.partitionBy("part").orderBy("unit_microcents", "supp")
+    best = cost.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        best.join(F.broadcast(supp), best.supp == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select(
+            "part",
+            "part_name",
+            "supp",
+            F.col("n_name").alias("nation"),
+            "unit_microcents",
+        )
+    )
+
+
+@query(
+    "q222_calibration_ece",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split({NORM.format(x='text')}, ' '),
+                         x -> len(x) > 0) AS toks,
+             length(replace({NORM.format(x='text')}, ' ', '')) AS chars_ns,
+             length(text) AS n_chars,
+             length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS n_sym,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_dig
+      FROM documents
+    ), f AS (
+      SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS nu,
+             len(list_filter(toks,
+                 t -> t = 'the' OR t = 'and' OR t = 'of' OR t = 'to' OR t = 'a'
+             )) AS stop_cnt,
+             chars_ns, n_chars, n_sym, n_dig
+      FROM t WHERE len(toks) > 0 AND n_chars > 0
+    ), s AS (
+      SELECT doc_id,
+             -1.5 + 3.0 * (CAST(nu AS DOUBLE) / n)
+                  - 0.2 * (CAST(n_chars AS DOUBLE) / n)
+                  - 4.0 * (CAST(n_sym AS DOUBLE) / n_chars)
+                  - 2.0 * (CAST(n_dig AS DOUBLE) / n_chars) AS logit,
+             CASE WHEN n >= 30 AND n <= 90
+                   AND chars_ns * 10 >= 38 * n AND chars_ns * 10 <= 45 * n
+                   AND stop_cnt >= 2 AND 5 * nu >= 2 * n
+                  THEN 1 ELSE 0 END AS pass
+      FROM f
+    ), b AS (
+      SELECT CAST(least(9, greatest(0,
+               CAST(floor((logit + 2.5) / 0.5) AS INT))) AS BIGINT) AS bin,
+             CAST(floor(1000000.0 / (1.0 + exp(-logit)) + 0.5) AS BIGINT)
+               AS conf_micro,
+             pass
+      FROM s
+    ), g AS (
+      SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+             sum(conf_micro) AS cm, CAST(sum(pass) AS BIGINT) AS n_pass
+      FROM b GROUP BY 1
+    ), tot AS (SELECT sum(n_docs) AS total FROM g)
+    SELECT bin, n_docs, n_pass,
+           CAST(cm AS DOUBLE) / (n_docs * 1000000.0) AS mean_conf,
+           CAST(n_pass AS DOUBLE) / n_docs AS frac_pass,
+           abs(CAST(cm AS DOUBLE) / (n_docs * 1000000.0)
+               - CAST(n_pass AS DOUBLE) / n_docs) AS abs_gap,
+           (CAST(n_docs AS DOUBLE) / t.total)
+             * abs(CAST(cm AS DOUBLE) / (n_docs * 1000000.0)
+                   - CAST(n_pass AS DOUBLE) / n_docs) AS ece_contrib
+    FROM g, tot t
+    """,
+)
+def q222_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of the q160 linear quality classifier against the
+    q188 Gopher rule set: reliability-diagram bins over the logit (width
+    0.5 on [-2.5, 2.5], clamped) with mean predicted probability vs the
+    empirical pass-all-rules rate, plus each bin's ECE contribution
+    (weight x |gap|). The standard check before using a cheap classifier
+    score as a sampling weight: a mis-calibrated filter silently skews
+    the corpus mix.
+
+    Determinism: the logit is q160's fixed IEEE expression; bin
+    assignment is floor() of it (bit-identical both engines); the
+    sigmoid is the one transcendental and is quantized to integer
+    micro-units PER DOC before summation (the file-wide ln() policy);
+    every reported ratio is exact-integer division. Scale shape: one
+    codegen scan -> 10-bin hash aggregate -> broadcast 1-row total."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text("text")
+    toks = F.filter(F.split(norm, " "), lambda x: F.length(x) > 0)
+    stop_cnt = F.size(
+        F.filter(
+            toks,
+            lambda t: (t == "the") | (t == "and") | (t == "of") | (t == "to") | (t == "a"),
+        )
+    )
+    f = docs.select(
+        F.size(toks).alias("n"),
+        F.size(F.array_distinct(toks)).alias("nu"),
+        stop_cnt.alias("stop_cnt"),
+        F.length(F.replace(norm, F.lit(" "), F.lit(""))).alias("chars_ns"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9 ]", "")).alias(
+            "n_sym"
+        ),
+        F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).alias("n_dig"),
+    ).filter((F.col("n") > 0) & (F.col("n_chars") > 0))
+    logit = (
+        F.lit(-1.5)
+        + F.lit(3.0) * (F.col("nu").cast("double") / F.col("n"))
+        - F.lit(0.2) * (F.col("n_chars").cast("double") / F.col("n"))
+        - F.lit(4.0) * (F.col("n_sym").cast("double") / F.col("n_chars"))
+        - F.lit(2.0) * (F.col("n_dig").cast("double") / F.col("n_chars"))
+    )
+    passing = (
+        (F.col("n") >= 30)
+        & (F.col("n") <= 90)
+        & (F.col("chars_ns") * 10 >= 38 * F.col("n"))
+        & (F.col("chars_ns") * 10 <= 45 * F.col("n"))
+        & (F.col("stop_cnt") >= 2)
+        & (5 * F.col("nu") >= 2 * F.col("n"))
+    )
+    b = f.select(
+        F.least(F.lit(9), F.greatest(F.lit(0), F.floor((logit + 2.5) / 0.5).cast("int")))
+        .cast("long")
+        .alias("bin"),
+        F.floor(F.lit(1000000.0) / (F.lit(1.0) + F.exp(-logit)) + F.lit(0.5))
+        .cast("long")
+        .alias("conf_micro"),
+        F.when(passing, 1).otherwise(0).alias("pass"),
+    )
+    g = b.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("conf_micro").alias("cm"),
+        F.sum("pass").alias("n_pass"),
+    )
+    tot = g.agg(F.sum("n_docs").alias("total"))
+    mean_conf = F.col("cm").cast("double") / (F.col("n_docs") * F.lit(1000000.0))
+    frac_pass = F.col("n_pass").cast("double") / F.col("n_docs")
+    return g.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_docs",
+        "n_pass",
+        mean_conf.alias("mean_conf"),
+        frac_pass.alias("frac_pass"),
+        F.abs(mean_conf - frac_pass).alias("abs_gap"),
+        (
+            (F.col("n_docs").cast("double") / F.col("total"))
+            * F.abs(mean_conf - frac_pass)
+        ).alias("ece_contrib"),
+    )
+
+
+# nDCG discounts 1/log2(rank+1), pre-quantized to integer micro-units in
+# PYTHON and embedded as identical literals in both engines — no runtime
+# transcendental, so rank-weighted gains are exact integer sums.
+_NDCG_DISC = [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065]
+_NDCG_CUM = [1000000, 1630930, 2130930, 2561607, 2948460, 3304667, 3638000, 3953465, 4254495, 4543560]
+
+
+def _retrieval_eval_oracle() -> str:
+    disc = " ".join(
+        f"WHEN {i + 1} THEN {d}" for i, d in enumerate(_NDCG_DISC)
+    )
+    idcg = " ".join(
+        f"WHEN {i + 1} THEN {c}" for i, c in enumerate(_NDCG_CUM)
+    )
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+      FROM embeddings WHERE vec_id < 20
+    ),
+    c AS (
+      SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv, label AS clabel
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT query_id, qlabel, neighbor_id, clabel,
+             list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS cosine
+      FROM q JOIN c ON query_id <> neighbor_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ),
+    per AS (
+      SELECT query_id, qlabel,
+             sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS hits,
+             sum(CASE WHEN clabel = qlabel
+                      THEN CASE rank {disc} ELSE 0 END ELSE 0 END) AS dcg_micro,
+             min(CASE WHEN clabel = qlabel THEN rank END) AS first_rel
+      FROM ranked WHERE rank <= 10 GROUP BY 1, 2
+    ),
+    lc AS (SELECT label, count(*) AS c FROM embeddings GROUP BY 1)
+    SELECT p.query_id,
+           CAST(l.c - 1 AS BIGINT) AS n_rel,
+           CAST(p.hits AS BIGINT) AS hits10,
+           CASE WHEN p.first_rel IS NULL THEN 0.0
+                ELSE 1.0 / p.first_rel END AS mrr10,
+           CAST(p.dcg_micro AS DOUBLE)
+             / (CASE least(10, l.c - 1) {idcg} END) AS ndcg10,
+           CAST(p.hits AS DOUBLE) / (l.c - 1) AS recall10
+    FROM per p JOIN lc l ON l.label = p.qlabel
+    """
+
+
+@query("q223_retrieval_eval", _retrieval_eval_oracle())
+def q223_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality scorecard over the embedding index: per query
+    vector (vec_id < 20), MRR@10, nDCG@10 and Recall@10 of exact cosine
+    top-10 against label-match relevance — the eval harness you run after
+    every index/quantization change (pairs with q109/q146's recall-only
+    probes by adding the rank-weighted metrics IR work actually reports).
+
+    Determinism: discounts 1/log2(r+1) are Python-precomputed integer
+    micro-unit literals embedded in BOTH engines, so DCG is an exact
+    integer sum; MRR and recall are exact integer ratios; cosine ranking
+    reuses q27's bit-identical formula with id tie-breaks. Scale shape:
+    queries broadcast against one corpus scan (cosine_topk), label
+    counts broadcast; nothing grows beyond q x k rows after the scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    top = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=10, dim=64
+    )
+    qlab = F.broadcast(
+        emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+    )
+    clab = F.broadcast(
+        emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("clabel"))
+    )
+    t = top.join(qlab, "query_id").join(clab, "neighbor_id")
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC]), F.col("rank").cast("int")
+    )
+    rel = F.col("clabel") == F.col("qlabel")
+    per = t.groupBy("query_id", "qlabel").agg(
+        F.sum(F.when(rel, 1).otherwise(0)).alias("hits"),
+        F.sum(F.when(rel, disc).otherwise(F.lit(0))).alias("dcg_micro"),
+        F.min(F.when(rel, F.col("rank"))).alias("first_rel"),
+    )
+    lc = F.broadcast(emb.groupBy("label").agg(F.count(F.lit(1)).alias("c")))
+    cum = F.element_at(
+        F.array(*[F.lit(c) for c in _NDCG_CUM]),
+        F.least(F.lit(10), (F.col("c") - 1).cast("int")),
+    )
+    return per.join(lc, per.qlabel == lc.label).select(
+        "query_id",
+        (F.col("c") - 1).cast("long").alias("n_rel"),
+        F.col("hits").cast("long").alias("hits10"),
+        F.when(F.col("first_rel").isNull(), F.lit(0.0))
+        .otherwise(F.lit(1.0) / F.col("first_rel"))
+        .alias("mrr10"),
+        (F.col("dcg_micro").cast("double") / cum).alias("ndcg10"),
+        (F.col("hits").cast("double") / (F.col("c") - 1)).alias("recall10"),
+    )
