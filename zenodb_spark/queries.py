@@ -13040,3 +13040,150 @@ def q223_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dcg_micro").cast("double") / cum).alias("ndcg10"),
         (F.col("hits").cast("double") / (F.col("c") - 1)).alias("recall10"),
     )
+
+
+@query(
+    "q224_k_anonymity",
+    """
+    WITH keyed AS (
+      SELECT u.lvl AS lvl, u.k AS k FROM (
+        SELECT unnest([
+          {'lvl': 'nation_seg_bal100',
+           'k': CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment || '|'
+                || CAST(CAST(floor(c_acctbal / 100.0) AS BIGINT) AS VARCHAR)},
+          {'lvl': 'nation_seg_bal1000',
+           'k': CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment || '|'
+                || CAST(CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS VARCHAR)},
+          {'lvl': 'region_seg_bal1000',
+           'k': CAST(n_regionkey AS VARCHAR) || '|' || c_mktsegment || '|'
+                || CAST(CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS VARCHAR)},
+          {'lvl': 'region_seg',
+           'k': CAST(n_regionkey AS VARCHAR) || '|' || c_mktsegment}
+        ]) AS u
+        FROM customer JOIN nation ON n_nationkey = c_nationkey
+      )
+    ),
+    grp AS (SELECT lvl, k, count(*) AS c FROM keyed GROUP BY 1, 2)
+    SELECT lvl,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(c) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT) AS n_at_risk,
+           CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS DOUBLE) / sum(c)
+             AS frac_at_risk,
+           CAST(min(c) AS BIGINT) AS min_group
+    FROM grp GROUP BY 1
+    """,
+)
+def q224_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit across a generalization lattice: for four
+    quasi-identifier coarsenings of (nation, market segment, account-
+    balance bucket), how many customers sit in groups smaller than k=5 —
+    the re-identification risk number a privacy review asks for before a
+    table leaves the boundary, and the lattice walk a Mondrian-style
+    anonymizer automates.
+
+    Determinism: balance buckets are floor() of the identical IEEE
+    division (exact both engines, negative balances floor the same way);
+    everything else is integer counts. Scale shape: one scan explodes 4
+    level keys per row (q188's panel shape), ONE hash aggregate on
+    (level, key), then a level-sized rollup — no joins beyond the
+    broadcast nation dim, no per-level rescans."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    j = cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    nk = F.col("c_nationkey").cast("string")
+    rk = F.col("n_regionkey").cast("string")
+    seg = F.col("c_mktsegment")
+    b100 = F.floor(F.col("c_acctbal") / 100.0).cast("long").cast("string")
+    b1000 = F.floor(F.col("c_acctbal") / 1000.0).cast("long").cast("string")
+    bar = F.lit("|")
+    levels = F.array(
+        F.struct(
+            F.lit("nation_seg_bal100").alias("lvl"),
+            F.concat(nk, bar, seg, bar, b100).alias("k"),
+        ),
+        F.struct(
+            F.lit("nation_seg_bal1000").alias("lvl"),
+            F.concat(nk, bar, seg, bar, b1000).alias("k"),
+        ),
+        F.struct(
+            F.lit("region_seg_bal1000").alias("lvl"),
+            F.concat(rk, bar, seg, bar, b1000).alias("k"),
+        ),
+        F.struct(
+            F.lit("region_seg").alias("lvl"),
+            F.concat(rk, bar, seg).alias("k"),
+        ),
+    )
+    keyed = j.select(F.explode(levels).alias("u")).select("u.lvl", "u.k")
+    grp = keyed.groupBy("lvl", "k").agg(F.count(F.lit(1)).alias("c"))
+    risk = F.sum(F.when(F.col("c") < 5, F.col("c")).otherwise(0))
+    return grp.groupBy("lvl").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("c").alias("n_rows"),
+        risk.alias("n_at_risk"),
+        (risk.cast("double") / F.sum("c")).alias("frac_at_risk"),
+        F.min("c").alias("min_group"),
+    )
+
+
+@query(
+    "q225_dp_release",
+    f"""
+    WITH d AS (
+      SELECT event_type, {BUCKET.format(p=86400)} AS day, count(*) AS n_true
+      FROM events GROUP BY 1, 2
+    ),
+    u AS (
+      SELECT event_type, day, n_true,
+             (CAST(('0x' || substr(md5(event_type || '|' || CAST(day AS VARCHAR)), 1, 12))
+                   AS BIGINT) + 0.5) / 281474976710656.0 AS unif
+      FROM d
+    )
+    SELECT event_type, day, CAST(n_true AS BIGINT) AS n_true,
+           round(CASE WHEN unif >= 0.5 THEN -ln(2.0 - 2.0 * unif)
+                      ELSE ln(2.0 * unif) END, 9) AS noise,
+           round(n_true + (CASE WHEN unif >= 0.5 THEN -ln(2.0 - 2.0 * unif)
+                                ELSE ln(2.0 * unif) END), 9) AS released
+    FROM u
+    """,
+)
+def q225_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release (Laplace mechanism,
+    eps=1, sensitivity 1): per (event_type, day) the true count, the
+    Laplace(1) noise drawn DETERMINISTICALLY from an md5-seeded uniform
+    of the cell key (inverse-CDF transform), and the released noisy
+    count. Seeded noise is how a release pipeline stays reproducible and
+    auditable across reruns/engines — rand() would be neither.
+
+    Determinism: the uniform is (48-bit md5 prefix + 0.5)/2^48, strictly
+    inside (0,1) so ln() never sees 0; ln outputs round(9) on BOTH
+    engines per the file-wide transcendental policy (never at decimal
+    halves). Scale shape: one hash aggregate, then pure codegen math on
+    the aggregate — adding noise costs nothing at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", timeops.bucket_epoch("ts", 86400).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_true"))
+    unif = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_type"), F.lit("|"), F.col("day").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(281474976710656.0)
+    noise = F.when(unif >= 0.5, -F.log(F.lit(2.0) - F.lit(2.0) * unif)).otherwise(
+        F.log(F.lit(2.0) * unif)
+    )
+    return d.select(
+        "event_type",
+        "day",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.round(noise, 9).alias("noise"),
+        F.round(F.col("n_true") + noise, 9).alias("released"),
+    )
