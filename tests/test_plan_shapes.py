@@ -154,3 +154,75 @@ def test_chi2_grid_is_broadcast_cross(spark):
     plan = _plan(chi2_contingency(df, "g", "c"))
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Carve each BroadcastExchange's subtree out of a toString() plan by
+    tree-prefix depth (the char offset of its node marker)."""
+    lines = plan.splitlines()
+    subs = []
+    for i, line in enumerate(lines):
+        m = re.search(r"[+:]- BroadcastExchange", line)
+        if not m and not line.startswith("BroadcastExchange"):
+            continue
+        depth = m.start() if m else 0
+        block = [line]
+        for nxt in lines[i + 1 :]:
+            m2 = re.search(r"[+:]- ", nxt)
+            if m2 is None or m2.start() > depth:
+                block.append(nxt)
+            else:
+                break
+        subs.append("\n".join(block))
+    return subs
+
+
+def test_q221_fact_never_broadcast(spark):
+    """q221 (TPC-H Q2 shape): part/supplier carry NO broadcast hint (AQE
+    and size stats decide — SCALE.md policy for SF-scaled sides), and no
+    plan choice may ever put lineitem fact columns in a broadcast build.
+    The window must rank on the aggregate, not the raw fact."""
+    from zenodb_spark import queries as Q
+
+    plan = _plan(Q.QUERIES["q221_min_cost_supplier"](spark, SF_DIR))
+    for sub in _broadcast_subtrees(plan):
+        assert "l_extendedprice" not in sub and "l_quantity" not in sub
+    # rank window consumes the (part, supp) aggregate: the plan prints
+    # top-down, so the Window line precedes its HashAggregate child
+    assert re.search(r"Window \[row_number", plan)
+    assert plan.index("Window [row_number") < plan.index("HashAggregate(keys=[l_partkey")
+    # rk == 1 must push down as a group-limit with a map-side Partial pass
+    # (each shuffle mapper ships one candidate row per part, not the full
+    # per-part supplier list)
+    assert re.search(r"WindowGroupLimit [^\n]*Partial", plan)
+
+
+def test_q223_corpus_never_broadcast(spark):
+    """q223 retrieval eval: every broadcast build must be bounded — the
+    query-side scan (vec_id < 20 pushed), the q x k top frame (rank
+    window output), or the per-label count aggregate. An unbounded
+    embeddings scan inside a BroadcastExchange is the corpus-broadcast
+    scale bug this pin exists to catch."""
+    from zenodb_spark import queries as Q
+
+    plan = _plan(Q.QUERIES["q223_retrieval_eval"](spark, SF_DIR))
+    subs = _broadcast_subtrees(plan)
+    assert len(subs) >= 3
+    for sub in subs:
+        bounded = (
+            "LessThan(vec_id,20)" in sub
+            or "row_number" in sub
+            or re.search(r"HashAggregate\(keys=\[label", sub)
+        )
+        assert bounded, f"unbounded broadcast build:\n{sub[:400]}"
+
+
+def test_q224_single_scan_panel(spark):
+    """q224 k-anonymity: the 4-level lattice must ride ONE customer scan
+    through a Generate (explode) into one (lvl, key) aggregate — four
+    per-level rescans of a 100 TB table is the failure mode."""
+    from zenodb_spark import queries as Q
+
+    plan = _plan(Q.QUERIES["q224_k_anonymity"](spark, SF_DIR))
+    assert len(re.findall(r"Scan parquet [^\n]*customer", plan)) == 1
+    assert len(re.findall(r"\bGenerate explode", plan)) == 1

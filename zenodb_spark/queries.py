@@ -12508,13 +12508,14 @@ def q217_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: revenues are exact cents; each supplier's squared share
     is one fixed IEEE expression nano-quantized per DISTINCT supplier
     before the per-nation integer sum (the ln() policy). Scale shape: one
-    fact aggregate keyed (nation, supplier), dimensions broadcast, totals
-    joined back per nation."""
+    fact aggregate keyed (nation, supplier); supplier scales with SF so
+    AQE picks its join side (no hint, per SCALE.md), nation broadcasts;
+    totals joined back per nation."""
     li = load_table(spark, sf_dir, "lineitem")
-    supp = load_table(spark, sf_dir, "supplier")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = load_table(spark, sf_dir, "nation")
     r = (
-        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.col("s_suppkey").alias("supp"))
         .agg(
@@ -12762,17 +12763,18 @@ def q221_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: unit cost is exact integer micro-cents via BIGINT
     floor-division (quantities are integral; all values positive, so
     Spark `div` and DuckDB `//` agree); rank ties break on suppkey.
-    Scale shape: the part filter broadcasts INTO the fact aggregate (the
-    oracle filters after ranking — same per-part result, but Spark only
-    aggregates matching rows), then one part-sized window; supplier and
-    nation dims broadcast."""
+    Scale shape: the size-15 part filter joins INTO the fact aggregate
+    (the oracle filters after ranking — same per-part result, but Spark
+    only aggregates matching rows), then one part-sized window; part and
+    supplier scale with SF so AQE picks their join side (no hint, per
+    SCALE.md); only nation (O(1) rows) carries a broadcast hint."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     supp = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     p15 = part.filter(F.col("p_size") == 15).select("p_partkey", "p_name")
     ps = (
-        li.join(F.broadcast(p15), li.l_partkey == p15.p_partkey)
+        li.join(p15, li.l_partkey == p15.p_partkey)
         .groupBy(
             F.col("l_partkey").alias("part"),
             F.col("l_suppkey").alias("supp"),
@@ -12787,8 +12789,8 @@ def q221_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("part").orderBy("unit_microcents", "supp")
     best = cost.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
     return (
-        best.join(F.broadcast(supp), best.supp == supp.s_suppkey)
-        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        best.join(supp.select("s_suppkey", "s_nationkey"), best.supp == F.col("s_suppkey"))
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
         .select(
             "part",
             "part_name",
@@ -13003,19 +13005,27 @@ def q223_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-unit literals embedded in BOTH engines, so DCG is an exact
     integer sum; MRR and recall are exact integer ratios; cosine ranking
     reuses q27's bit-identical formula with id tie-breaks. Scale shape:
-    queries broadcast against one corpus scan (cosine_topk), label
-    counts broadcast; nothing grows beyond q x k rows after the scan."""
+    queries broadcast against one corpus scan (cosine_topk); neighbor
+    labels come from a SECOND corpus scan that streams against the
+    broadcast q x k top frame — the corpus itself is never broadcast
+    (SCALE.md's O(model)-broadcast policy); query labels and per-label
+    counts are bounded aggregates/filters and ride as broadcasts."""
     emb = load_table(spark, sf_dir, "embeddings")
     top = similarity.cosine_topk(
         emb, emb.filter(F.col("vec_id") < 20), "vec_id", "embedding", k=10, dim=64
     )
     qlab = F.broadcast(
-        emb.select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+        emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel")
+        )
     )
-    clab = F.broadcast(
+    # neighbor labels: stream the corpus scan against the broadcast top
+    # frame (q x k rows) — never the reverse
+    t = (
         emb.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("clabel"))
+        .join(F.broadcast(top), "neighbor_id")
+        .join(qlab, "query_id")
     )
-    t = top.join(qlab, "query_id").join(clab, "neighbor_id")
     disc = F.element_at(
         F.array(*[F.lit(d) for d in _NDCG_DISC]), F.col("rank").cast("int")
     )
