@@ -95,6 +95,9 @@ HEADLINE = [
     "q202_sketch_calibration",
     "q205_matryoshka_recall",
     "q213_media_dedup",
+    "q221_min_cost_supplier",
+    "q223_retrieval_eval",
+    "q224_k_anonymity",
     "z01_engine_rollup_sketch",
     "z02_engine_shift",
     "z06_engine_crosstab",
