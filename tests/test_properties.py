@@ -376,3 +376,116 @@ def test_chi2_contingency_matches_naive(spark, rows):
     for g in want:
         assert got[g][0] == want[g][0]
         assert got[g][1] == pytest.approx(want[g][1], abs=1e-9)
+
+
+def _naive_anova(rows):
+    """Direct one-way ANOVA with per-group micro-quantized between-terms
+    (the operator's documented quantization contract)."""
+    import math
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for g, v in rows:
+        by[g].append(v)
+    k, n = len(by), len(rows)
+    s = sum(v for _, v in rows)
+    q = sum(v * v for _, v in rows)
+    tsum = sum(
+        math.floor(float(sum(vs)) * sum(vs) / len(vs) * 1e6 + 0.5)
+        for vs in by.values()
+    )
+    grand = math.floor(float(s) * s / n * 1e6 + 0.5)
+    ssb_m, ssw_m = tsum - grand, q * 1000000 - tsum
+    f = None
+    if k > 1 and n > k and ssw_m != 0:
+        f = (ssb_m / (k - 1)) / (ssw_m / (n - k))
+    return k, n, ssb_m / 1e6, ssw_m / 1e6, f
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=3), st.integers(min_value=0, max_value=50)),
+        min_size=4,
+        max_size=60,
+    )
+)
+def test_anova_matches_naive(spark, rows):
+    from zenodb_spark.operators.stats import anova_oneway
+
+    df = spark.createDataFrame([Row(g=str(g), x=v) for g, v in rows])
+    r = anova_oneway(df, "g", "x").collect()[0]
+    k, n, ssb, ssw, f = _naive_anova([(str(g), v) for g, v in rows])
+    assert (r["n_groups"], r["n"]) == (k, n)
+    assert r["ssb"] == pytest.approx(ssb, abs=1e-9)
+    assert r["ssw"] == pytest.approx(ssw, abs=1e-9)
+    if f is not None:
+        assert r["f_stat"] == pytest.approx(f, rel=1e-12)
+
+
+def _naive_mwu(rows, group):
+    """Direct Mann-Whitney U with midranks + tie-corrected z."""
+    import math
+
+    pooled = sorted(v for _, v in rows)
+    n = len(pooled)
+    n1 = sum(1 for g, _ in rows if g == group)
+    n2 = n - n1
+    if n1 == 0 or n2 == 0:
+        return None
+    # midrank of each value in the pooled ranking
+    first = {}
+    for i, v in enumerate(pooled):
+        first.setdefault(v, i)
+    def midrank(v):
+        c = pooled.count(v)
+        return first[v] + 1 + (c - 1) / 2.0
+    r1 = sum(midrank(v) for g, v in rows if g == group)
+    u = r1 - n1 * (n1 + 1) / 2.0
+    tie3 = 0
+    for v in set(pooled):
+        t = pooled.count(v)
+        tie3 += t * t * t - t
+    var = n1 * n2 / 12.0 * ((n + 1) - tie3 / (n * (n - 1))) if n > 1 else 0.0
+    z = (u - n1 * n2 / 2.0) / math.sqrt(var) if var > 0 else None
+    return n1, u, z
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2), st.integers(min_value=0, max_value=8)),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_mann_whitney_matches_naive(spark, rows):
+    from zenodb_spark.operators.stats import mann_whitney_u
+
+    df = spark.createDataFrame([Row(g=str(g), x=v) for g, v in rows])
+    got = {r["g"]: r for r in mann_whitney_u(df, "g", "x").collect()}
+    groups = {str(g) for g, _ in rows}
+    assert set(got) == groups
+    for grp in groups:
+        want = _naive_mwu([(str(g), v) for g, v in rows], grp)
+        if want is None:
+            continue
+        n1, u, z = want
+        assert got[grp]["n"] == n1
+        assert got[grp]["u"] == pytest.approx(u, abs=1e-9)
+        if z is not None:
+            assert got[grp]["z"] == pytest.approx(z, rel=1e-9)
+
+
+def test_poisson_bootstrap_deterministic_and_sane(spark):
+    """Same inputs → bit-identical CI across runs (md5-seeded draws); the
+    interval brackets the exact mean on a well-behaved sample."""
+    from zenodb_spark.operators.stats import poisson_bootstrap_mean_ci
+
+    rows = [Row(g="a", x=int(v), i=n) for n, v in enumerate([10, 12, 9, 11, 10, 13, 8, 10, 11, 12] * 5)]
+    df = spark.createDataFrame(rows)
+    a = poisson_bootstrap_mean_ci(df, "g", "x", "i", reps=24).collect()[0]
+    b = poisson_bootstrap_mean_ci(df, "g", "x", "i", reps=24).collect()[0]
+    assert (a["ci_lo"], a["ci_hi"]) == (b["ci_lo"], b["ci_hi"])
+    assert a["ci_lo"] <= a["mean"] <= a["ci_hi"]
+    assert a["n"] == 50

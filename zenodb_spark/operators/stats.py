@@ -121,3 +121,210 @@ def chi2_contingency(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
         (F.sum("term_micro") / F.lit(1000000.0)).alias("chi2_contrib"),
     ).withColumnRenamed("r_", row_col)
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA F statistic of an INTEGER-valued ``value_col`` across
+    the levels of ``group_col`` (continuous axes should be quantized
+    first, as with KS).
+
+    Returns ONE row (n_groups, n, ssb, ssw, f_stat). Exactness: per-group
+    sums/counts and the global Σx² are exact BIGINTs; each group's
+    between-term s_g²/n_g is one fixed IEEE expression micro-quantized
+    per DISTINCT group before the integer sum (queries.py's ln() policy),
+    so SSB/SSW are exact integer micro-units with a fixed trailing IEEE
+    F ratio. Overflow: needs Σx²·10⁶ < 2⁶³ — fine to ~9e12 of summed
+    squares (e.g. 9e6 rows of values ≤ 1000).
+
+    Scale shape: one hash aggregate keyed by group, then a 1-row rollup —
+    nothing beyond the group-cardinality frame leaves the first shuffle."""
+    d = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
+    g = d.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("x").alias("sg"),
+        F.sum(F.col("x") * F.col("x")).alias("qg"),
+    )
+    term = F.col("sg").cast("double") * F.col("sg") / F.col("ng")
+    gm = g.select(
+        "ng",
+        "sg",
+        "qg",
+        F.floor(term * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("tm"),
+    )
+    agg = gm.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum("tm").alias("tsum"),
+    )
+    grand = (
+        F.floor(
+            F.col("s").cast("double") * F.col("s") / F.col("n") * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    ssb_micro = F.col("tsum") - grand
+    ssw_micro = F.col("q") * F.lit(1000000) - F.col("tsum")
+    # degenerate designs (one group, no residual df, zero within-variance)
+    # have no F — return NULL rather than trip ANSI divide-by-zero
+    f_stat = F.when(
+        (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw_micro != 0),
+        (ssb_micro.cast("double") / (F.col("k") - 1))
+        / (ssw_micro.cast("double") / (F.col("n") - F.col("k"))),
+    )
+    return agg.select(
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("n").cast("long").alias("n"),
+        (ssb_micro / F.lit(1000000.0)).alias("ssb"),
+        (ssw_micro / F.lit(1000000.0)).alias("ssw"),
+        f_stat.alias("f_stat"),
+    )
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) of each group vs the REST of the frame,
+    with tie-corrected normal approximation z.
+
+    Returns (group_col, n, u, z). Exactness: pooled midranks arrive as
+    DOUBLED ranks 2·cum_before + ct + 1 — integers even at ties — so the
+    rank-sum and U are exact BIGINT halves; the tie correction Σ(t³−t) is
+    an exact integer aggregate; z's sqrt is a fixed IEEE sequence over
+    exact integer ratios (q70's convention). Overflow-safe to ~1.5e6 rows
+    per tie class (t³ < 2⁶³) and ~3e9 total (n₁·n₂ products).
+
+    Scale shape: identical to the KS grid — one (group, value) aggregate,
+    one value aggregate, per-group windows over the VALUE GRID (bounded
+    by the value domain), never a sort of the raw frame."""
+    d = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
+    cgx = d.groupBy("g", "x").agg(F.count(F.lit(1)).alias("c"))
+    ct = d.groupBy("x").agg(F.count(F.lit(1)).alias("ct"))
+    nn = d.agg(F.count(F.lit(1)).alias("nn"))
+    # tie term over value multiplicities: Σ t³ − t
+    ties = ct.agg(
+        F.sum(F.col("ct") * F.col("ct") * F.col("ct") - F.col("ct")).alias("tie3")
+    )
+    wv = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = ct.select(
+        "x",
+        "ct",
+        (F.lit(2) * (F.sum("ct").over(wv) - F.col("ct")) + F.col("ct") + 1).alias("dr"),
+    )
+    r2 = (
+        cgx.join(ranked, "x")
+        .groupBy("g")
+        .agg(
+            F.sum("c").alias("n1"),
+            F.sum(F.col("c") * F.col("dr")).alias("r2"),
+        )
+    )
+    j = r2.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(ties))
+    n2 = F.col("nn") - F.col("n1")
+    u2 = F.col("r2") - F.col("n1") * (F.col("n1") + 1)  # doubled U
+    mu2 = F.col("n1") * n2  # doubled mean n1·n2/2
+    var = (
+        F.col("n1").cast("double")
+        * n2
+        / 12.0
+        * (
+            (F.col("nn") + 1)
+            - F.col("tie3").cast("double") / (F.col("nn") * (F.col("nn") - 1))
+        )
+    )
+    # z undefined when a side is empty, nn < 2, or the pooled frame is one
+    # giant tie (var == 0) — NULL instead of ANSI divide-by-zero
+    z = F.when(
+        (F.col("n1") > 0) & (n2 > 0) & (F.col("nn") > 1) & (var > 0),
+        (u2 - mu2).cast("double") / F.lit(2.0) / F.sqrt(var),
+    )
+    return j.select(
+        F.col("g").alias(group_col),
+        F.col("n1").cast("long").alias("n"),
+        (u2.cast("double") / F.lit(2.0)).alias("u"),
+        z.alias("z"),
+    )
+
+
+# Poisson(1) CDF thresholds, Python-precomputed so BOTH engines compare the
+# SAME literals against the md5 uniform — no runtime exp()/factorials
+POISSON1_CDF = [
+    0.36787944117144233,
+    0.7357588823428847,
+    0.9196986029286058,
+    0.9810118431238463,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.999916758850712,
+]
+
+
+def poisson_bootstrap_mean_ci(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    reps: int = 40,
+    lo: float = 0.025,
+    hi: float = 0.975,
+) -> DataFrame:
+    """Per-group bootstrap confidence interval of the mean of an INTEGER
+    ``value_col`` via the Poisson bootstrap (the distributed-data
+    bootstrap: each row independently draws a Poisson(1) multiplicity per
+    replicate, so no replicate ever needs a global resample).
+
+    Returns (group_col, n, mean, ci_lo, ci_hi). Draws are DETERMINISTIC:
+    the uniform is (48-bit md5 of id:replicate + 0.5)/2^48 and the
+    Poisson inverse-CDF thresholds are Python-precomputed literals
+    (capped at 7), so every engine/run resamples identically. Replicate
+    means are ratios of exact BIGINT sums; the CI is the exact
+    interpolated percentile (quantile_cont semantics) over the
+    ``reps``-sized per-group mean set.
+
+    Scale shape: one scan explodes ×reps (weights are pure codegen
+    expressions), ONE shuffle keyed (group, replicate), then a
+    reps-per-group rollup — bounded by groups × reps thereafter."""
+    d = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("x"),
+        F.col(id_col).cast("string").alias("rid"),
+    )
+    e = d.select(
+        "g", "x", "rid", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("r")
+    )
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("rid"), F.lit(":"), F.col("r"))), 1, 12),
+            16,
+            10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(281474976710656.0)
+    # materialize the uniform once, then count thresholds with a when-chain:
+    # a higher-order array filter here runs INTERPRETED (no codegen) and is
+    # ~9x slower on the exploded frame; the when-sum stays in codegen
+    e = e.withColumn("u", u)
+    w = sum(
+        F.when(F.col("u") >= F.lit(t), 1).otherwise(0) for t in POISSON1_CDF
+    )
+    per_rep = (
+        e.withColumn("w", w)
+        .groupBy("g", "r")
+        .agg(F.sum(F.col("w") * F.col("x")).alias("sw"), F.sum("w").alias("cw"))
+        .filter(F.col("cw") > 0)
+        .select("g", (F.col("sw").cast("double") / F.col("cw")).alias("m"))
+    )
+    base = d.groupBy("g").agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    ci = per_rep.groupBy("g").agg(
+        F.percentile(F.col("m"), F.lit(lo)).alias("ci_lo"),
+        F.percentile(F.col("m"), F.lit(hi)).alias("ci_hi"),
+    )
+    return (
+        base.join(ci, "g")
+        .select(
+            F.col("g").alias(group_col),
+            F.col("n").cast("long").alias("n"),
+            (F.col("s").cast("double") / F.col("n")).alias("mean"),
+            "ci_lo",
+            "ci_hi",
+        )
+    )

@@ -13197,3 +13197,148 @@ def q225_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(noise, 9).alias("noise"),
         F.round(F.col("n_true") + noise, 9).alias("released"),
     )
+
+
+@query(
+    "q226_anova_length",
+    f"""
+    WITH d AS (
+      SELECT source AS g, len(string_split({_NT}, ' ')) AS x FROM documents
+    ),
+    g AS (SELECT g, count(*) AS ng, sum(x) AS sg, sum(x * x) AS qg
+          FROM d GROUP BY 1),
+    gm AS (
+      SELECT ng, sg, qg,
+             CAST(floor(CAST(sg AS DOUBLE) * sg / ng * 1000000.0 + 0.5)
+                  AS BIGINT) AS tm
+      FROM g
+    ),
+    a AS (SELECT count(*) AS k, sum(ng) AS n, sum(sg) AS s, sum(qg) AS q,
+                 sum(tm) AS tsum FROM gm)
+    SELECT CAST(k AS BIGINT) AS n_groups, CAST(n AS BIGINT) AS n,
+           CAST(tsum - CAST(floor(CAST(s AS DOUBLE) * s / n * 1000000.0 + 0.5)
+                            AS BIGINT) AS BIGINT) / 1000000.0 AS ssb,
+           CAST(q * 1000000 - tsum AS BIGINT) / 1000000.0 AS ssw,
+           (CAST(tsum - CAST(floor(CAST(s AS DOUBLE) * s / n * 1000000.0 + 0.5)
+                             AS BIGINT) AS DOUBLE) / (k - 1))
+             / (CAST(q * 1000000 - tsum AS DOUBLE) / (n - k)) AS f_stat
+    FROM a
+    """,
+)
+def q226_anova_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of document token count across sources: does source
+    explain length variance? The F statistic quantifies what q192's KS
+    tests pairwise and q211's bias audit eyeballs — the single-number
+    screen before a mixing decision treats sources as interchangeable.
+
+    Determinism/scale: see operators/stats.anova_oneway — per-group exact
+    BIGINT sums, between-terms micro-quantized per group, one group-keyed
+    aggregate + a 1-row rollup."""
+    from zenodb_spark.operators.dedup import normalize_text
+    from zenodb_spark.operators.stats import anova_oneway
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", F.size(F.split(normalize_text("text"), " ")).alias("x")
+    )
+    return anova_oneway(d, "source", "x")
+
+
+@query(
+    "q227_mannwhitney_length",
+    f"""
+    WITH d AS (
+      SELECT lang AS g, len(string_split({_NT}, ' ')) AS x FROM documents
+    ),
+    cgx AS (SELECT g, x, count(*) AS c FROM d GROUP BY 1, 2),
+    ct AS (SELECT x, count(*) AS ct FROM d GROUP BY 1),
+    nn AS (SELECT count(*) AS nn FROM d),
+    ties AS (SELECT sum(ct * ct * ct - ct) AS tie3 FROM ct),
+    ranked AS (
+      SELECT x, ct, 2 * (sum(ct) OVER (ORDER BY x) - ct) + ct + 1 AS dr
+      FROM ct
+    ),
+    r2 AS (SELECT g, sum(c) AS n1, sum(c * dr) AS r2
+           FROM cgx JOIN ranked USING (x) GROUP BY 1)
+    SELECT g AS lang, CAST(n1 AS BIGINT) AS n,
+           CAST(r2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u,
+           CAST((r2 - n1 * (n1 + 1)) - n1 * (nn - n1) AS DOUBLE) / 2.0
+             / sqrt(CAST(n1 AS DOUBLE) * (nn - n1) / 12.0
+                    * ((nn + 1) - CAST(tie3 AS DOUBLE) / (nn * (nn - 1)))) AS z
+    FROM r2, nn, ties
+    """,
+)
+def q227_mannwhitney_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney rank-sum of token count, each language vs the rest —
+    the nonparametric 'is this language's length distribution shifted'
+    test (robust where ANOVA's variance decomposition is not: heavy
+    tails, ordinal axes). Tie-corrected z via doubled integer midranks.
+
+    Determinism/scale: see operators/stats.mann_whitney_u — the pooled
+    ranking is computed on the VALUE GRID (never a raw-frame sort),
+    doubled midranks keep every rank integer at ties, and z's sqrt is a
+    fixed IEEE sequence over exact integer ratios."""
+    from zenodb_spark.operators.dedup import normalize_text
+    from zenodb_spark.operators.stats import mann_whitney_u
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang", F.size(F.split(normalize_text("text"), " ")).alias("x")
+    )
+    return mann_whitney_u(d, "lang", "x")
+
+
+def _bootstrap_oracle() -> str:
+    from zenodb_spark.operators.stats import POISSON1_CDF
+
+    lits = ", ".join(repr(t) for t in POISSON1_CDF)
+    unif = (
+        "(CAST(('0x' || substr(md5(rid || ':' || CAST(r AS VARCHAR)), 1, 12)) "
+        "AS BIGINT) + 0.5) / 281474976710656.0"
+    )
+    return f"""
+    WITH d AS (
+      SELECT event_type AS g, {C.format(x='value')} AS x,
+             CAST(event_id AS VARCHAR) AS rid
+      FROM events
+    ),
+    e AS (SELECT g, x, rid, unnest(range(0, 40)) AS r FROM d),
+    wtd AS (
+      SELECT g, x, r,
+             len(list_filter([{lits}], t -> {unif} >= t)) AS w
+      FROM e
+    ),
+    pr AS (SELECT g, r, sum(w * x) AS sw, sum(w) AS cw FROM wtd GROUP BY 1, 2),
+    m AS (SELECT g, CAST(sw AS DOUBLE) / cw AS m FROM pr WHERE cw > 0),
+    base AS (SELECT g, count(*) AS n, sum(x) AS s FROM d GROUP BY 1),
+    ci AS (SELECT g, quantile_cont(m, 0.025) AS ci_lo,
+                  quantile_cont(m, 0.975) AS ci_hi FROM m GROUP BY 1)
+    SELECT b.g AS event_type, CAST(b.n AS BIGINT) AS n,
+           CAST(b.s AS DOUBLE) / b.n AS mean_cents, ci.ci_lo, ci.ci_hi
+    FROM base b JOIN ci ON b.g = ci.g
+    """
+
+
+@query("q228_bootstrap_ci", _bootstrap_oracle())
+def q228_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap confidence interval of mean event value (in cents)
+    per event type, via the Poisson bootstrap — the distributed-data
+    bootstrap where each row draws an independent Poisson(1) multiplicity
+    per replicate, so resampling never needs a global pass (Chamandy et
+    al., 'Estimating Uncertainty for Massive Data Streams', Google 2012).
+    The error bar every A/B readout (q101) should carry.
+
+    Determinism: draws are md5-seeded per (row, replicate) with
+    Python-precomputed Poisson CDF literals (no runtime exp()), replicate
+    means are exact-integer ratios, and the CI is the exact interpolated
+    percentile over the 40 replicate means (quantile_cont-equal).
+    Scale shape: see operators/stats.poisson_bootstrap_mean_ci — one
+    exploded scan, ONE (group, replicate) shuffle, groups x 40 rollup."""
+    from zenodb_spark.operators.stats import poisson_bootstrap_mean_ci
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", cents(F.col("value")).alias("x"), F.col("event_id")
+    )
+    out = poisson_bootstrap_mean_ci(d, "event_type", "x", "event_id", reps=40)
+    return out.withColumnRenamed("mean", "mean_cents")
