@@ -1,0 +1,98 @@
+"""Round-4 continuation: SHIFT reads below ASOF (reference
+encoding/seq.go:244-276 truncates the shifted source at asOf+shift), and
+the inference-stats additions' engine-level seams."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+
+from zenodb_spark.engine import DB
+
+DAY = 86400.0
+T0 = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc).timestamp()
+
+
+def ts(days: float) -> dt.datetime:
+    return dt.datetime.fromtimestamp(T0 + days * DAY, dt.timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def shift_db(spark):
+    db = DB(spark, now=T0 + 10 * DAY)
+    db.apply_schema(
+        {"m": {"sql": "SELECT v FROM pts GROUP BY k, period('1d')"}}
+    )
+    pts = [Row(ts=ts(d + 0.25), k="a", v=float(10 + d)) for d in range(8)]
+    db.insert("pts", spark.createDataFrame(pts))
+    return db
+
+
+def test_shift_reads_value_before_asof(shift_db):
+    """SHIFT('1d') at the FIRST in-range bucket must surface the true
+    pre-ASOF value, not coalesce to 0 — the reference extends the shifted
+    source read to asOf+shift (encoding/seq.go:251)."""
+    out = shift_db.query(
+        "SELECT v, SHIFT(v, '1d') AS pv FROM m "
+        "ASOF '2024-03-04' UNTIL '2024-03-07' GROUP BY k, period('1d')"
+    )
+    rows = {r["_time"].day: (r["v"], r["pv"]) for r in out.collect()}
+    # days 4..6 in range; day 4's shift value is day 3's v (=12), pre-ASOF
+    assert set(rows) == {4, 5, 6}
+    assert rows[4] == (13.0, 12.0)
+    assert rows[5] == (14.0, 13.0)
+    assert rows[6] == (15.0, 14.0)
+
+
+def test_shift_beyond_retained_data_still_zero(shift_db):
+    """A shift reaching before ANY stored data coalesces to 0 (absent)."""
+    out = shift_db.query(
+        "SELECT v, SHIFT(v, '1d') AS pv FROM m "
+        "ASOF '2024-03-01' UNTIL '2024-03-03' GROUP BY k, period('1d')"
+    )
+    rows = {r["_time"].day: (r["v"], r["pv"]) for r in out.collect()}
+    assert rows[1] == (10.0, 0.0)  # nothing exists before day 1
+    assert rows[2] == (11.0, 10.0)
+
+
+def test_crosshift_reads_below_asof(shift_db):
+    """CROSSHIFT's furthest offset also extends the read window."""
+    out = shift_db.query(
+        "SELECT CROSSHIFT(v, '-2d', '1d') AS v FROM m "
+        "ASOF '2024-03-05' UNTIL '2024-03-07' GROUP BY k, period('1d')"
+    )
+    rows = {r["_time"].day: r for r in out.collect()}
+    assert set(rows) == {5, 6}
+    assert rows[5]["v"] == 14.0
+    assert rows[5]["v_1d"] == 13.0  # day 4 (pre-ASOF)
+    assert rows[5]["v_2d"] == 12.0  # day 3 (pre-ASOF)
+
+
+def test_output_range_not_widened_by_shift(shift_db):
+    """The extended READ must not leak pre-ASOF buckets into the OUTPUT."""
+    out = shift_db.query(
+        "SELECT v, SHIFT(v, '2d') AS pv FROM m "
+        "ASOF '2024-03-05' UNTIL '2024-03-07' GROUP BY k, period('1d')"
+    )
+    days = sorted(r["_time"].day for r in out.collect())
+    assert days == [5, 6]
+
+
+def test_crosstab_shift_asof_no_phantom_columns(spark):
+    """Under CROSSTAB, pre-ASOF-only crosstab values must not become
+    phantom pivot columns after the shift-extended read."""
+    db = DB(spark, now=T0 + 10 * DAY)
+    db.apply_schema({"m2": {"sql": "SELECT v FROM pts GROUP BY k, period('1d')"}})
+    pts = [Row(ts=ts(0.25), k="gone", v=1.0)] + [
+        Row(ts=ts(d + 0.25), k="live", v=float(d)) for d in range(1, 5)
+    ]
+    db.insert("pts", spark.createDataFrame(pts))
+    out = db.query(
+        "SELECT v, SHIFT(v, '1d') AS pv FROM m2 "
+        "ASOF '2024-03-02' UNTIL '2024-03-05' GROUP BY _, CROSSTAB(k), period('1d')"
+    )
+    cols = set(out.columns)
+    assert not any(c.startswith("gone") for c in cols), cols
+    assert any(c.startswith("live") for c in cols)

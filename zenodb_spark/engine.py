@@ -91,6 +91,36 @@ def resolve_time(s: str, now: float) -> float:
     return d.timestamp()
 
 
+def _max_shift_seconds(exprs) -> float:
+    """Largest backward time offset any SHIFT/CROSSHIFT in ``exprs`` reads —
+    how far below ASOF the stored-state scan must extend (reference
+    encoding/seq.go:244–276 reads the shifted source from asOf+shift)."""
+    import dataclasses
+
+    best = 0.0
+
+    def walk(e):
+        nonlocal best
+        if isinstance(e, MShift):
+            best = max(best, float(e.dur))
+        elif isinstance(e, MCrosshift):
+            best = max(best, float(e.cutoff))
+        if dataclasses.is_dataclass(e) and not isinstance(e, type):
+            for f in dataclasses.fields(e):
+                v = getattr(e, f.name)
+                if isinstance(v, MExpr):
+                    walk(v)
+                elif isinstance(v, (list, tuple)):
+                    for x in v:
+                        if isinstance(x, MExpr):
+                            walk(x)
+
+    for e in exprs:
+        if e is not None:
+            walk(e)
+    return best
+
+
 def _explode_array_vals(df: DataFrame, val_names: set[str] | None = None) -> DataFrame:
     """Array-valued measures fan out per element (reference insert.go:213–252):
     element[0] rides the main insert alongside the point's scalar measures;
@@ -799,7 +829,20 @@ class DB:
         # pruning and bucket row-group stats both apply
         asof = int(resolve_time(q.asof, now) // res_out * res_out) if q.asof else None
         until = int(resolve_time(q.until, now) // res_out * res_out) if q.until else None
-        state = table.state_df(asof, until)
+        # SHIFT/CROSSHIFT read SOURCE data from before ASOF by their offset
+        # (reference encoding/seq.go:244–276 truncates the shifted source at
+        # asOf+shift and grows the merge window): extend the scan downward by
+        # the largest shift, then trim the OUTPUT back to [asof, until) below
+        # — otherwise the first in-range buckets lose their true lag values.
+        shift_ext = _max_shift_seconds(
+            [f.expr for f in q.fields] + ([q.having] if q.having is not None else [])
+        )
+        read_asof = asof
+        if asof is not None and shift_ext > 0:
+            r = table.resolution
+            read_asof = int((asof - shift_ext) // r * r)
+        state = table.state_df(read_asof, until)
+        out_min_ts = asof if read_asof != asof else None
 
         # WHERE over stored dims (IN-subqueries pre-executed, reference
         # planner/subquery.go). A name that is not a stored dim — a measure
@@ -843,10 +886,13 @@ class DB:
             fields = fields + [f for f in star if f.name not in seen]
 
         # SELECT aliases are referenceable from HAVING/ORDER BY (reference
-        # sql_test.go: HAVING Rate > 15 with rate defined in the SELECT)
-        query_aliases = {
-            f.name: f.expr for f in fields if not isinstance(f.expr, MFieldRef)
-        }
+        # sql_test.go: HAVING Rate > 15 with rate defined in the SELECT).
+        # The map starts EMPTY and grows as fields are rewritten in order —
+        # the reference resolves a name against fields defined EARLIER in
+        # the select list, else the stored field (sql/sql.go:720–738,
+        # fieldsMap), so `SHIFT(v, '1d') AS v` reads the stored v instead of
+        # recursing into its own alias.
+        query_aliases: dict[str, MExpr] = {}
 
         def field_lookup(n: str) -> MExpr:
             if n in query_aliases:
@@ -880,6 +926,8 @@ class DB:
         leaves: list[MExpr] = []
         for f in fields:
             rewritten.append(SelectField(f.name, collect_agg_leaves(f.expr, field_lookup, leaves)))
+            if not isinstance(f.expr, MFieldRef):
+                query_aliases[f.name] = f.expr
         having_expr = None
         if q.having is not None:
             having_expr = collect_agg_leaves(q.having, field_lookup, leaves)
@@ -937,12 +985,17 @@ class DB:
         # crosstab: re-plan with the crosstab expr as an extra dim, then pivot
         if q.crosstab:
             return self._crosstab(
-                q, table, state, qreg, out_dims, res_out, rewritten, having_expr, q_lookup
+                q, table, state, qreg, out_dims, res_out, rewritten, having_expr,
+                q_lookup, out_min_ts=out_min_ts,
             )
 
         flat = self._finalize_flat(
             merged, qreg, rewritten, out_dims, q_lookup, res_out, having=having_expr
         )
+        if out_min_ts is not None:
+            flat = flat.filter(
+                F.col(TIME_COL) >= F.timestamp_seconds(F.lit(out_min_ts))
+            )
         if having_expr is not None:
             flat = flat.filter(F.col("_having") > 0).drop("_having")
         return self._order_limit(flat, q)
@@ -987,11 +1040,20 @@ class DB:
             )
         return flat.drop(BUCKET_COL)
 
-    def _crosstab(self, q, table, state, qreg, out_dims, res_out, fields, having_expr, q_lookup):
+    def _crosstab(
+        self, q, table, state, qreg, out_dims, res_out, fields, having_expr,
+        q_lookup, out_min_ts=None,
+    ):
         ct_col = F.concat_ws("_", *[compile_dim(e).cast("string") for e in q.crosstab])
         dims_ct = list(out_dims) + [("__ct", ct_col)]
         merged_ct = merge_states(state, qreg, dims_ct, table.resolution, res_out)
         flat_ct = self._finalize_flat(merged_ct, qreg, fields, dims_ct, q_lookup, res_out)
+        if out_min_ts is not None:
+            # trim the shift-extended read BEFORE the pivot-value collection,
+            # so pre-ASOF-only crosstab values never become phantom columns
+            flat_ct = flat_ct.filter(
+                F.col(TIME_COL) >= F.timestamp_seconds(F.lit(out_min_ts))
+            )
         # Pivot needs the distinct column values on the driver (the same
         # two-pass shape as Spark's own pivot(); the reference buffers rows
         # too) — but guard the cardinality so a runaway crosstab dim fails
@@ -1022,6 +1084,10 @@ class DB:
         flat_tot = self._finalize_flat(
             merged_tot, qreg, tot_fields, out_dims, q_lookup, res_out, having=having_expr
         )
+        if out_min_ts is not None:
+            flat_tot = flat_tot.filter(
+                F.col(TIME_COL) >= F.timestamp_seconds(F.lit(out_min_ts))
+            )
         if having_expr is not None:
             flat_tot = flat_tot.filter(F.col("_having") > 0).drop("_having")
         join_cols = [TIME_COL, *dims]

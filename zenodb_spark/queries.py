@@ -13342,3 +13342,34 @@ def q228_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = poisson_bootstrap_mean_ci(d, "event_type", "x", "event_id", reps=40)
     return out.withColumnRenamed("mean", "mean_cents")
+
+
+@query(
+    "z20_engine_shift_asof",
+    f"""
+    WITH d AS (
+      SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+             CAST(count(value) AS DOUBLE) AS ct
+      FROM events GROUP BY 1, 2
+    )
+    SELECT o.event_type, o.bucket, o.ct, coalesce(p.ct, 0.0) AS prev_ct
+    FROM d o
+    LEFT JOIN d p
+      ON p.event_type = o.event_type AND p.bucket + 86400 = o.bucket
+    WHERE o.bucket >= 1704844800 AND o.bucket < 1705708800
+    """,
+)
+def z20_engine_shift_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: SHIFT under ASOF/UNTIL — the shifted series at the
+    FIRST in-range bucket must surface the true pre-ASOF value (the
+    reference truncates the shifted source at asOf+shift and grows the
+    merge window, encoding/seq.go:244–276; the oracle lags over the FULL
+    series and only then trims to [asof, until)). Before the round-4 fix
+    the engine filtered state at ASOF first, so boundary buckets lost
+    their lag values to the 0.0 coalesce."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT cnt AS ct, SHIFT(cnt, '1d') AS prev_ct FROM ev_hourly "
+        "ASOF '2024-01-10' UNTIL '2024-01-20' GROUP BY event_type, period('1d')"
+    )
+    return _as_bucket(out)
