@@ -96,3 +96,43 @@ def test_crosstab_shift_asof_no_phantom_columns(spark):
     cols = set(out.columns)
     assert not any(c.startswith("gone") for c in cols), cols
     assert any(c.startswith("live") for c in cols)
+
+
+def test_unaligned_asof_rounds_up_to_table_resolution(spark):
+    """ASOF/UNTIL round UP to the TABLE resolution (reference
+    encoding/time.go:39-45 via planner/local.go:119-121): a partial first
+    stored bucket is excluded, a partial last one included."""
+    db = DB(spark, now=T0 + 10 * DAY)
+    db.apply_schema({"mh": {"sql": "SELECT v FROM pts GROUP BY k, period('1h')"}})
+    pts = [
+        Row(ts=dt.datetime.fromtimestamp(T0 + h * 3600 + 60, dt.timezone.utc), k="a", v=1.0)
+        for h in range(12)
+    ]
+    db.insert("pts", spark.createDataFrame(pts))
+    # ASOF 02:30 → rounds UP to 03:00 (hour 2's partial bucket excluded);
+    # UNTIL 06:30 → rounds UP to 07:00 (hour 6's partial bucket included)
+    out = db.query(
+        "SELECT v FROM mh ASOF '2024-03-01 02:30:00' UNTIL '2024-03-01 06:30:00' "
+        "GROUP BY k, period('1h')"
+    )
+    hours = sorted(r["_time"].hour for r in out.collect())
+    assert hours == [3, 4, 5, 6]
+
+
+def test_period_truncates_to_window(spark):
+    """A period longer than the ASOF/UNTIL window narrows to the window
+    (reference planner/local.go:152-157): one bucket out, not an empty
+    misaligned grid."""
+    db = DB(spark, now=T0 + 10 * DAY)
+    db.apply_schema({"mt": {"sql": "SELECT v FROM pts GROUP BY k, period('1h')"}})
+    pts = [
+        Row(ts=dt.datetime.fromtimestamp(T0 + h * 3600 + 60, dt.timezone.utc), k="a", v=1.0)
+        for h in range(48)
+    ]
+    db.insert("pts", spark.createDataFrame(pts))
+    out = db.query(
+        "SELECT v FROM mt ASOF '2024-03-01 02:00:00' UNTIL '2024-03-01 08:00:00' "
+        "GROUP BY k, period('10d')"
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["v"] == 6.0  # hours 2..7

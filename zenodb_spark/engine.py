@@ -824,11 +824,31 @@ class DB:
         res_out = q.resolution or table.resolution
         now = self.now()
 
-        # ASOF / UNTIL (rounded down to resolution; reference
-        # planner/local.go:110–135) — pushed into state_df so day-partition
-        # pruning and bucket row-group stats both apply
-        asof = int(resolve_time(q.asof, now) // res_out * res_out) if q.asof else None
-        until = int(resolve_time(q.until, now) // res_out * res_out) if q.until else None
+        # ASOF / UNTIL: RoundTimeUp to the TABLE resolution (reference
+        # planner/local.go:119–121 + encoding/time.go:39–45) — a partial
+        # first STORED bucket is excluded, a partial last one included; the
+        # range is pushed into state_df so day-partition pruning and bucket
+        # row-group stats both apply. (Output buckets stay epoch-anchored —
+        # SURVEY §1.3's documented deviation from until-anchored sequences —
+        # so an unaligned ASOF yields a partial first output bucket.)
+        tres = int(round(table.resolution))
+        rup = lambda v: int(-(-int(round(v * 1000)) // (tres * 1000)) * tres)
+        asof = rup(resolve_time(q.asof, now)) if q.asof else None
+        until = rup(resolve_time(q.until, now)) if q.until else None
+        # a period longer than the [asof, until) window narrows to the
+        # window (reference planner/local.go:152–167), then must still be
+        # an even multiple of the table resolution
+        bucket_anchor = 0
+        if asof is not None and until is not None and res_out > until - asof > 0:
+            res_out = float(until - asof)
+            if round(res_out) % tres != 0:
+                raise ValueError(
+                    f"query resolution {res_out}s (truncated to the ASOF/UNTIL "
+                    f"window) is not an even multiple of table resolution {tres}s"
+                )
+            # the single window bucket is [asof, until), not an epoch-grid
+            # cell (the reference's sequences anchor at until)
+            bucket_anchor = asof
         # SHIFT/CROSSHIFT read SOURCE data from before ASOF by their offset
         # (reference encoding/seq.go:244–276 truncates the shifted source at
         # asOf+shift and grows the merge window): extend the scan downward by
@@ -867,6 +887,19 @@ class DB:
                 (F.col(BUCKET_COL) % F.lit(int(q.stride))) < F.lit(int(res_out))
             )
             res_out = max(res_out, q.stride)
+
+        # shift-extended read + ASOF unaligned to the OUTPUT grid: stored
+        # rows in [first-output-bucket-start, asof) belong to the partial
+        # first bucket's PAST, not its base aggregates — exclude them so the
+        # extension feeds only the shift columns (lower whole buckets)
+        if out_min_ts is not None:
+            grid = int(round(res_out))
+            b0 = bucket_anchor + (asof - bucket_anchor) // grid * grid
+            if b0 != asof:
+                state = state.filter(
+                    (F.col(BUCKET_COL) >= F.lit(asof)) | (F.col(BUCKET_COL) < F.lit(b0))
+                )
+            out_min_ts = b0
 
         # output dims
         if q.group_by_none:
@@ -977,6 +1010,7 @@ class DB:
             [(n, c) for n, c in out_dims],
             table.resolution,
             res_out if not q.stride else max(res_out, q.stride),
+            anchor=bucket_anchor,
         )
 
         def q_lookup(n: str) -> MExpr:
@@ -986,7 +1020,7 @@ class DB:
         if q.crosstab:
             return self._crosstab(
                 q, table, state, qreg, out_dims, res_out, rewritten, having_expr,
-                q_lookup, out_min_ts=out_min_ts,
+                q_lookup, out_min_ts=out_min_ts, anchor=bucket_anchor,
             )
 
         flat = self._finalize_flat(
@@ -1042,11 +1076,13 @@ class DB:
 
     def _crosstab(
         self, q, table, state, qreg, out_dims, res_out, fields, having_expr,
-        q_lookup, out_min_ts=None,
+        q_lookup, out_min_ts=None, anchor=0,
     ):
         ct_col = F.concat_ws("_", *[compile_dim(e).cast("string") for e in q.crosstab])
         dims_ct = list(out_dims) + [("__ct", ct_col)]
-        merged_ct = merge_states(state, qreg, dims_ct, table.resolution, res_out)
+        merged_ct = merge_states(
+            state, qreg, dims_ct, table.resolution, res_out, anchor=anchor
+        )
         flat_ct = self._finalize_flat(merged_ct, qreg, fields, dims_ct, q_lookup, res_out)
         if out_min_ts is not None:
             # trim the shift-extended read BEFORE the pivot-value collection,
@@ -1079,7 +1115,9 @@ class DB:
                 if v in pivoted.columns:
                     pivoted = pivoted.withColumnRenamed(v, f"{v}_{fields[0].name}")
         # totals + HAVING computed on the un-pivoted (dims, bucket) grain
-        merged_tot = merge_states(state, qreg, out_dims, table.resolution, res_out)
+        merged_tot = merge_states(
+            state, qreg, out_dims, table.resolution, res_out, anchor=anchor
+        )
         tot_fields = [SelectField(f"total_{f.name}", f.expr) for f in fields]
         flat_tot = self._finalize_flat(
             merged_tot, qreg, tot_fields, out_dims, q_lookup, res_out, having=having_expr

@@ -653,15 +653,20 @@ def merge_states(
     resolution_in: float,
     resolution_out: float,
     gates: dict[str, Column] | None = None,
+    anchor: float = 0.0,
 ) -> DataFrame:
     """Re-aggregate stored state rows to coarser buckets / different dims by
-    merging accumulator states (reference SubMerge)."""
+    merging accumulator states (reference SubMerge). ``anchor`` offsets the
+    output grid (0 = epoch-anchored; a window-truncated resolution anchors
+    at ASOF so the single window bucket is [asof, until), reference
+    planner/local.go:152–157 with until-anchored sequences)."""
     ratio = resolution_out / resolution_in
     if resolution_out < resolution_in or abs(ratio - round(ratio)) > 1e-9:
         raise ValueError(
             f"query resolution {resolution_out}s must be a multiple of table resolution {resolution_in}s"
         )
-    bucket = (F.col(BUCKET_COL) - F.col(BUCKET_COL) % F.lit(int(resolution_out))).cast("long")
+    b = F.col(BUCKET_COL) - F.lit(int(anchor))
+    bucket = (b - b % F.lit(int(resolution_out)) + F.lit(int(anchor))).cast("long")
     keyed = state_df.withColumn("__qbucket", bucket)
     aggs: list[Column] = []
     emitted: set[str] = set()
