@@ -136,3 +136,19 @@ def test_period_truncates_to_window(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["v"] == 6.0  # hours 2..7
+
+
+def test_base_table_requires_period(spark):
+    """A base table without period() is rejected (reference
+    zenodb_test.go:156-162 'missing a resolution'); views inherit."""
+    db = DB(spark, now=T0)
+    with pytest.raises(ValueError, match="missing a resolution"):
+        db.apply_schema({"bad": {"sql": "SELECT v FROM pts WHERE k = 'A' GROUP BY *"}})
+    # a view without period() inherits its parent's and is legal
+    db.apply_schema(
+        {
+            "ok": {"sql": "SELECT v FROM pts GROUP BY k, period('1h')"},
+            "okv": {"view": True, "sql": "SELECT v FROM ok GROUP BY k"},
+        }
+    )
+    assert db.tables["okv"].resolution == 3600.0

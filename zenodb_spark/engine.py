@@ -615,6 +615,15 @@ class DB:
         return _Watch()
 
     def _create(self, tdef: TableDef, q: Query) -> None:
+        # a BASE table must declare its resolution via period() — the
+        # reference rejects CreateTable without one (zenodb_test.go:156–162,
+        # "missing a resolution"); views inherit the parent's (view_a in the
+        # same fixture has no period)
+        if not tdef.view and not q.resolution:
+            raise ValueError(
+                f"table {tdef.name} is missing a resolution: declare "
+                "period(...) in its GROUP BY"
+            )
         fields = list(q.fields)
         if tdef.view:
             parent_name = q.from_table
