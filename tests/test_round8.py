@@ -152,3 +152,31 @@ def test_base_table_requires_period(spark):
         }
     )
     assert db.tables["okv"].resolution == 3600.0
+
+
+def test_reference_fixture_percentile_field_shapes(spark):
+    """The reference's primary fixture (zenodb_test.go:104-116) declares
+    `IF(TRUE = TRUE, PERCENTILE(p * 1, 99, 0, 1000, -1))` — a constant-true
+    IF gate, an EXPRESSION input, and NEGATIVE precision (bin width 10).
+    All three must parse, ingest, and re-read."""
+    db = DB(spark, now=T0 + 3600)
+    db.apply_schema(
+        {
+            "tp": {
+                "sql": "SELECT IF(TRUE = TRUE, PERCENTILE(p * 1, 99, 0, 1000, -1)) AS pp, "
+                "PERCENTILE(p, 5, 0, 1000, 2) AS pp5 FROM pts GROUP BY k, period('1s')"
+            }
+        }
+    )
+    vals = [5, 15, 100, 250, 999, 42, 7, 3, 888, 500]
+    pts = [
+        Row(ts=dt.datetime.fromtimestamp(T0 + i * 0.1, dt.timezone.utc), k="a", p=float(v))
+        for i, v in enumerate(vals)
+    ]
+    db.insert("pts", spark.createDataFrame(pts))
+    out = db.query("SELECT pp, pp5 FROM tp GROUP BY k, period('200s')").collect()
+    assert len(out) == 1
+    # precision -1 → bin width 10: p99 reads the top occupied bin (999→1000)
+    assert out[0]["pp"] == 1000.0
+    # precision 2 → bin width 0.01: p5 reads the exact small value
+    assert out[0]["pp5"] == 3.0
