@@ -49,7 +49,7 @@ def running_total(
     ranged = (
         df.repartitionByRange(n, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     local_w = (
         Window.partitionBy("__pid")

@@ -7898,7 +7898,7 @@ def q155_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # localCheckpoint (not persist): released by the ContextCleaner when
     # the returned frame is dropped — a persist here leaked a cache entry
     # per query invocation over a long driver session
-    e = edges.join(ow, "src").localCheckpoint(eager=True)
+    e = edges.join(ow, "src").localCheckpoint(eager=False)
     nodes = n.select(F.col("n_name").alias("node"))
     r = nodes.withColumn("pr", F.lit(1.0) / F.lit(25.0))
     for _ in range(4):
@@ -9097,7 +9097,7 @@ def q171_trade_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a", "b")
         # localCheckpoint (not persist): ContextCleaner frees the blocks
         # when the result frame is GC'd; persist leaked per invocation
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
