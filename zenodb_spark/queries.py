@@ -13373,3 +13373,167 @@ def z20_engine_shift_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ASOF '2024-01-10' UNTIL '2024-01-20' GROUP BY event_type, period('1d')"
     )
     return _as_bucket(out)
+
+
+@query(
+    "q229_orc_roundtrip",
+    f"""
+    SELECT event_type,
+           CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           sum({C.format(x='value')}) AS sum_c
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q229_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink fidelity (completes the q136/q137 format matrix:
+    JSONL, CSV, ORC — the three landing formats besides parquet a lake
+    actually serves): events written as ORC and read back, aggregated —
+    equal to the oracle computed on the original parquet. ORC is binary
+    columnar so longs/doubles are bit-preserved; timestamps still travel
+    as epoch-nanos longs for engine-independent bucket math.
+
+    Scale: ORC scans stripe-parallel with predicate pushdown like
+    parquet; the aggregate is the usual partial+final pair."""
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="zspark_q229_")
+    ev = load_table(spark, sf_dir, "events").select("ts_ns", "event_type", "value")
+    path = f"{tmp}/events_orc"
+    ev.write.orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy(
+        "event_type",
+        (F.floor(F.expr("ts_ns div 1000000000") / 86400) * 86400)
+        .cast("long")
+        .alias("bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents("value")).alias("sum_c"),
+    )
+
+
+@query(
+    "q230_hashed_features",
+    f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, source,
+             unnest(string_split({_NT}, ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc, source,
+             CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % 16 AS b,
+             count(*) AS tf
+      FROM toks WHERE len(tok) > 0 GROUP BY 1, 2, 3
+    ),
+    dsq AS (SELECT doc, source, sum(tf * tf) AS tfsq FROM tf GROUP BY 1, 2),
+    nd AS (SELECT source, count(DISTINCT doc) AS n_docs FROM tf GROUP BY 1),
+    cent AS (
+      SELECT t.source, t.b, CAST(sum(t.tf) AS DOUBLE) / max(n.n_docs) AS c
+      FROM tf t JOIN nd n ON n.source = t.source GROUP BY 1, 2
+    ),
+    csq AS (
+      SELECT source,
+             sum(CAST(floor(c * c * 1000000.0 + 0.5) AS BIGINT)) AS csq_micro
+      FROM cent GROUP BY 1
+    ),
+    cross_t AS (
+      SELECT t.doc, t.source AS true_source, c.source AS cand,
+             sum(CAST(floor(t.tf * c.c * 1000000.0 + 0.5) AS BIGINT)) AS tfc_micro
+      FROM tf t JOIN cent c USING (b)
+      GROUP BY 1, 2, 3
+    ),
+    dist AS (
+      SELECT x.doc, x.true_source, x.cand,
+             d.tfsq * 1000000 - 2 * x.tfc_micro + q.csq_micro AS dist_micro
+      FROM cross_t x
+      JOIN dsq d ON d.doc = x.doc
+      JOIN csq q ON q.source = x.cand
+    ),
+    pred AS (
+      SELECT doc, true_source, cand,
+             row_number() OVER (
+               PARTITION BY doc ORDER BY dist_micro, cand) AS rk
+      FROM dist
+    )
+    SELECT true_source AS source, cand AS pred_source,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pred WHERE rk = 1 GROUP BY 1, 2
+    """,
+)
+def q230_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization + nearest-centroid source classifier:
+    each document becomes a 16-dim hashed term-frequency vector (the
+    vowpal-wabbit feature hashing that needs no vocabulary broadcast at
+    any corpus size), per-source centroids are computed in one aggregate,
+    and every doc is assigned to its nearest centroid — output is the
+    source confusion matrix (how separable the sources are in hashed-TF
+    space, the cheap signal before training a real router).
+
+    Determinism: distances decompose as ||tf||² − 2⟨tf,c⟩ + ||c||² with
+    the two centroid-dependent terms micro-quantized per (bucket) row
+    BEFORE their sums (the ln() policy), so the argmin compares exact
+    integers with a source tie-break. Scale shape: tf is one hash
+    aggregate; centroids are an O(sources × 16) frame that BROADCASTS
+    into the cross-term join (never a corpus shuffle on 16 skewed bucket
+    keys); everything after is doc-grain arithmetic."""
+    from zenodb_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id").alias("doc"),
+        "source",
+        F.explode(F.split(normalize_text("text"), " ")).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    tf = toks.groupBy(
+        "doc",
+        "source",
+        (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % 16).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("tf"))
+    dsq = tf.groupBy("doc", "source").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("tfsq")
+    )
+    nd = tf.groupBy("source").agg(F.countDistinct("doc").alias("n_docs"))
+    cent = (
+        tf.join(F.broadcast(nd), "source")
+        .groupBy("source", "b")
+        .agg((F.sum("tf").cast("double") / F.max("n_docs")).alias("c"))
+    )
+    csq = cent.groupBy("source").agg(
+        F.sum(F.floor(F.col("c") * F.col("c") * F.lit(1000000.0) + F.lit(0.5)).cast("long")).alias(
+            "csq_micro"
+        )
+    )
+    cross_t = (
+        tf.join(
+            F.broadcast(cent.select(F.col("source").alias("cand"), "b", "c")), "b"
+        )
+        .groupBy("doc", F.col("source").alias("true_source"), "cand")
+        .agg(
+            F.sum(
+                F.floor(F.col("tf") * F.col("c") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+            ).alias("tfc_micro")
+        )
+    )
+    dist = (
+        cross_t.join(dsq.select("doc", "tfsq"), "doc")
+        .join(F.broadcast(csq.select(F.col("source").alias("cand"), "csq_micro")), "cand")
+        .select(
+            "doc",
+            "true_source",
+            "cand",
+            (
+                F.col("tfsq") * F.lit(1000000)
+                - 2 * F.col("tfc_micro")
+                + F.col("csq_micro")
+            ).alias("dist_micro"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy("dist_micro", "cand")
+    return (
+        dist.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .groupBy(F.col("true_source").alias("source"), F.col("cand").alias("pred_source"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
