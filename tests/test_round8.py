@@ -180,3 +180,31 @@ def test_reference_fixture_percentile_field_shapes(spark):
     assert out[0]["pp"] == 1000.0
     # precision 2 → bin width 0.01: p5 reads the exact small value
     assert out[0]["pp5"] == 3.0
+
+
+def test_shift_anywhere_in_expression(shift_db):
+    """SHIFT works in HAVING, arithmetic, and ORDER BY — the reference
+    treats a shifted expr as an ordinary field (expr/shift.go), so it
+    composes like one."""
+    q = shift_db.query
+    r1 = q(
+        "SELECT v, SHIFT(v,'1d') AS pv FROM m GROUP BY k, period('1d') HAVING pv > 11"
+    ).collect()
+    assert sorted((r["_time"].day, r["pv"]) for r in r1) == [
+        (4, 12.0), (5, 13.0), (6, 14.0), (7, 15.0), (8, 16.0)]
+    r2 = q(
+        "SELECT v - SHIFT(v,'1d') AS delta FROM m GROUP BY k, period('1d')"
+    ).collect()
+    deltas = {r["_time"].day: r["delta"] for r in r2}
+    assert deltas[1] == 10.0  # day 0's absent shift coalesces to 0
+    assert all(deltas[d] == 1.0 for d in range(2, 9))
+    r3 = q(
+        "SELECT v, SHIFT(v,'1d') * 2 AS dbl FROM m "
+        "GROUP BY k, period('1d') ORDER BY dbl DESC LIMIT 2"
+    ).collect()
+    assert [r["dbl"] for r in r3] == [32.0, 30.0]
+    # inline SHIFT in HAVING without a select alias
+    r4 = q(
+        "SELECT v FROM m GROUP BY k, period('1d') HAVING SHIFT(v,'1d') > 14"
+    ).collect()
+    assert sorted(r["_time"].day for r in r4) == [7, 8]

@@ -56,6 +56,15 @@ PROBE = [
     "q196_source_lang_chi2",
     "q199_data_profile",
     "q200_fk_integrity",
+    # session-2 families: correlated min-per-group, retrieval eval,
+    # privacy panels, inference stats, hashed features
+    "q221_min_cost_supplier",
+    "q223_retrieval_eval",
+    "q224_k_anonymity",
+    "q226_anova_length",
+    "q227_mannwhitney_length",
+    "q228_bootstrap_ci",
+    "q230_hashed_features",
 ]
 
 

@@ -1046,42 +1046,89 @@ class DB:
     def _finalize_flat(
         self, merged, qreg, fields, out_dims, q_lookup, res_out, having=None
     ) -> DataFrame:
+        """Finalize merged states into flat field values. SHIFT may appear
+        ANYWHERE in a field/HAVING expression (the reference treats a
+        shifted expr as an ordinary field — expr/shift.go): every distinct
+        SHIFT node is materialized once as a hidden column via the
+        (dims, bucket − dur) self-join, then expressions compile with those
+        nodes resolved to the joined columns. CROSSHIFT stays a
+        select-level macro expanding to one column per offset."""
         dims = [n for n, _ in out_dims]
+
+        # 1. discover every distinct SHIFT node (anywhere) + expand CROSSHIFT
+        shift_cols: dict[MShift, str] = {}
+        shift_plans: list[tuple[str, float, Column]] = []  # hidden, dur, base
+
+        def register(node: MShift) -> str:
+            if node not in shift_cols:
+                name = f"__sh{len(shift_cols)}"
+                shift_cols[node] = name
+                shift_plans.append(
+                    (name, node.dur, finalize_expr(node.inner, qreg, q_lookup))
+                )
+            return shift_cols[node]
+
+        def walk(e) -> None:
+            import dataclasses
+
+            if isinstance(e, MShift):
+                register(e)
+                return  # inner belongs to the shift's own finalize
+            if isinstance(e, MCrosshift):
+                return  # select-level macro, handled per-field below
+            if dataclasses.is_dataclass(e) and not isinstance(e, type):
+                for fld in dataclasses.fields(e):
+                    v = getattr(e, fld.name)
+                    if isinstance(v, MExpr):
+                        walk(v)
+
+        crosshift_outs: list[tuple[str, str]] = []  # (hidden/base col, out name)
+        plain_fields: list = []
+        for f in fields:
+            e = f.expr
+            if isinstance(e, MCrosshift):
+                off = e.interval
+                while off <= e.cutoff:
+                    crosshift_outs.append(
+                        (register(MShift(e.inner, off)), f"{f.name}_{format_duration(off)}")
+                    )
+                    off += e.interval
+                plain_fields.append((f.name, e.inner))  # offset-0 base column
+            else:
+                walk(e)
+                plain_fields.append((f.name, e))
+        if having is not None:
+            walk(having)
+
+        # 2. base frame: merged state + one column per distinct shift node
+        flat = merged
+        for hidname, _dur, base in shift_plans:
+            flat = flat.withColumn(f"{hidname}_base", base)
+        # 3. shift joins: every hidden column comes off the SAME base frame
+        #    (no cascading self-joins), keyed (dims, bucket − dur)
+        for hidname, dur, _base in shift_plans:
+            n = int(dur // res_out * res_out)
+            sh = flat.select(
+                *dims,
+                (F.col(BUCKET_COL) + F.lit(n)).alias(BUCKET_COL),
+                F.col(f"{hidname}_base").alias(hidname),
+            )
+            flat = flat.join(sh, on=[*dims, BUCKET_COL], how="left")
+
+        # 4. final projection: fields/having compile with shift nodes
+        #    resolved to the joined columns
         cols: list = [F.timestamp_seconds(F.col(BUCKET_COL)).alias(TIME_COL)] + [
             F.col(d) for d in dims
         ]
         if having is not None:
-            cols.append(finalize_expr(having, qreg, q_lookup).alias("_having"))
-        shift_plans: list[tuple[str, float, MExpr]] = []
-        for f in fields:
-            e = f.expr
-            if isinstance(e, MShift):
-                shift_plans.append((f.name, e.dur, e.inner))
-                cols.append(finalize_expr(e.inner, qreg, q_lookup).alias(f.name))
-            elif isinstance(e, MCrosshift):
-                base = finalize_expr(e.inner, qreg, q_lookup)
-                cols.append(base.alias(f.name))
-                off = e.interval
-                while off <= e.cutoff:
-                    shift_plans.append((f"{f.name}_{format_duration(off)}", off, e.inner))
-                    cols.append(base.alias(f"{f.name}_{format_duration(off)}"))
-                    off += e.interval
-            else:
-                cols.append(finalize_expr(e, qreg, q_lookup).alias(f.name))
-        flat = merged.select(*cols, F.col(BUCKET_COL))
-        # SHIFT: self-join on (dims, bucket − dur) — sparse-axis correct
-        for out_name, dur, inner in shift_plans:
-            n = int(dur // res_out * res_out)
-            shifted = flat.select(
-                *dims,
-                (F.col(BUCKET_COL) + F.lit(n)).alias(BUCKET_COL),
-                F.col(out_name).alias(f"__shift_{out_name}"),
+            cols.append(
+                finalize_expr(having, qreg, q_lookup, shift_cols).alias("_having")
             )
-            flat = flat.drop(out_name).join(shifted, on=[*dims, BUCKET_COL], how="left")
-            flat = flat.withColumn(out_name, F.coalesce(F.col(f"__shift_{out_name}"), F.lit(0.0))).drop(
-                f"__shift_{out_name}"
-            )
-        return flat.drop(BUCKET_COL)
+        for name, e in plain_fields:
+            cols.append(finalize_expr(e, qreg, q_lookup, shift_cols).alias(name))
+        for hidname, out_name in crosshift_outs:
+            cols.append(F.coalesce(F.col(hidname), F.lit(0.0)).alias(out_name))
+        return flat.select(*cols, F.col(BUCKET_COL)).drop(BUCKET_COL)
 
     def _crosstab(
         self, q, table, state, qreg, out_dims, res_out, fields, having_expr,

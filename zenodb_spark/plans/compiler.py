@@ -733,13 +733,21 @@ def merge_states(
     return keyed.groupBy(*group_cols).agg(*aggs)
 
 
-def finalize_expr(e: MExpr, registry: StateRegistry, field_lookup) -> Column:
-    """Compile a (rewritten) field expression over merged state columns."""
+def finalize_expr(
+    e: MExpr, registry: StateRegistry, field_lookup, shift_cols=None
+) -> Column:
+    """Compile a (rewritten) field expression over merged state columns.
+
+    ``shift_cols`` maps SHIFT nodes to the hidden columns the engine's
+    shift self-join materialized — with it, SHIFT may appear ANYWHERE in
+    an expression (HAVING, arithmetic, ORDER BY aliases), matching the
+    reference where a shifted expr is an ordinary field
+    (expr/shift.go; sql_test.go's `SHIFT(SUM(s), '1h') AS shifted`)."""
     if isinstance(e, MConst):
         # value None = the reference's "absent field" (expr/field.go:44-47)
         return F.lit(e.value) if e.value is not None else F.lit(None).cast("double")
     if isinstance(e, MFieldRef):
-        return finalize_expr(field_lookup(e.name), registry, field_lookup)
+        return finalize_expr(field_lookup(e.name), registry, field_lookup, shift_cols)
     if isinstance(e, MPresence):
         k = agg_key(e)
         if k in registry.specs:
@@ -784,16 +792,16 @@ def finalize_expr(e: MExpr, registry: StateRegistry, field_lookup) -> Column:
         lo, hi, precision = specs[0].hist_meta
         return _hist_quantile_col(F.col(specs[0].col), e.p, lo, precision)
     if isinstance(e, MBounded):
-        v = finalize_expr(e.inner, registry, field_lookup)
+        v = finalize_expr(e.inner, registry, field_lookup, shift_cols)
         return F.when((v >= e.lo) & (v <= e.hi), v)
     if isinstance(e, MBin):
         return _arith(
             e.op,
-            finalize_expr(e.left, registry, field_lookup),
-            finalize_expr(e.right, registry, field_lookup),
+            finalize_expr(e.left, registry, field_lookup, shift_cols),
+            finalize_expr(e.right, registry, field_lookup, shift_cols),
         )
     if isinstance(e, MLog):
-        v = finalize_expr(e.inner, registry, field_lookup)
+        v = finalize_expr(e.inner, registry, field_lookup, shift_cols)
         # LOG2/LOG10 as ln(x)/ln(k): the native log2/log10 builtins differ
         # in the last ulp between the JVM and libm (DuckDB), while ln agrees
         # bit-for-bit on both (see q20_log_functions) — and the last-ulp
@@ -804,8 +812,13 @@ def finalize_expr(e: MExpr, registry: StateRegistry, field_lookup) -> Column:
             "LOG2": F.log(v) / F.log(F.lit(2.0)),
             "LOG10": F.log(v) / F.log(F.lit(10.0)),
         }[e.kind]
-    if isinstance(e, (MShift, MCrosshift)):
-        raise ValueError("SHIFT/CROSSHIFT are planned as joins, not inline expressions")
+    if isinstance(e, MShift):
+        if shift_cols is not None and e in shift_cols:
+            # absent shifted bucket reads as 0 (the join's left-miss rule)
+            return F.coalesce(F.col(shift_cols[e]), F.lit(0.0))
+        raise ValueError("SHIFT is planned as a join: no materialized shift column for this node")
+    if isinstance(e, MCrosshift):
+        raise ValueError("CROSSHIFT is a select-level macro, not an inline expression")
     raise TypeError(f"unhandled finalize expr {e!r}")
 
 

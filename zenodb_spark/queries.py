@@ -13291,10 +13291,10 @@ def q227_mannwhitney_length(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _bootstrap_oracle() -> str:
     from zenodb_spark.operators.stats import POISSON1_CDF
 
-    lits = ", ".join(repr(t) for t in POISSON1_CDF)
-    unif = (
-        "(CAST(('0x' || substr(md5(rid || ':' || CAST(r AS VARCHAR)), 1, 12)) "
-        "AS BIGINT) + 0.5) / 281474976710656.0"
+    khex = [format(round(t * 65536), "04x") for t in POISSON1_CDF]
+    wsum = " + ".join(
+        f"(CASE WHEN substr(h, CAST(j * 4 + 1 AS BIGINT), 4) >= '{k}' THEN 1 ELSE 0 END)"
+        for k in khex
     )
     return f"""
     WITH d AS (
@@ -13302,11 +13302,13 @@ def _bootstrap_oracle() -> str:
              CAST(event_id AS VARCHAR) AS rid
       FROM events
     ),
-    e AS (SELECT g, x, rid, unnest(range(0, 40)) AS r FROM d),
+    eg AS (
+      SELECT g, x, md5(rid || ':' || CAST(grp AS VARCHAR)) AS h, grp
+      FROM (SELECT g, x, rid, unnest(range(0, 5)) AS grp FROM d)
+    ),
     wtd AS (
-      SELECT g, x, r,
-             len(list_filter([{lits}], t -> {unif} >= t)) AS w
-      FROM e
+      SELECT g, x, grp * 8 + j AS r, {wsum} AS w
+      FROM (SELECT g, x, h, grp, unnest(range(0, 8)) AS j FROM eg)
     ),
     pr AS (SELECT g, r, sum(w * x) AS sw, sum(w) AS cw FROM wtd GROUP BY 1, 2),
     m AS (SELECT g, CAST(sw AS DOUBLE) / cw AS m FROM pr WHERE cw > 0),
@@ -13328,8 +13330,9 @@ def q228_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     al., 'Estimating Uncertainty for Massive Data Streams', Google 2012).
     The error bar every A/B readout (q101) should carry.
 
-    Determinism: draws are md5-seeded per (row, replicate) with
-    Python-precomputed Poisson CDF literals (no runtime exp()), replicate
+    Determinism: one md5 per (row, replicate-octet) seeds eight 16-bit
+    draws compared lexicographically against Python-precomputed 4-hex
+    Poisson CDF literals (no runtime exp() or base conversion), replicate
     means are exact-integer ratios, and the CI is the exact interpolated
     percentile over the 40 replicate means (quantile_cont-equal).
     Scale shape: see operators/stats.poisson_bootstrap_mean_ci — one
@@ -13537,3 +13540,37 @@ def q230_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("true_source").alias("source"), F.col("cand").alias("pred_source"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "z21_engine_shift_expression",
+    f"""
+    WITH d AS (
+      SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+             CAST(count(value) AS DOUBLE) AS ct
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT o.event_type, o.bucket, o.ct, coalesce(p.ct, 0.0) AS prev
+      FROM d o
+      LEFT JOIN d p
+        ON p.event_type = o.event_type AND p.bucket + 86400 = o.bucket
+    )
+    SELECT event_type, bucket, ct - prev AS delta
+    FROM j WHERE prev > 0 AND ct - prev > -5
+    """,
+)
+def z21_engine_shift_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: SHIFT inside ARITHMETIC and HAVING — the day-over-day
+    delta `cnt - SHIFT(cnt,'1d')` as one SELECT field, HAVING-filtered on
+    both the shifted value and the composed delta. Before the round-4
+    session-2 restructure the engine only allowed SHIFT as a bare
+    top-level field (the reference composes shifted exprs like any other
+    field, expr/shift.go)."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT cnt - SHIFT(cnt, '1d') AS delta, SHIFT(cnt, '1d') AS prev "
+        "FROM ev_hourly GROUP BY event_type, period('1d') "
+        "HAVING prev > 0 AND delta > 0 - 5"
+    )
+    return _as_bucket(out).drop("prev")
