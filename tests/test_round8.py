@@ -208,3 +208,27 @@ def test_shift_anywhere_in_expression(shift_db):
         "SELECT v FROM m GROUP BY k, period('1d') HAVING SHIFT(v,'1d') > 14"
     ).collect()
     assert sorted(r["_time"].day for r in r4) == [7, 8]
+
+
+def test_order_by_non_selected_field(spark):
+    """ORDER BY may reference a field outside the SELECT list (reference
+    sql_test.go `ORDER BY Rate DESC, x, y`): it materializes as a hidden
+    sort column and is dropped from the output; a fully unknown name
+    sorts as the absent-field constant instead of erroring."""
+    db = DB(spark, now=T0 + 10 * DAY)
+    db.apply_schema(
+        {"mo": {"sql": "SELECT v, AVG(w) AS aw FROM pts GROUP BY k, period('1d')"}}
+    )
+    pts = [
+        Row(ts=ts(d + 0.1), k=f"k{d % 2}", v=float(10 + d), w=float(d))
+        for d in range(6)
+    ]
+    db.insert("pts", spark.createDataFrame(pts))
+    out = db.query("SELECT v FROM mo GROUP BY k, period('20d') ORDER BY aw DESC")
+    rows = out.collect()
+    assert out.columns == ["_time", "k", "v"]  # hidden sort column dropped
+    # k1 rows have w in {1,3,5} (aw 3), k0 rows {0,2,4} (aw 2) → k1 first
+    assert [r["k"] for r in rows] == ["k1", "k0"]
+    # unknown name: absent constant, no error, residual order preserved
+    out2 = db.query("SELECT v FROM mo GROUP BY k, period('20d') ORDER BY nosuch, v DESC")
+    assert [r["v"] for r in out2.collect()] == [39.0, 36.0]

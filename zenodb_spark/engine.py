@@ -963,6 +963,17 @@ class DB:
             if not (isinstance(f.expr, MFieldRef) and f.expr.name in dim_names)
         ]
 
+        # ORDER BY may reference a field OUTSIDE the SELECT list (reference
+        # sql_test.go's `ORDER BY Rate DESC, x, y`): materialize it as a
+        # hidden `__ob_<name>` column the sort consumes and then drops.
+        # Unknown names resolve to the absent-field NULL constant. Crosstab
+        # pivots every field, so hidden columns stay off that path.
+        if q.order_by and not q.crosstab:
+            produced = {f.name for f in fields} | {n for n, _ in out_dims} | {"_time"}
+            for name, _desc in q.order_by:
+                if name not in produced:
+                    fields.append(SelectField(f"__ob_{name}", MFieldRef(name)))
+
         # rewrite fields; find required leaves (possibly IF-gated at query time)
         rewritten: list[SelectField] = []
         leaves: list[MExpr] = []
@@ -1293,25 +1304,31 @@ class DB:
         return df
 
     def _order_limit(self, df: DataFrame, q: Query) -> DataFrame:
+        drop_after = []
         if q.order_by:
             cols = []
             for name, desc in q.order_by:
-                # reference semantics: ORDER BY references OUTPUT names
-                # (core/sort.go orders the flat rows); reject unknown names
-                # cleanly instead of surfacing an AnalysisException
-                if name != "_time" and name not in df.columns:
-                    raise ValueError(
-                        f"ORDER BY {name!r} is not an output column; "
-                        f"available: {sorted(df.columns)}"
-                    )
-                c = F.col(TIME_COL) if name == "_time" else F.col(name)
+                # ORDER BY references an output name, a non-selected field
+                # materialized as a hidden `__ob_<name>` column by the
+                # table-query path (reference sql_test.go orders by fields
+                # outside the SELECT list), or — failing both — an unknown
+                # name, which reads as ABSENT and sorts as a constant
+                # (expr/field.go:44-47's nil rule; a no-op sort key)
+                if name == "_time":
+                    c = F.col(TIME_COL)
+                elif name in df.columns:
+                    c = F.col(name)
+                elif f"__ob_{name}" in df.columns:
+                    c = F.col(f"__ob_{name}")
+                else:
+                    c = F.lit(None).cast("double")
                 cols.append(c.desc() if desc else c.asc())
             df = df.orderBy(*cols)
         if q.offset:
             df = df.offset(q.offset)
         if q.limit is not None:
             df = df.limit(q.limit)
-        return df
+        return df.drop(*[c for c in df.columns if c.startswith("__ob_")])
 
 
 def _substitute_refs(e: MExpr, by_name: dict[str, MExpr]) -> MExpr:
