@@ -232,3 +232,23 @@ def test_order_by_non_selected_field(spark):
     # unknown name: absent constant, no error, residual order preserved
     out2 = db.query("SELECT v FROM mo GROUP BY k, period('20d') ORDER BY nosuch, v DESC")
     assert [r["v"] for r in out2.collect()] == [39.0, 36.0]
+
+
+def test_dim_function_literals_and_nil_dims(spark):
+    """CONCAT parts/ANY args may be string LITERALS (goexpr evaluates
+    parts; previously a literal became a bogus column ref), and unknown
+    dim names inside GROUP BY expressions read as nil (expr/field.go:
+    44-47) instead of failing analysis."""
+    db = DB(spark, now=T0 + 10 * DAY)
+    db.apply_schema({"md": {"sql": "SELECT v FROM pts GROUP BY k, period('1d')"}})
+    pts = [Row(ts=ts(0.1), k=kk, v=1.0) for kk in ["a", "bb", "ccc"]]
+    db.insert("pts", spark.createDataFrame(pts))
+    q = db.query
+    r1 = q("SELECT v FROM md WHERE CONCAT('-', k, 'z') = 'bb-z' GROUP BY k, period('1d')")
+    assert [r["k"] for r in r1.collect()] == ["bb"]
+    r2 = q("SELECT v FROM md GROUP BY CONCAT('_', k, 'sfx') AS kx, period('1d')")
+    assert sorted(r["kx"] for r in r2.collect()) == ["a_sfx", "bb_sfx", "ccc_sfx"]
+    r3 = q("SELECT v FROM md GROUP BY ANY(nosuchdim, k, 'fb') AS a2, period('1d')")
+    assert sorted(r["a2"] for r in r3.collect()) == ["a", "bb", "ccc"]
+    r4 = q("SELECT v FROM md GROUP BY nosuch, period('1d')").collect()
+    assert len(r4) == 1 and r4[0]["nosuch"] is None and r4[0]["v"] == 3.0

@@ -910,13 +910,16 @@ class DB:
                 )
             out_min_ts = b0
 
-        # output dims
+        # output dims — unknown dim names inside GROUP BY expressions read
+        # as nil (reference expr/field.go:44-47), so ANY(missing, k, 'x')
+        # falls through instead of failing analysis
+        dim_resolve = lambda n: F.col(n) if n in state.columns else F.lit(None)
         if q.group_by_none:
             out_dims: list[tuple[str, object]] = []
         elif q.group_by_all or not q.group_by:
             out_dims = [(d, F.col(d)) for d in (table.dims or [])]
         else:
-            out_dims = [(g.name, compile_dim(g.expr)) for g in q.group_by]
+            out_dims = [(g.name, compile_dim(g.expr, dim_resolve)) for g in q.group_by]
 
         # fields (SELECT * expands to all table fields + _points)
         fields = list(q.fields)
@@ -1145,7 +1148,10 @@ class DB:
         self, q, table, state, qreg, out_dims, res_out, fields, having_expr,
         q_lookup, out_min_ts=None, anchor=0,
     ):
-        ct_col = F.concat_ws("_", *[compile_dim(e).cast("string") for e in q.crosstab])
+        ct_resolve = lambda n: F.col(n) if n in state.columns else F.lit(None)
+        ct_col = F.concat_ws(
+            "_", *[compile_dim(e, ct_resolve).cast("string") for e in q.crosstab]
+        )
         dims_ct = list(out_dims) + [("__ct", ct_col)]
         merged_ct = merge_states(
             state, qreg, dims_ct, table.resolution, res_out, anchor=anchor

@@ -86,6 +86,17 @@ def compile_dim(e: DimExpr, resolve=None) -> Column:
         fn = DIM_FUNCTIONS.get(e.name)
         if fn is None:
             raise ValueError(f"unknown dimension function {e.name} (register it)")
+        if e.name == "CONCAT":
+            # CONCAT(sep, parts…): sep is a literal string, but every PART
+            # is an expression — a constant part must become lit(), not a
+            # column named by its value (goexpr Concat evaluates parts)
+            sep = e.args[0].value if isinstance(e.args[0], DimConst) else None
+            if sep is None:
+                raise ValueError("CONCAT separator must be a string literal")
+            return fn(sep, *[compile_dim(a, r) for a in e.args[1:]])
+        if e.name == "ANY":
+            # ANY(exprs…): same rule — constants are fallback VALUES
+            return fn(*[compile_dim(a, r) for a in e.args])
         args = [_dim_fn_arg(a, r) for a in e.args]
         return fn(*args)
     if isinstance(e, DimCompare):
