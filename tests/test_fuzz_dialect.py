@@ -1,0 +1,246 @@
+"""Differential dialect fuzzer: hypothesis-generated ZenoDB-dialect queries
+run through the FULL engine (schema → ingest → stored-state query) and
+value-compared against a DuckDB oracle built from the SAME abstract query —
+two independent lowerings of one spec. This hunts interaction bugs the
+hand-written z-corpus can't enumerate: WHERE × HAVING × SHIFT × ASOF ×
+period × ORDER/LIMIT in arbitrary combination.
+
+The generator stays inside the engine's documented semantics (aligned
+ASOF/UNTIL bounds, period a multiple of the table resolution, deterministic
+ORDER keys), so any mismatch is a real bug, not a known deviation. Data is
+FIXED; hypothesis explores the query space.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import Row
+
+from zenodb_spark.engine import DB
+
+T0 = dt.datetime(2024, 3, 1, tzinfo=dt.timezone.utc).timestamp()
+DAY = 86400
+
+
+def _points():
+    """Fixed deterministic corpus: 2 dims × 8 days × irregular values,
+    with gaps (k 'b' missing on days 2-3) so sparse-axis paths fire."""
+    rows = []
+    i = 0
+    for d in range(8):
+        for h in (1, 7, 13, 20):
+            for k in ("a", "b", "c"):
+                if k == "b" and d in (2, 3):
+                    continue
+                i += 1
+                rows.append(
+                    Row(
+                        ts=dt.datetime.fromtimestamp(
+                            T0 + d * DAY + h * 3600, dt.timezone.utc
+                        ),
+                        k=k,
+                        v=float((i * 7) % 23 - 5),
+                    )
+                )
+    return rows
+
+
+@pytest.fixture(scope="module")
+def fuzz_db(spark):
+    db = DB(spark, now=T0 + 20 * DAY)
+    db.apply_schema(
+        {
+            "fz": {
+                "sql": "SELECT COUNT(v) AS cnt, MIN(v) AS mn, MAX(v) AS mx "
+                "FROM pts GROUP BY k, period('1h')"
+            }
+        }
+    )
+    db.insert("pts", spark.createDataFrame(_points()))
+    return db
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts (ts TIMESTAMP, k VARCHAR, v DOUBLE)")
+    con.executemany(
+        "INSERT INTO pts VALUES (?, ?, ?)",
+        [(r.ts.replace(tzinfo=None), r.k, r.v) for r in _points()],
+    )
+    return con
+
+
+# ---------------------------------------------------------------------------
+# query-spec strategy
+# ---------------------------------------------------------------------------
+
+FIELDS = st.lists(
+    st.sampled_from(["cnt", "mn", "mx", "span", "cnt2"]),
+    min_size=1,
+    max_size=3,
+    unique=True,
+)
+GROUPK = st.sampled_from(["k", "_"])
+PERIOD = st.sampled_from([3600, 7200, DAY, 2 * DAY])
+WHERE = st.sampled_from([None, "k = 'a'", "k <> 'b'", "k IN ('a', 'c')"])
+SHIFT = st.booleans()
+HAVING = st.sampled_from([None, "cnt > 2", "cnt > 0 AND mx > 5"])
+ORDER = st.sampled_from([None, "lim"])
+ASOF = st.sampled_from([None, (2, 6)])  # day offsets, always day-aligned
+
+SPEC = st.fixed_dictionaries(
+    {
+        "fields": FIELDS,
+        "group": GROUPK,
+        "period": PERIOD,
+        "where": WHERE,
+        "shift": SHIFT,
+        "having": HAVING,
+        "order": ORDER,
+        "asof": ASOF,
+    }
+)
+
+_FIELD_SQL = {  # dialect select expression per abstract field
+    "cnt": "cnt",
+    "mn": "mn",
+    "mx": "mx",
+    "span": "mx - mn AS span",
+    "cnt2": "cnt * 2 AS cnt2",
+}
+_FIELD_ORACLE = {  # oracle expression over the per-bucket base aggregate
+    "cnt": "o.cnt",
+    "mn": "o.mn",
+    "mx": "o.mx",
+    "span": "o.mx - o.mn",
+    "cnt2": "o.cnt * 2",
+}
+
+
+def _dialect_sql(spec) -> str:
+    sel = [_FIELD_SQL[f] for f in spec["fields"]]
+    if spec["shift"]:
+        sel.append("SHIFT(cnt, '1d') AS pcnt")
+    sql = f"SELECT {', '.join(sel)} FROM fz"
+    if spec["asof"]:
+        a, u = spec["asof"]
+        sql += (
+            f" ASOF '{_day(a)}' UNTIL '{_day(u)}'"
+        )
+    if spec["where"]:
+        sql += f" WHERE {spec['where']}"
+    sql += f" GROUP BY {spec['group']}, period('{spec['period']}s')"
+    if spec["having"]:
+        sql += f" HAVING {spec['having']}"
+    if spec["order"]:
+        sql += " ORDER BY cnt DESC, _time LIMIT 5"
+    return sql
+
+
+def _day(off: int) -> str:
+    d = dt.datetime.fromtimestamp(T0 + off * DAY, dt.timezone.utc)
+    return d.strftime("%Y-%m-%d")
+
+
+def _oracle_sql(spec) -> str:
+    p = spec["period"]
+    grp_dim = "k" if spec["group"] == "k" else "'_'"
+    where = f"WHERE {spec['where']}" if spec["where"] else ""
+    base = f"""
+    base AS (
+      SELECT {grp_dim} AS g,
+             CAST(floor(epoch(ts) / {p}) * {p} AS BIGINT) AS b,
+             CAST(count(v) AS DOUBLE) AS cnt, min(v) AS mn, max(v) AS mx
+      FROM pts {where} GROUP BY 1, 2
+    )"""
+    cols = [f"{_FIELD_ORACLE[f]} AS {f}" for f in spec["fields"]]
+    joined = "base o"
+    if spec["shift"]:
+        # lag over the FULL series (the engine reads below ASOF for shifts),
+        # absent buckets coalesce to 0
+        shift_buckets = (86400 // p) * p  # engine: dur // res_out * res_out
+        joined = (
+            "base o LEFT JOIN base s ON s.g = o.g AND "
+            f"s.b + {shift_buckets} = o.b"
+        )
+        cols.append("coalesce(s.cnt, 0.0) AS pcnt")
+    rng = ""
+    if spec["asof"]:
+        a, u = spec["asof"]
+        lo = int(T0 + a * DAY)
+        hi = int(T0 + u * DAY)
+        rng = f"WHERE o.b >= {lo} AND o.b < {hi}"
+    having = ""
+    if spec["having"]:
+        having = "AND " if rng else "WHERE "
+        having += (
+            spec["having"]
+            .replace("cnt", "o.cnt")
+            .replace("mx", "o.mx")
+        )
+    sql = f"WITH {base} SELECT o.g, o.b, {', '.join(cols)}, o.cnt AS __obc FROM {joined} {rng} {having}"
+    if spec["order"]:
+        # ORDER BY cnt even when cnt is NOT a selected field — mirrors the
+        # engine's hidden __ob_ sort column; the outer projection drops it
+        sql = f"SELECT * FROM ({sql}) ORDER BY __obc DESC, b, g LIMIT 5"
+    outer_cols = ["g", "b"] + list(spec["fields"]) + (["pcnt"] if spec["shift"] else [])
+    return f"SELECT {', '.join(outer_cols)} FROM ({sql})"
+
+
+def _canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 9)
+    return v
+
+
+def _engine_rows(df, spec):
+    out = []
+    for r in df.collect():
+        g = r["k"] if spec["group"] == "k" else "_"
+        b = int(r["_time"].timestamp())
+        vals = tuple(_canon(r[f]) for f in spec["fields"])
+        pv = (_canon(r["pcnt"]),) if spec["shift"] else ()
+        out.append((g, b) + vals + pv)
+    return sorted(out)
+
+
+def _oracle_rows(con, spec):
+    rows = con.execute(_oracle_sql(spec)).fetchall()
+    return sorted(tuple(_canon(v) for v in r) for r in rows)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=SPEC)
+def test_dialect_matches_duckdb_oracle(fuzz_db, oracle_con, spec):
+    if spec["order"]:
+        # LIMIT needs a total order: (cnt DESC, _time) can tie across dims
+        # when grouping by k — restrict ordered specs to the global series
+        spec = dict(spec)
+        spec["group"] = "_"
+    if spec["asof"] and spec["period"] > DAY:
+        # T0 is an ODD epoch day: a 2d period's epoch grid does not align
+        # with day-aligned ASOF bounds, engaging the engine's documented
+        # partial-first-bucket semantics the flat oracle does not model —
+        # keep ASOF specs on period-aligned grids (covered separately by
+        # test_round8's unaligned-ASOF goldens)
+        spec = dict(spec)
+        spec["period"] = DAY
+    got = _engine_rows(fuzz_db.query(_dialect_sql(spec)), spec)
+    want = _oracle_rows(oracle_con, spec)
+    assert got == want, (
+        f"\ndialect: {_dialect_sql(spec)}\noracle: {_oracle_sql(spec)}"
+        f"\ngot {len(got)} rows, want {len(want)}\n"
+        f"got[:5]={got[:5]}\nwant[:5]={want[:5]}"
+    )
