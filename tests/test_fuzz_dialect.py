@@ -94,6 +94,8 @@ HAVING = st.sampled_from([None, "cnt > 2", "cnt > 0 AND mx > 5"])
 ORDER = st.sampled_from([None, "lim"])
 ASOF = st.sampled_from([None, (2, 6)])  # day offsets, always day-aligned
 
+STRIDE = st.booleans()  # stride = 2 × period when set
+
 SPEC = st.fixed_dictionaries(
     {
         "fields": FIELDS,
@@ -104,6 +106,7 @@ SPEC = st.fixed_dictionaries(
         "having": HAVING,
         "order": ORDER,
         "asof": ASOF,
+        "stride": STRIDE,
     }
 )
 
@@ -136,6 +139,11 @@ def _dialect_sql(spec) -> str:
     if spec["where"]:
         sql += f" WHERE {spec['where']}"
     sql += f" GROUP BY {spec['group']}, period('{spec['period']}s')"
+    if spec["stride"]:
+        sql = sql.replace(
+            f"period('{spec['period']}s')",
+            f"period('{spec['period']}s'), stride('{2 * spec['period']}s')",
+        )
     if spec["having"]:
         sql += f" HAVING {spec['having']}"
     if spec["order"]:
@@ -158,6 +166,23 @@ def _oracle_sql(spec) -> str:
              CAST(floor(epoch(ts) / {p}) * {p} AS BIGINT) AS b,
              CAST(count(v) AS DOUBLE) AS cnt, min(v) AS mn, max(v) AS mx
       FROM pts {where} GROUP BY 1, 2
+    )"""
+    if spec["stride"]:
+        # keep the first period-slice of each stride window, re-bucket to
+        # the stride grid (engine: strideSlice = resolution, then
+        # resolution = stride)
+        s = 2 * p
+        base = f"""
+    base0 AS (
+      SELECT {grp_dim} AS g,
+             CAST(floor(epoch(ts) / {p}) * {p} AS BIGINT) AS b0,
+             CAST(count(v) AS DOUBLE) AS cnt, min(v) AS mn, max(v) AS mx
+      FROM pts {where} GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT g, CAST(floor(b0 / {s}) * {s} AS BIGINT) AS b,
+             CAST(sum(cnt) AS DOUBLE) AS cnt, min(mn) AS mn, max(mx) AS mx
+      FROM base0 WHERE b0 % {s} < {p} GROUP BY 1, 2
     )"""
     cols = [f"{_FIELD_ORACLE[f]} AS {f}" for f in spec["fields"]]
     joined = "base o"
@@ -237,6 +262,14 @@ def test_dialect_matches_duckdb_oracle(fuzz_db, oracle_con, spec):
         # test_round8's unaligned-ASOF goldens)
         spec = dict(spec)
         spec["period"] = DAY
+    if spec["stride"]:
+        spec = dict(spec)
+        # a shift smaller than the stride-widened resolution floors to a
+        # zero offset (degenerate); and an ASOF bound unaligned to the
+        # 2×period output grid re-engages partial-bucket semantics
+        spec["shift"] = False
+        if spec["asof"] and 2 * spec["period"] > 7200:
+            spec["period"] = 3600
     got = _engine_rows(fuzz_db.query(_dialect_sql(spec)), spec)
     want = _oracle_rows(oracle_con, spec)
     assert got == want, (
