@@ -88,7 +88,17 @@ FIELDS = st.lists(
 )
 GROUPK = st.sampled_from(["k", "_"])
 PERIOD = st.sampled_from([3600, 7200, DAY, 2 * DAY])
-WHERE = st.sampled_from([None, "k = 'a'", "k <> 'b'", "k IN ('a', 'c')"])
+WHERE = st.sampled_from(
+    [
+        None,
+        "k = 'a'",
+        "k <> 'b'",
+        "k IN ('a', 'c')",
+        # membership from a subquery over the same stored table (the
+        # reference's auto-correlation pattern, planner/subquery.go)
+        "k IN (SELECT k FROM fz GROUP BY k HAVING mx > 14)",
+    ]
+)
 SHIFT = st.booleans()
 HAVING = st.sampled_from([None, "cnt > 2", "cnt > 0 AND mx > 5"])
 ORDER = st.sampled_from([None, "lim"])
@@ -159,7 +169,12 @@ def _day(off: int) -> str:
 def _oracle_sql(spec) -> str:
     p = spec["period"]
     grp_dim = "k" if spec["group"] == "k" else "'_'"
-    where = f"WHERE {spec['where']}" if spec["where"] else ""
+    w = spec["where"]
+    if w and "SELECT" in w:
+        # dialect subquery groups the stored table by (k, hour); HAVING
+        # mx > 14 on ANY hourly bucket ⇔ global max(v) > 14
+        w = "k IN (SELECT k FROM pts GROUP BY k HAVING max(v) > 14)"
+    where = f"WHERE {w}" if w else ""
     base = f"""
     base AS (
       SELECT {grp_dim} AS g,
