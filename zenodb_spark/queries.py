@@ -13574,3 +13574,32 @@ def z21_engine_shift_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
         "HAVING prev > 0 AND delta > 0 - 5"
     )
     return _as_bucket(out).drop("prev")
+
+
+@query(
+    "z22_engine_order_by_hidden",
+    f"""
+    WITH d AS (
+      SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+             CAST(count(value) AS DOUBLE) AS ct,
+             min(value) AS mn
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (SELECT event_type, bucket, ct FROM d
+               ORDER BY mn, event_type, bucket LIMIT 7 OFFSET 2)
+    SELECT event_type, bucket, ct FROM ranked
+    """,
+)
+def z22_engine_order_by_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: ORDER BY a field OUTSIDE the SELECT list + LIMIT
+    offset,n — the sort key (mn) is materialized as a hidden column,
+    consumed by the order/limit, and dropped from the output (reference
+    sql_test.go orders by non-selected fields; core sorts the flat rows
+    on any field). Ties broken by selected columns for determinism."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT cnt AS ct FROM ev_hourly "
+        "GROUP BY event_type, period('1d') "
+        "ORDER BY mn, event_type, _time LIMIT 2, 7"
+    )
+    return _as_bucket(out)
