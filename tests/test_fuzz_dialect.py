@@ -292,3 +292,88 @@ def test_dialect_matches_duckdb_oracle(fuzz_db, oracle_con, spec):
         f"\ngot {len(got)} rows, want {len(want)}\n"
         f"got[:5]={got[:5]}\nwant[:5]={want[:5]}"
     )
+
+
+# ---------------------------------------------------------------------------
+# crosstab fuzz: the pivot path (dynamic columns, totals, HAVING at the
+# totals grain) melted back to rows and compared against an un-pivoted oracle
+# ---------------------------------------------------------------------------
+
+CT_SPEC = st.fixed_dictionaries(
+    {
+        "period": st.sampled_from([3600, DAY]),
+        "where": st.sampled_from([None, "k <> 'b'"]),
+        "totals": st.booleans(),
+        "having": st.sampled_from([None, "cnt > 6"]),
+    }
+)
+
+
+def _ct_dialect(spec) -> str:
+    fn = "CROSSTABT" if spec["totals"] else "CROSSTAB"
+    sql = "SELECT cnt FROM fz"
+    if spec["where"]:
+        sql += f" WHERE {spec['where']}"
+    sql += f" GROUP BY _, {fn}(k), period('{spec['period']}s')"
+    if spec["having"]:
+        sql += f" HAVING {spec['having']}"
+    return sql
+
+
+def _ct_oracle_rows(con, spec):
+    p = spec["period"]
+    where = f"WHERE {spec['where']}" if spec["where"] else ""
+    having = ""
+    if spec["having"]:
+        having = f"HAVING CAST(count(v) AS DOUBLE) > 6"
+    # totals at the (bucket) grain gate which buckets exist (inner join)
+    tot = con.execute(
+        f"""
+        SELECT CAST(floor(epoch(ts) / {p}) * {p} AS BIGINT) AS b,
+               CAST(count(v) AS DOUBLE) AS cnt
+        FROM pts {where} GROUP BY 1 {having}
+        """
+    ).fetchall()
+    buckets = {b: c for b, c in tot}
+    cells = con.execute(
+        f"""
+        SELECT CAST(floor(epoch(ts) / {p}) * {p} AS BIGINT) AS b, k,
+               CAST(count(v) AS DOUBLE) AS cnt
+        FROM pts {where} GROUP BY 1, 2
+        """
+    ).fetchall()
+    out = {(b, k): c for b, k, c in cells if b in buckets}
+    if spec["totals"]:
+        for b, c in buckets.items():
+            out[(b, "total")] = c
+    return out
+
+
+def _ct_engine_rows(df, spec):
+    out = {}
+    for r in df.collect():
+        b = int(r["_time"].timestamp())
+        for col in df.columns:
+            if col == "_time" or r[col] is None:
+                continue
+            if col == "total_cnt":
+                out[(b, "total")] = _canon(r[col])
+            elif col.endswith("_cnt"):
+                out[(b, col[: -len("_cnt")])] = _canon(r[col])
+    return out
+
+
+@settings(
+    max_examples=16,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=CT_SPEC)
+def test_crosstab_matches_duckdb_oracle(fuzz_db, oracle_con, spec):
+    got = _ct_engine_rows(fuzz_db.query(_ct_dialect(spec)), spec)
+    want = {k: _canon(v) for k, v in _ct_oracle_rows(oracle_con, spec).items()}
+    assert got == want, (
+        f"\ndialect: {_ct_dialect(spec)}\n"
+        f"got {len(got)} cells, want {len(want)}\n"
+        f"extra={sorted(set(got) - set(want))[:4]} missing={sorted(set(want) - set(got))[:4]}"
+    )
