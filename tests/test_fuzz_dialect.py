@@ -99,7 +99,7 @@ WHERE = st.sampled_from(
         "k IN (SELECT k FROM fz GROUP BY k HAVING mx > 14)",
     ]
 )
-SHIFT = st.booleans()
+SHIFT = st.sampled_from([None, "shift", "crosshift"])
 HAVING = st.sampled_from([None, "cnt > 2", "cnt > 0 AND mx > 5"])
 ORDER = st.sampled_from([None, "lim"])
 ASOF = st.sampled_from([None, (2, 6)])  # day offsets, always day-aligned
@@ -138,8 +138,11 @@ _FIELD_ORACLE = {  # oracle expression over the per-bucket base aggregate
 
 def _dialect_sql(spec) -> str:
     sel = [_FIELD_SQL[f] for f in spec["fields"]]
-    if spec["shift"]:
+    if spec["shift"] == "shift":
         sel.append("SHIFT(cnt, '1d') AS pcnt")
+    elif spec["shift"] == "crosshift":
+        # macro expands to ch (offset 0), ch_1d, ch_2d
+        sel.append("CROSSHIFT(cnt, '-2d', '1d') AS ch")
     sql = f"SELECT {', '.join(sel)} FROM fz"
     if spec["asof"]:
         a, u = spec["asof"]
@@ -201,7 +204,7 @@ def _oracle_sql(spec) -> str:
     )"""
     cols = [f"{_FIELD_ORACLE[f]} AS {f}" for f in spec["fields"]]
     joined = "base o"
-    if spec["shift"]:
+    if spec["shift"] == "shift":
         # lag over the FULL series (the engine reads below ASOF for shifts),
         # absent buckets coalesce to 0
         shift_buckets = (86400 // p) * p  # engine: dur // res_out * res_out
@@ -210,6 +213,19 @@ def _oracle_sql(spec) -> str:
             f"s.b + {shift_buckets} = o.b"
         )
         cols.append("coalesce(s.cnt, 0.0) AS pcnt")
+    elif spec["shift"] == "crosshift":
+        # each offset floors to the OUTPUT grid independently:
+        # at period 2d the 1d offset floors to 0 (a self-join)
+        n1 = (86400 // p) * p
+        n2 = (172800 // p) * p
+        joined = (
+            "base o "
+            f"LEFT JOIN base s1 ON s1.g = o.g AND s1.b + {n1} = o.b "
+            f"LEFT JOIN base s2 ON s2.g = o.g AND s2.b + {n2} = o.b"
+        )
+        cols.append("o.cnt AS ch")
+        cols.append("coalesce(s1.cnt, 0.0) AS ch_1d")
+        cols.append("coalesce(s2.cnt, 0.0) AS ch_2d")
     rng = ""
     if spec["asof"]:
         a, u = spec["asof"]
@@ -229,7 +245,8 @@ def _oracle_sql(spec) -> str:
         # ORDER BY cnt even when cnt is NOT a selected field — mirrors the
         # engine's hidden __ob_ sort column; the outer projection drops it
         sql = f"SELECT * FROM ({sql}) ORDER BY __obc DESC, b, g LIMIT 5"
-    outer_cols = ["g", "b"] + list(spec["fields"]) + (["pcnt"] if spec["shift"] else [])
+    extra = {"shift": ["pcnt"], "crosshift": ["ch", "ch_1d", "ch_2d"]}.get(spec["shift"] or "", [])
+    outer_cols = ["g", "b"] + list(spec["fields"]) + extra
     return f"SELECT {', '.join(outer_cols)} FROM ({sql})"
 
 
@@ -247,7 +264,12 @@ def _engine_rows(df, spec):
         g = r["k"] if spec["group"] == "k" else "_"
         b = int(r["_time"].timestamp())
         vals = tuple(_canon(r[f]) for f in spec["fields"])
-        pv = (_canon(r["pcnt"]),) if spec["shift"] else ()
+        if spec["shift"] == "shift":
+            pv = (_canon(r["pcnt"]),)
+        elif spec["shift"] == "crosshift":
+            pv = (_canon(r["ch"]), _canon(r["ch_1d"]), _canon(r["ch_2d"]))
+        else:
+            pv = ()
         out.append((g, b) + vals + pv)
     return sorted(out)
 
@@ -282,7 +304,7 @@ def test_dialect_matches_duckdb_oracle(fuzz_db, oracle_con, spec):
         # a shift smaller than the stride-widened resolution floors to a
         # zero offset (degenerate); and an ASOF bound unaligned to the
         # 2×period output grid re-engages partial-bucket semantics
-        spec["shift"] = False
+        spec["shift"] = None
         if spec["asof"] and 2 * spec["period"] > 7200:
             spec["period"] = 3600
     got = _engine_rows(fuzz_db.query(_dialect_sql(spec)), spec)
