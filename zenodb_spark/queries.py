@@ -13494,6 +13494,11 @@ def q230_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         (F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int") % 16).alias("b"),
     ).agg(F.count(F.lit(1)).alias("tf"))
+    # four consumers (dsq, centroids, csq via centroids, cross-term) would
+    # otherwise each re-plan the tokenize+explode subtree — one corpus scan
+    # apiece at 100 TB; checkpoint the hashed-TF frame once (lazy: blocks
+    # freed by the ContextCleaner when the result frame is dropped)
+    tf = tf.localCheckpoint(eager=False)
     dsq = tf.groupBy("doc", "source").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("tfsq")
     )
