@@ -36,7 +36,7 @@ from pyspark.sql.window import Window
 
 from zenodb_spark.operators.util import spread
 
-__all__ = ["normalize_text", "exact_dedup", "dedup_apply", "shingles", "ngram_jaccard_pairs", "ngram_jaccard_pairs_prefix", "minhash_signatures", "minhash_lsh_pairs", "simhash", "simhash_pairs"]
+__all__ = ["normalize_text", "exact_dedup", "dedup_apply", "shingles", "ngram_jaccard_pairs", "ngram_jaccard_pairs_prefix", "ngram_jaccard_pairs_count", "ngram_jaccard_pairs_auto", "minhash_signatures", "minhash_lsh_pairs", "simhash", "simhash_pairs", "containment_pairs", "containment_pairs_count"]
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -211,13 +211,16 @@ def ngram_jaccard_pairs_prefix(
     "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al., PPJoin,
     WWW'08).
     """
-    from pyspark import StorageLevel
-
     arrays = (
         shingle_arrays(df, text_col, id_col, n, fingerprint=True)
         # no size-filter here: shingle_arrays guarantees nonempty arrays,
-        # and re-filtering would push the shingle expr below the exchange
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # and re-filtering would push the shingle expr below the exchange.
+        # localCheckpoint(eager=False), NOT persist: a persist on a frame
+        # returned lazily can never be unpersisted by the operator, so long
+        # driver sessions leak CacheManager entries; checkpoint blocks are
+        # freed by the ContextCleaner once the frame is garbage collected
+        # (same fix as operators/prefix.py, round-4 ADVICE item 4).
+        .localCheckpoint(eager=False)
     )
     sh = arrays.select(
         "doc", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
@@ -296,6 +299,464 @@ def ngram_jaccard_pairs_prefix(
     )
 
 
+# ---------------------------------------------------------------------------
+# Exact-join auto-planner
+#
+# Three exact formulations with different data-dependent regimes:
+#
+# * pairtoken (ngram_jaccard_pairs_pairtoken): segmented 2-token indexing
+#   (the fixed l=2 point of AdaptJoin's variable-length prefix scheme —
+#   Wang, Li & Feng, "Can We Beat the Prefix Filtering?", SIGMOD'12).
+#   Shingles hash into K segments; a qualifying pair must share >= K+1
+#   shingles, so by pigeonhole SOME segment holds >= 2 shared shingles and
+#   the pair collides on a (shingle, shingle) 2-token. 2-token buckets are
+#   tiny even when every single-shingle bucket is huge (the dense regime
+#   that drowns both other plans), so candidate volume collapses to the
+#   truly-correlated pairs. Docs too small to guarantee K+1 overlap are
+#   indexed by single shingles against everything (bounded by the size
+#   quantile the planner picks K from). Exact: candidates are verified
+#   with array_intersect, and the pigeonhole argument guarantees
+#   candidate completeness (see each function's proof sketch).
+#
+# * counting (ngram_jaccard_pairs_count): one pass — inverted index, emit
+#   every co-occurring pair once per shared shingle, groupBy(pair) COUNT =
+#   the exact intersection, Jaccard from counts. No verify join at all.
+#   Cost = Σ_shingle C(df,2) pair rows through one shuffle. Dies on Zipfian
+#   corpora where one hot shingle has df ~ N (C(df,2) ~ N²/2).
+# * prefix (ngram_jaccard_pairs_prefix): AllPairs/PPJoin — candidates only
+#   from the L rarest shingles of each doc, then an array_intersect verify
+#   join. Immune to hot shingles, but at LOW thresholds the prefix covers
+#   most of each doc and candidate volume + verify dominate (measured at
+#   sf1.0/t=0.2: 88M prefix co-occurrences → 55.7M candidates → 102 true
+#   pairs; 27 s of a 50 s query in the distinct+verify stages alone).
+#
+# The planner probes both volumes with O(1)-row aggregates over the posting
+# frequencies — the same mechanism as the BM25 dense-regime planner
+# (retrieval.py mode="auto") — and picks the cheaper plan. Probes are pure
+# aggregates (no persists to leak); the chosen path then builds its own
+# pipeline from the parquet scan (one extra linear pass, noise next to the
+# pair stages being planned).
+# ---------------------------------------------------------------------------
+
+# Below this many counting-path pair rows the counting plan wins so clearly
+# that probing the prefix volume (a collect_list + slice pass) is not worth
+# its own cost.
+COUNT_COST_OBVIOUS = 30_000_000
+# A prefix candidate costs ~3× a counting pair row: it passes through the
+# pair-distinct AND a two-sided join against the full shingle arrays with a
+# per-row array_intersect (measured 7.8 s distinct + 19.1 s verify vs a
+# comparable-volume count shuffle at sf1.0).
+PREFIX_VERIFY_WEIGHT = 3.0
+
+
+def _pair_volume(freqs: DataFrame, col: str) -> int:
+    """Σ C(f,2) over a posting-frequency frame — the exact number of pair
+    rows an inverted index over those postings emits. One-row aggregate."""
+    row = freqs.agg(
+        F.coalesce(
+            F.sum(F.col(col).cast("double") * (F.col(col) - 1) / 2), F.lit(0.0)
+        ).alias("v")
+    ).collect()[0]
+    return int(row["v"])
+
+
+def _prefix_volume(
+    sh: DataFrame, threshold: float, contained_side_only: bool = False
+) -> int:
+    """Pair volume the prefix plan would emit: Σ C(pf,2) over per-shingle
+    prefix frequencies (Jaccard, both sides indexed), or Σ pf·df for the
+    containment join (prefix rows × full postings)."""
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc", "sz")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "shingle"))).alias("ranked"))
+    )
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    prefix = (
+        ranked.select("doc", F.explode(F.slice("ranked", 1, plen)).alias("p"))
+        .filter(F.col("p.df") >= 2)
+        .select(F.col("p.shingle").alias("shingle"), F.col("p.df").alias("df"))
+    )
+    pf = prefix.groupBy("shingle", "df").agg(F.count(F.lit(1)).alias("pf"))
+    if contained_side_only:
+        row = pf.agg(
+            F.coalesce(F.sum(F.col("pf").cast("double") * F.col("df")), F.lit(0.0)).alias("v")
+        ).collect()[0]
+        return int(row["v"])
+    return _pair_volume(pf, "pf")
+
+
+def _pairtoken_candidates(
+    sh: DataFrame, K: int, small_max: int, token_docs: DataFrame | None = None
+) -> DataFrame:
+    """Candidate (doc_a, doc_b, sz_a, sz_b) pairs from segmented 2-token
+    indexing over fingerprinted postings ``sh`` = (doc, sz, s).
+
+    * token channel: docs in ``token_docs`` (default: sz >= small_max) sort
+      each hash segment's shingles and emit every within-segment ordered
+      shingle pair as a token; candidate = two docs sharing a token.
+    * singles channel: docs with sz < small_max post every shingle; each
+      such posting pairs against the shingle's FULL posting list (never
+      all-pairs of the full list — volume is Σ df_small·df, controlled by
+      the size quantile K was derived from).
+    """
+    token_side = token_docs if token_docs is not None else sh.filter(
+        F.col("sz") >= small_max
+    )
+    segarr = (
+        token_side.groupBy("doc", "sz", F.pmod(F.col("s"), F.lit(K)).alias("seg"))
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    tok = (
+        segarr.select("doc", "sz", F.explode("ss").alias("s1"), F.col("ss"))
+        .select("doc", "sz", "s1", F.explode("ss").alias("s2"))
+        .filter(F.col("s1") < F.col("s2"))
+    )
+    tok_pairs = (
+        tok.groupBy("s1", "s2")
+        .agg(F.collect_list(F.struct("doc", "sz")).alias("docs"))
+        .filter(F.size("docs") >= 2)
+        .select(F.explode("docs").alias("a"), F.col("docs"))
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+    )
+    posting = (
+        sh.groupBy("s")
+        .agg(F.collect_list(F.struct("doc", "sz")).alias("docs"))
+        .withColumn("smalls", F.filter("docs", lambda d: d["sz"] < F.lit(small_max)))
+        .filter((F.size("smalls") >= 1) & (F.size("docs") >= 2))
+    )
+    small_pairs = (
+        posting.select(F.explode("smalls").alias("x"), F.col("docs"))
+        .select("x", F.explode("docs").alias("y"))
+        .filter(F.col("x.doc") != F.col("y.doc"))
+        .select(
+            F.when(F.col("x.doc") < F.col("y.doc"), F.struct("x", "y"))
+            .otherwise(F.struct(F.col("y").alias("x"), F.col("x").alias("y")))
+            .alias("p")
+        )
+        .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
+    )
+    both = tok_pairs.unionByName(small_pairs)
+    return both.select(
+        F.col("a.doc").alias("doc_a"),
+        F.col("b.doc").alias("doc_b"),
+        F.col("a.sz").alias("sz_a"),
+        F.col("b.sz").alias("sz_b"),
+    ).distinct()
+
+
+def _verify_pairs(cands: DataFrame, arrays: DataFrame) -> DataFrame:
+    """Exact intersection for candidate pairs: two hash joins against the
+    per-doc shingle arrays + one array_intersect per candidate. Adds
+    ``inter``; callers derive jaccard / containment and filter."""
+    sets_a = arrays.select(F.col("doc").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sets_b = arrays.select(F.col("doc").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        cands.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .drop("sh_a", "sh_b")
+    )
+
+
+def ngram_jaccard_pairs_pairtoken(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    K: int | None = None,
+    small_max: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard join, segmented 2-token formulation (planner block
+    comment above; AdaptJoin SIGMOD'12 for the general l-token scheme).
+
+    Completeness proof sketch: for J(A,B) >= t,
+    |A∩B| >= t/(1+t)·(|A|+|B|) >= 2t/(1+t)·min(|A|,|B|). With
+    small_max = ceil((K+1)(1+t)/(2t)), two docs both of size >= small_max
+    share >= K+1 shingles, so some hash segment (seg = pmod(fingerprint, K),
+    identical in every doc) holds >= 2 shared shingles — both docs emit that
+    (s1, s2) token. Pairs where either side is smaller are covered by the
+    singles channel (small docs post every shingle against full posting
+    lists). Candidates are then verified exactly, so false candidates cost
+    time, never correctness."""
+    if K is None or small_max is None:
+        raise ValueError("pairtoken requires planner-provided K and small_max")
+    # localCheckpoint, not persist — leak-free shared materialization (see
+    # ngram_jaccard_pairs_prefix)
+    arrays = shingle_arrays(df, text_col, id_col, n, fingerprint=True).localCheckpoint(
+        eager=False
+    )
+    sh = arrays.select(
+        "doc", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
+    )
+    cands = _pairtoken_candidates(sh, K, small_max).filter(
+        F.least(F.col("sz_a"), F.col("sz_b"))
+        >= F.lit(threshold) * F.greatest(F.col("sz_a"), F.col("sz_b"))
+    )
+    return (
+        _verify_pairs(cands, arrays)
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def containment_pairs_pairtoken(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    K: int | None = None,
+    small_max: int | None = None,
+) -> DataFrame:
+    """Exact containment join, segmented 2-token formulation.
+
+    Completeness: C(A→B) >= t means |A∩B| >= t·|A|; with
+    small_max = ceil((K+1)/t), a contained side of size >= small_max forces
+    >= K+1 shared shingles → a shared within-segment 2-token. The CONTAINER
+    has no size bound, so the token channel indexes EVERY doc (the shared
+    segment pair is inside B whatever B's size). Contained docs below
+    small_max go through the singles channel. Verification computes both
+    directions from one unordered candidate set."""
+    if K is None or small_max is None:
+        raise ValueError("pairtoken requires planner-provided K and small_max")
+    # localCheckpoint, not persist — leak-free shared materialization (see
+    # ngram_jaccard_pairs_prefix)
+    arrays = shingle_arrays(df, text_col, id_col, n, fingerprint=True).localCheckpoint(
+        eager=False
+    )
+    sh = arrays.select(
+        "doc", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
+    )
+    cands = _pairtoken_candidates(sh, K, small_max, token_docs=sh)
+    verified = _verify_pairs(cands, arrays)
+    directed = verified.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("doc_a"),
+                    F.col("doc_b").alias("doc_b"),
+                    (F.col("inter") / F.col("sz_a")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("doc_a"),
+                    F.col("doc_a").alias("doc_b"),
+                    (F.col("inter") / F.col("sz_b")).alias("containment"),
+                ),
+            )
+        ).alias("p")
+    )
+    return directed.select("p.doc_a", "p.doc_b", "p.containment").filter(
+        F.col("containment") >= threshold
+    )
+
+
+def ngram_jaccard_pairs_count(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard join, counting formulation: the intersection size IS
+    the per-pair co-occurrence count over the inverted index, so Jaccard
+    falls out of one groupBy with no verify join and no shingle arrays kept
+    around. The length filter (min sz ≥ t·max sz) prunes pairs before the
+    pair shuffle; map-side partial aggregation combines repeat pairs.
+
+    Use via ``ngram_jaccard_pairs_auto`` — this path is only correct-AND-
+    fast when Σ C(df,2) is modest (dense small-vocab corpora); a hot
+    shingle makes it quadratic, which is what the planner guards."""
+    sh = shingles(df, text_col, id_col, n, with_size=True)
+    posting = sh.groupBy("shingle").agg(
+        F.collect_list(F.struct(F.col("doc"), F.col("sz"))).alias("docs")
+    )
+    pairs = (
+        posting.filter(F.size("docs") >= 2)
+        .select(F.explode("docs").alias("a"), F.col("docs"))
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .filter(
+            F.least(F.col("a.sz"), F.col("b.sz"))
+            >= F.lit(threshold) * F.greatest(F.col("a.sz"), F.col("b.sz"))
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+    )
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.first("sz_a").alias("sz_a"),
+            F.first("sz_b").alias("sz_b"),
+        )
+        .withColumn(
+            "jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# Emission rows (narrow token rows through one shuffle) cost ~1/4 of a pair
+# row that must survive distinct + verify.
+EMISSION_WEIGHT = 0.25
+# A pairtoken win this lopsided skips the prefix-volume probe entirely (the
+# probe itself costs a collect_list + slice pass over the corpus).
+PT_DECISIVE_RATIO = 5.0
+
+
+def _plan_exact_join(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    threshold: float,
+    contained: bool,
+    stats: dict | None = None,
+) -> tuple[str, int | None, int | None]:
+    """Probe posting volumes and pick an exact-join plan: "count",
+    "pairtoken", or "prefix" (planner block comment above). All probes are
+    O(1)-row aggregates; nothing is persisted. Returns (mode, K, small_max)
+    — segment parameters are None unless mode == "pairtoken".
+
+    Cost unit = pair rows through a shuffle+distinct+verify; token emission
+    rows are weighted EMISSION_WEIGHT. The 5th-percentile doc size sets the
+    segment count K so that at most ~5% of docs fall into the singles
+    channel, keeping its Σ df_small·df term bounded."""
+    import math
+
+    arrays = shingle_arrays(df, text_col, id_col, n, fingerprint=True)
+    quant = arrays.select(F.size("shingles").alias("sz")).approxQuantile(
+        "sz", [0.05], 0.01
+    )
+    q05 = quant[0] if quant else 0.0
+    if contained:
+        K = int(threshold * q05) - 1
+        small_max = math.ceil((K + 1) / threshold) if K >= 2 else None
+    else:
+        K = int(2 * threshold * q05 / (1 + threshold)) - 1
+        small_max = (
+            math.ceil((K + 1) * (1 + threshold) / (2 * threshold)) if K >= 2 else None
+        )
+    sh = arrays.select(
+        "doc", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
+    )
+    per = sh.groupBy("s").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.count_if(F.col("sz") < F.lit(small_max if small_max else 0)).alias("nsmall"),
+    )
+    row = per.agg(
+        F.coalesce(
+            F.sum(F.col("df").cast("double") * (F.col("df") - 1) / 2), F.lit(0.0)
+        ).alias("cc"),
+        F.coalesce(
+            F.sum(F.col("nsmall").cast("double") * (F.col("df") - 1)), F.lit(0.0)
+        ).alias("sc"),
+    ).collect()[0]
+    count_cost, small_cross = int(row["cc"]), int(row["sc"])
+    costs: dict[str, float] = {"count": float(count_cost)}
+    pt_detail = None
+    if count_cost <= COUNT_COST_OBVIOUS:
+        mode = "count"
+    else:
+        if K >= 2:
+            token_side = sh if contained else sh.filter(F.col("sz") >= small_max)
+            segarr = (
+                token_side.groupBy(
+                    "doc", F.pmod(F.col("s"), F.lit(K)).alias("seg")
+                )
+                .agg(F.collect_list("s").alias("ss"))
+                .filter(F.size("ss") >= 2)
+            )
+            tokc = (
+                segarr.select(F.explode("ss").alias("s1"), F.col("ss"))
+                .select("s1", F.explode("ss").alias("s2"))
+                .filter(F.col("s1") < F.col("s2"))
+                .groupBy("s1", "s2")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            trow = tokc.agg(
+                F.coalesce(F.sum(F.col("c").cast("double")), F.lit(0.0)).alias("em"),
+                F.coalesce(
+                    F.sum(F.col("c").cast("double") * (F.col("c") - 1) / 2),
+                    F.lit(0.0),
+                ).alias("tv"),
+            ).collect()[0]
+            emission, tokvol = float(trow["em"]), float(trow["tv"])
+            costs["pairtoken"] = EMISSION_WEIGHT * emission + PREFIX_VERIFY_WEIGHT * (
+                tokvol + small_cross
+            )
+            pt_detail = {
+                "emission": emission,
+                "tokvol": tokvol,
+                "small_cross": small_cross,
+            }
+        if (
+            "pairtoken" in costs
+            and costs["pairtoken"] * PT_DECISIVE_RATIO <= count_cost
+        ):
+            mode = "pairtoken"
+        else:
+            prefix_vol = _prefix_volume(
+                sh.withColumnRenamed("s", "shingle"),
+                threshold,
+                contained_side_only=contained,
+            )
+            costs["prefix"] = PREFIX_VERIFY_WEIGHT * prefix_vol
+            mode = min(costs, key=costs.get)
+    if stats is not None:
+        stats.update(
+            mode=mode,
+            count_cost=count_cost,
+            prefix_cost=costs.get("prefix"),
+            pairtoken_cost=costs.get("pairtoken"),
+            K=K if mode == "pairtoken" else None,
+            small_max=small_max if mode == "pairtoken" else None,
+            q05=q05,
+            pt_detail=pt_detail,
+        )
+    if mode != "pairtoken":
+        return mode, None, None
+    return mode, K, small_max
+
+
+def ngram_jaccard_pairs_auto(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Exact Jaccard join with the three-way auto-planner (block comment
+    above). Returns identical rows whichever plan is chosen — all three are
+    lossless; only the physical plan differs. ``stats``, if given, receives
+    {"mode", "count_cost", "prefix_cost", "pairtoken_cost", ...} for
+    plan-pin tests."""
+    mode, K, small_max = _plan_exact_join(
+        df, text_col, id_col, n, threshold, contained=False, stats=stats
+    )
+    if mode == "count":
+        return ngram_jaccard_pairs_count(df, text_col, id_col, n, threshold)
+    if mode == "pairtoken":
+        return ngram_jaccard_pairs_pairtoken(
+            df, text_col, id_col, n, threshold, K=K, small_max=small_max
+        )
+    return ngram_jaccard_pairs_prefix(df, text_col, id_col, n, threshold)
+
+
 def cross_doc_dup_fraction(
     df: DataFrame, text_col: str, id_col: str, n: int = 5
 ) -> DataFrame:
@@ -359,12 +820,12 @@ def minhash_lsh_pairs(
     # the verification join); persist the per-doc ARRAYS once (1 row/doc —
     # far smaller than the exploded postings), memory-and-disk so it spills
     # rather than recomputing the tokenization 3× at scale
-    from pyspark import StorageLevel
-
     arrays = (
         shingle_arrays(df, text_col, id_col, n)
-        # no size-filter here: shingle_arrays guarantees nonempty arrays
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # no size-filter here: shingle_arrays guarantees nonempty arrays.
+        # localCheckpoint, not persist — leak-free shared materialization
+        # (see ngram_jaccard_pairs_prefix)
+        .localCheckpoint(eager=False)
     )
     # signatures straight off the array, NO groupBy shuffle. Hash family is
     # Carter–Wegman over ONE md5 per shingle: h_i(s) = (h1(s) + i·h2(s))
@@ -747,14 +1208,70 @@ def dedup_clusters(
     component's min doc id) and cluster size. The downstream curation rule
     "keep one doc per near-dup cluster" is `doc == cluster_id`.
 
-    Edges come from the prefix-filtered exact join (lossless; linear in
-    corpus size at every stage), so the clustering is exact at any scale."""
-    pairs = ngram_jaccard_pairs_prefix(df, text_col, id_col, n=n, threshold=threshold)
+    Edges come from the auto-planned exact join (lossless in both modes),
+    so the clustering is exact at any scale."""
+    pairs = ngram_jaccard_pairs_auto(df, text_col, id_col, n=n, threshold=threshold)
     labels = connected_components(pairs)
     size_w = Window.partitionBy("cluster_id")
     return (
         labels.select(F.col("node").alias("doc"), F.col("lab").alias("cluster_id"))
         .withColumn("cluster_size", F.count(F.lit(1)).over(size_w).cast("long"))
+    )
+
+
+def containment_pairs_count(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Containment join, counting formulation (see the auto-planner block
+    comment): per-pair co-occurrence count over the inverted index IS the
+    exact intersection; each unordered pair then yields up to two directed
+    rows (inter/sz_a and inter/sz_b). No length pre-filter exists for
+    containment — the smaller side of any co-occurring pair is always a
+    feasible contained side — so this is the full Σ C(df,2) volume, planner-
+    guarded like the Jaccard path."""
+    sh = shingles(df, text_col, id_col, n, with_size=True)
+    posting = sh.groupBy("shingle").agg(
+        F.collect_list(F.struct(F.col("doc"), F.col("sz"))).alias("docs")
+    )
+    pairs = (
+        posting.filter(F.size("docs") >= 2)
+        .select(F.explode("docs").alias("a"), F.col("docs"))
+        .select("a", F.explode("docs").alias("b"))
+        .filter(F.col("a.doc") < F.col("b.doc"))
+        .select(
+            F.col("a.doc").alias("doc_x"),
+            F.col("b.doc").alias("doc_y"),
+            F.col("a.sz").alias("sz_x"),
+            F.col("b.sz").alias("sz_y"),
+        )
+    )
+    counted = pairs.groupBy("doc_x", "doc_y").agg(
+        F.count(F.lit(1)).alias("inter"),
+        F.first("sz_x").alias("sz_x"),
+        F.first("sz_y").alias("sz_y"),
+    )
+    directed = counted.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_x").alias("doc_a"),
+                    F.col("doc_y").alias("doc_b"),
+                    (F.col("inter") / F.col("sz_x")).alias("containment"),
+                ),
+                F.struct(
+                    F.col("doc_y").alias("doc_a"),
+                    F.col("doc_x").alias("doc_b"),
+                    (F.col("inter") / F.col("sz_y")).alias("containment"),
+                ),
+            )
+        ).alias("p")
+    )
+    return directed.select("p.doc_a", "p.doc_b", "p.containment").filter(
+        F.col("containment") >= threshold
     )
 
 
@@ -764,11 +1281,18 @@ def containment_pairs(
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    mode: str = "auto",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Asymmetric near-subset detection: pairs (A, B) with containment
     C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥ threshold, A ≠ B — the quote /
     boilerplate-copy signal Jaccard misses (a small doc wholly inside a huge
     one has low Jaccard but containment 1.0).
+
+    ``mode="auto"`` (default) probes posting volumes and picks the counting
+    formulation when Σ C(df,2) is cheap (dense small-vocab regime), else the
+    prefix+verify plan below — same planner as ngram_jaccard_pairs_auto.
+    ``mode="prefix"`` / ``mode="count"`` force a plan.
 
     Prefix filtering applies to the CONTAINED side only: if C(A→B) ≥ t then
     B shares one of A's first L_A = |A| − ceil(t·|A|) + 1 shingles under the
@@ -777,16 +1301,32 @@ def containment_pairs(
     such bound, so B indexes every shingle. A-prefixes hold only each doc's
     rarest shingles, so hot-shingle postings meet few prefix rows — the
     cross term stays near-linear on natural corpora; exact verification is
-    `array_intersect` over the persisted shingle arrays, as in the Jaccard
-    join.
+    `array_intersect` over the materialized shingle arrays, as in the
+    Jaccard join.
     """
-    from pyspark import StorageLevel
+    if mode not in ("auto", "count", "prefix", "pairtoken"):
+        raise ValueError(f"unknown containment mode {mode!r}")
+    K = small_max = None
+    if mode == "auto":
+        mode, K, small_max = _plan_exact_join(
+            df, text_col, id_col, n, threshold, contained=True, stats=stats
+        )
+    if mode == "count":
+        return containment_pairs_count(df, text_col, id_col, n, threshold)
+    if mode == "pairtoken":
+        if K is None:
+            raise ValueError("mode='pairtoken' is planner-only for containment")
+        return containment_pairs_pairtoken(
+            df, text_col, id_col, n, threshold, K=K, small_max=small_max
+        )
 
     arrays = (
         shingle_arrays(df, text_col, id_col, n, fingerprint=True)
         # no size-filter here: shingle_arrays guarantees nonempty arrays,
-        # and re-filtering would push the shingle expr below the exchange
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        # and re-filtering would push the shingle expr below the exchange.
+        # localCheckpoint, not persist — leak-free shared materialization
+        # (see ngram_jaccard_pairs_prefix)
+        .localCheckpoint(eager=False)
     )
     sh = arrays.select(
         "doc", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")

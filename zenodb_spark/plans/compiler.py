@@ -188,9 +188,11 @@ def _dset_guard(arr: Column) -> Column:
         F.size(arr) <= F.lit(DSET_MAX_MEMBERS),
         F.lit(
             "COUNTDISTINCT exact state exceeded "
-            f"{DSET_MAX_MEMBERS} members in one group; use the "
-            "approximate distinct operators (HLL/KMV) for unbounded "
-            "cardinality"
+            f"{DSET_MAX_MEMBERS} members in one group; declare the field "
+            "as COUNTDISTINCT(x, k) to switch to the bounded KMV-sketch "
+            "state (exact below k distinct members, ~1/sqrt(k) error "
+            "above), or use the KMV/HLL operator library for set "
+            "intersections"
         ),
     )
     return F.when(ok.isNull(), arr)
@@ -253,7 +255,39 @@ class StateRegistry:
                 # string array with -0.0 normalized; a stored v1 state
                 # (HLL binary under `__dset`) fails loudly on column-name
                 # mismatch instead of silently mis-merging.
-                cols = [StateSpec(k, _state_name(idx, "dsetv2"), "dset")]
+                #
+                # COUNTDISTINCT(x, k) — 2-arg form, k in the weight slot —
+                # selects the BOUNDED approximate state instead: the k
+                # lexicographically-smallest md5 hex digests of the
+                # distinct value strings (KMV, Beyer et al. SIGMOD'07, the
+                # same deterministic construction as operators/sketch.py).
+                # O(k) state per group at any cardinality; exact below k
+                # distinct members; (k-1)/h_(k) estimate above, ~1/sqrt(k)
+                # error. Merge = k smallest of the union, which is EXACTLY
+                # the sketch of the union (the k-min of A∪B lives in the
+                # k-mins of A and B), so cross-resolution re-merge loses
+                # nothing. Version-tagged suffix `kmv1n{k}`: a future
+                # layout change bumps the tag and trips the engine's
+                # stale-state gate instead of silently mis-merging; states
+                # with different k likewise never share a column.
+                leaf = _find_leaf(e)
+                if leaf.weight is not None:
+                    if not isinstance(leaf.weight, MConst):
+                        raise ValueError(
+                            "COUNTDISTINCT(x, k): k must be a literal"
+                        )
+                    kk = int(leaf.weight.value)
+                    if kk < 2 or kk != leaf.weight.value:
+                        raise ValueError(
+                            "COUNTDISTINCT(x, k): k must be an integer >= 2"
+                        )
+                    cols = [
+                        StateSpec(
+                            k, _state_name(idx, f"kmv1n{kk}"), "kmv", (kk,)
+                        )
+                    ]
+                else:
+                    cols = [StateSpec(k, _state_name(idx, "dsetv2"), "dset")]
             elif kind == "POINTS":
                 # FIXED name, no registration index: the implicit points
                 # counter registers AFTER the explicit fields, so an
@@ -500,6 +534,19 @@ def _raw_state_agg(e: MExpr, spec: StateSpec, has_col, dim_resolve) -> list[Colu
         # zeros collapse to one member the way SQL DISTINCT (and the
         # oracle) treats them — without it "-0.0"/"0.0" would be two
         # distinct strings.
+        if spec.merge == "kmv":
+            kk = spec.hist_meta[0]
+            # md5 BEFORE collect_set: the set dedups by digest (same
+            # members, hashes being injective up to md5 collisions), and
+            # the sort+slice keeps only the k smallest digests.
+            arr = F.slice(
+                F.array_sort(
+                    F.collect_set(F.md5((v + F.lit(0.0)).cast("string")))
+                ),
+                1,
+                kk,
+            )
+            return [arr.alias(spec.col)]
         arr = F.array_sort(F.collect_set((v + F.lit(0.0)).cast("string")))
         return [_dset_guard(arr).alias(spec.col)]
     raise AssertionError(spec)
@@ -702,6 +749,7 @@ def merge_states(
                     "min": "double",
                     "max": "double",
                     "dset": "array<string>",
+                    "kmv": "array<string>",
                     "hist": "map<bigint,bigint>",
                 }[spec.merge]
             )
@@ -718,6 +766,15 @@ def merge_states(
                 F.array_distinct(F.flatten(F.collect_list(src)))
             )
             aggs.append(_dset_guard(merged).alias(spec.col))
+        elif spec.merge == "kmv":
+            # k smallest of the union of the part sketches == the sketch
+            # of the union (lossless sketch merge; see StateRegistry).
+            merged = F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list(src)))),
+                1,
+                spec.hist_meta[0],
+            )
+            aggs.append(merged.alias(spec.col))
         elif spec.merge == "hist":
             empty = F.expr("CAST(map() AS map<bigint,bigint>)")
             aggs.append(
@@ -792,6 +849,21 @@ def finalize_expr(
             return _hist_quantile_col(F.col(specs[0].col), leaf.p, lo, precision)
         if kind == "COUNTDISTINCT":
             c = F.col(specs[0].col)
+            if specs[0].merge == "kmv":
+                # below k distinct members the sketch IS the set → exact;
+                # at k, the classic (k-1)/h_(k) estimator with h_(k) read
+                # from the first 8 hex chars of the k-th smallest digest
+                # (32 bits / 2^32 — the same convention as the KMV operator
+                # library, exactly reproducible in any engine with md5).
+                kk = specs[0].hist_meta[0]
+                frac = F.conv(
+                    F.substring(F.element_at(c, kk), 1, 8), 16, 10
+                ).cast("long") / F.lit(4294967296.0)
+                return (
+                    F.when(c.isNull(), F.lit(0.0))
+                    .when(F.size(c) < kk, F.size(c).cast("double"))
+                    .otherwise(F.lit(float(kk - 1)) / frac)
+                )
             return F.when(
                 c.isNotNull(), F.size(c).cast("double")
             ).otherwise(F.lit(0.0))

@@ -677,12 +677,16 @@ _JACCARD_SQL = f"""
 
 @query("q24_ngram_jaccard", _JACCARD_SQL.format(thr=0.2))
 def q24_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by exact 3-gram-shingle Jaccard ≥ 0.2 via AllPairs
-    prefix filtering — lossless, and no stage is quadratic in any shingle's
-    document frequency (the uncapped inverted-index formulation emits
-    C(df,2) pairs per shingle — a 1M-doc shingle would emit 5·10^11 rows)."""
+    """Near-dup pairs by exact 3-gram-shingle Jaccard ≥ 0.2 via the
+    counting-vs-prefix auto-planner (operators/dedup.py): the planner probes
+    Σ C(df,2) and the prefix-candidate volume with O(1)-row aggregates and
+    picks whichever exact plan is cheaper for the corpus at hand — counting
+    (one shuffle, no verify join) on dense small-vocab corpora, AllPairs/
+    PPJoin prefix+verify when hot Zipfian shingles would make C(df,2)
+    quadratic. Both plans are lossless, so the brute-force oracle holds
+    regardless of which is chosen."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.ngram_jaccard_pairs_prefix(docs, "text", "doc_id", n=3, threshold=0.2)
+    return dedup.ngram_jaccard_pairs_auto(docs, "text", "doc_id", n=3, threshold=0.2)
 
 
 @query("q25_minhash_lsh", _JACCARD_SQL.format(thr=0.5))
@@ -892,7 +896,8 @@ _ENGINE_SCHEMA = {
             "IF(event_type = 'error', COUNT(value)) AS errors, "
             "PERCENTILE(value, 50, 0, 100, 1) AS med, "
             "MIN(BOUNDED(value, 10, 90)) AS bmn, "
-            "COUNTDISTINCT(user_id) AS du "
+            "COUNTDISTINCT(user_id) AS du, "
+            "COUNTDISTINCT(user_id, 64) AS du_k "
             "FROM events GROUP BY event_type, period('1h')"
         ),
     },
@@ -1846,11 +1851,12 @@ def q46_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q47_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clustering: 3-gram-Jaccard >= 0.2 pairs as edges, connected
-    components by min-label propagation (cluster id = component's min doc
-    id). The oracle recomputes the same components with a recursive
-    reachability CTE — the Spark side is the O(diameter)-round distributed
-    form of the same fixpoint."""
+    """Near-dup clustering: 3-gram-Jaccard >= 0.2 pairs as edges (auto-
+    planned exact join), connected components by alternating large-star/
+    small-star rounds (Kiveris et al. SoCC'14; cluster id = component's min
+    doc id, O(log n) rounds on any graph shape). The oracle recomputes the
+    same components with a recursive reachability CTE — same fixpoint,
+    different engine."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.dedup_clusters(docs, "text", "doc_id", n=3, threshold=0.2)
 
@@ -2376,6 +2382,58 @@ def z14_engine_countdistinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "z23_engine_countdistinct_kmv",
+    f"""
+    WITH ud AS (
+      SELECT DISTINCT event_type, {BUCKET.format(p=86400)} AS bucket,
+             md5(CAST(CAST(user_id AS DOUBLE) AS VARCHAR)) AS hx
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, bucket, hx,
+             row_number() OVER (PARTITION BY event_type, bucket ORDER BY hx) AS rn,
+             count(*) OVER (PARTITION BY event_type, bucket) AS nd
+      FROM ud
+    ),
+    kth AS (SELECT event_type, bucket, hx AS h64 FROM r WHERE rn = 64),
+    agg AS (SELECT event_type, bucket, max(nd) AS nd FROM r GROUP BY 1, 2)
+    SELECT a.event_type, a.bucket,
+           CAST(a.nd AS DOUBLE) AS du,
+           CASE WHEN k.h64 IS NULL THEN CAST(a.nd AS DOUBLE)
+                ELSE 63.0 / (CAST(('0x' || substr(k.h64, 1, 8)) AS BIGINT)
+                             / 4294967296.0)
+           END AS du_k
+    FROM agg a LEFT JOIN kth k ON k.event_type = a.event_type
+                              AND k.bucket = a.bucket
+    """,
+)
+def z23_engine_countdistinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: the BOUNDED approximate COUNTDISTINCT dialect state —
+    `COUNTDISTINCT(user_id, 64)` declares a KMV sketch (k smallest md5 hex
+    digests of the distinct value strings, Beyer et al. SIGMOD'07) instead
+    of the exact dsetv2 set, capping per-group state at O(k) for any
+    cardinality. This query exercises the full lifecycle the exact state
+    goes through: 1h ingest states → cross-resolution re-merge to 1d →
+    estimate at finalize, next to the exact `du` for the error panel.
+
+    The sketch MERGE is lossless (k smallest of a union of k-min lists ==
+    k-min of the union), so the re-merged 1d sketch is bit-identical to a
+    sketch built directly from raw daily data — which is exactly what the
+    oracle computes: DuckDB replays md5 over the same value strings,
+    takes the 64th-smallest digest per (event_type, day), and applies the
+    same (k−1)/h_(k) estimator (32-bit prefix / 2^32). Groups below k
+    distinct members short-circuit to the exact count in both engines.
+    Value-string parity: dialect values are doubles; gate data (integral
+    user_id < 10^7) prints identically ("123.0") in the JVM and DuckDB —
+    the estimator convention is shared with q172's KMV operator."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT du, du_k FROM ev_hourly GROUP BY event_type, period('1d')"
+    )
+    return _as_bucket(out)
+
+
+@query(
     "q59_stream_ingest",
     f"""
     SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
@@ -2740,9 +2798,11 @@ def q65_quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q66_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-subset pairs: shingle-set containment >= 0.8 (contained side
-    doc_a) — catches quotes/boilerplate copies that Jaccard misses. Prefix
-    filter on the contained side only; the oracle brute-forces every pair,
-    proving the blocking lossless (operators/dedup.py:containment_pairs)."""
+    doc_a) — catches quotes/boilerplate copies that Jaccard misses. Auto-
+    planned exact join: counting formulation on dense corpora, contained-
+    side prefix filter + verify in the Zipfian regime; the oracle brute-
+    forces every pair, proving either plan lossless
+    (operators/dedup.py:containment_pairs)."""
     from zenodb_spark.operators.dedup import containment_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4227,12 +4287,12 @@ def q95_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate rate per source: fraction of each feed's documents
     that participate in any Jaccard≥0.2 near-dup pair — the per-feed
     quality number a curation dashboard leads with. Pairs come from the
-    lossless prefix-filtered join; the doc set flows back through one
+    auto-planned lossless join; the doc set flows back through one
     membership left-join."""
-    from zenodb_spark.operators.dedup import ngram_jaccard_pairs_prefix
+    from zenodb_spark.operators.dedup import ngram_jaccard_pairs_auto
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs_prefix(docs, "text", "doc_id", n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs_auto(docs, "text", "doc_id", n=3, threshold=0.2)
     dup_docs = (
         pairs.select(F.col("doc_a").alias("doc"))
         .unionAll(pairs.select(F.col("doc_b").alias("doc")))
@@ -10459,7 +10519,7 @@ def q189_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     interesting read-outs: mass in big clusters = boilerplate/mirror
     candidates; singleton fraction = effective corpus size after dedup.
 
-    Scale shape: rides q47's lossless prefix-join edges + O(log n)
+    Scale shape: rides q47's auto-planned lossless join edges + O(log n)
     large-star/small-star components; the histogram itself is two hash
     aggregates over (docs-in-pairs) rows, and the singleton row is one
     broadcast-able anti-join count. Oracle recomputes components with a

@@ -157,14 +157,17 @@ class _RPCHandler(socketserver.BaseRequestHandler):
     def _handle_query(self, sock, msg: dict) -> None:
         sql = msg.get("sql", "")
         try:
-            df = self.db.query(sql)
-            cols = df.columns
-            _send(sock, {"fields": cols})
-            # toLocalIterator: rows stream to the client as partitions
-            # arrive; the driver never holds the whole result
-            for row in df.toLocalIterator():
-                _send(sock, {"row": [_json_value(row[c]) for c in cols]})
-            _send(sock, {"end_of_results": True})
+            from zenodb_spark.engine import memory_guard
+
+            with memory_guard(f"rpc query {sql[:80]!r}"):
+                df = self.db.query(sql)
+                cols = df.columns
+                _send(sock, {"fields": cols})
+                # toLocalIterator: rows stream to the client as partitions
+                # arrive; the driver never holds the whole result
+                for row in df.toLocalIterator():
+                    _send(sock, {"row": [_json_value(row[c]) for c in cols]})
+                _send(sock, {"end_of_results": True})
         except Exception as e:
             _send(sock, {"error": str(e), "end_of_results": True})
 

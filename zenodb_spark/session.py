@@ -49,6 +49,15 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Spill-friendlier unified memory split (round-4 verdict item 4:
+        # a co-tenant process OOM'd a heavy sort that should have spilled).
+        # 0.5 instead of the 0.6 default: operators hit the pool ceiling —
+        # and start SPILLING — earlier, capping peak heap so a noisy
+        # neighbor steals headroom instead of triggering
+        # SparkOutOfMemoryError mid-sort. Costs nothing at bench scale
+        # (sf0.1 working sets never approach the pool) and at 100 TB the
+        # same setting trades bounded extra spill IO for query survival.
+        .config("spark.memory.fraction", "0.5")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

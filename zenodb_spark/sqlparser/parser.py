@@ -380,6 +380,17 @@ class Parser:
             if fn == "WAVG":
                 self.expect_op(",")
                 weight = self.parse_mexpr()
+            elif fn == "COUNTDISTINCT" and self.peek() and self.peek().text == ",":
+                # COUNTDISTINCT(x, k): approximate KMV-sketch state with
+                # parameter k (bounded O(k) state per group; exact below k
+                # distinct members). The bare 1-arg form stays the exact
+                # dsetv2 set state.
+                self.expect_op(",")
+                weight = self.parse_mexpr()
+                if not isinstance(weight, MConst) or weight.value < 2 or weight.value != int(weight.value):
+                    raise SyntaxError(
+                        "COUNTDISTINCT(x, k): k must be an integer literal >= 2"
+                    )
             self.expect_op(")")
             return MAgg(fn, arg, weight)
         if fn == "IF":

@@ -361,10 +361,13 @@ class QueryRunner:
             self.db.release_scan_cache()
 
     def _finish(self, q: _QueuedQuery, plan) -> None:
+        from zenodb_spark.engine import memory_guard
+
         try:
-            result = build_query_result(
-                plan, q.sql, q.ce.permalink, self.max_response_bytes
-            )
+            with memory_guard(f"query {q.sql[:80]!r}"):
+                result = build_query_result(
+                    plan, q.sql, q.ce.permalink, self.max_response_bytes
+                )
             payload = gzip.compress(
                 json.dumps(result).encode(), compresslevel=9
             )
