@@ -86,7 +86,10 @@ FIELDS = st.lists(
     max_size=3,
     unique=True,
 )
-GROUPK = st.sampled_from(["k", "_"])
+# "expr" = dim-function GROUP BY (DECODE merging b+c into one tag —
+# derived dims re-key the stored state, so COUNT adds and MIN mins across
+# collapsed groups; reference sql_test.go:48–104 corpus query shape)
+GROUPK = st.sampled_from(["k", "_", "expr"])
 PERIOD = st.sampled_from([3600, 7200, DAY, 2 * DAY])
 WHERE = st.sampled_from(
     [
@@ -106,6 +109,12 @@ ASOF = st.sampled_from([None, (2, 6)])  # day offsets, always day-aligned
 
 STRIDE = st.booleans()  # stride = 2 × period when set
 
+# FROM-subquery nesting: inner groups by (k, period p), outer re-groups the
+# flat subquery rows to (spec group, 2p) — outer fields re-read inner
+# columns with the reference's default-to-SUM rule (sql/sql.go:727–737,
+# the z08/z18/z19 unflatten→regroup path)
+SUBQUERY = st.booleans()
+
 SPEC = st.fixed_dictionaries(
     {
         "fields": FIELDS,
@@ -117,8 +126,13 @@ SPEC = st.fixed_dictionaries(
         "order": ORDER,
         "asof": ASOF,
         "stride": STRIDE,
+        "subquery": SUBQUERY,
     }
 )
+
+# dialect GROUP BY dim-expression and its DuckDB twin
+_EXPR_DIM_SQL = "DECODE(k, 'a', 'one', 'rest') AS g"
+_EXPR_DIM_ORACLE = "CASE WHEN k = 'a' THEN 'one' ELSE 'rest' END"
 
 _FIELD_SQL = {  # dialect select expression per abstract field
     "cnt": "cnt",
@@ -136,7 +150,22 @@ _FIELD_ORACLE = {  # oracle expression over the per-bucket base aggregate
 }
 
 
+_GROUP_SQL = {"k": "k", "_": "_", "expr": _EXPR_DIM_SQL}
+
+
 def _dialect_sql(spec) -> str:
+    if spec["subquery"]:
+        inner = _dialect_sql(
+            dict(spec, group="k", shift=None, order=None, subquery=False)
+        )
+        p2 = 2 * spec["period"]
+        sql = (
+            f"SELECT {', '.join(spec['fields'])} FROM ({inner}) "
+            f"GROUP BY {_GROUP_SQL[spec['group']]}, period('{p2}s')"
+        )
+        if spec["order"]:
+            sql += " ORDER BY cnt DESC, _time LIMIT 5"
+        return sql
     sel = [_FIELD_SQL[f] for f in spec["fields"]]
     if spec["shift"] == "shift":
         sel.append("SHIFT(cnt, '1d') AS pcnt")
@@ -151,7 +180,7 @@ def _dialect_sql(spec) -> str:
         )
     if spec["where"]:
         sql += f" WHERE {spec['where']}"
-    sql += f" GROUP BY {spec['group']}, period('{spec['period']}s')"
+    sql += f" GROUP BY {_GROUP_SQL[spec['group']]}, period('{spec['period']}s')"
     if spec["stride"]:
         sql = sql.replace(
             f"period('{spec['period']}s')",
@@ -171,7 +200,30 @@ def _day(off: int) -> str:
 
 def _oracle_sql(spec) -> str:
     p = spec["period"]
-    grp_dim = "k" if spec["group"] == "k" else "'_'"
+    if spec["subquery"]:
+        # inner = the non-subquery oracle at (k, p) with WHERE/ASOF/HAVING/
+        # stride applied INSIDE (reference pipeline order, z19); outer
+        # re-groups to 2p with default-to-SUM on every re-read field
+        inner = _oracle_sql(
+            dict(spec, group="k", shift=None, order=None, subquery=False)
+        )
+        p2 = 2 * p
+        g2 = {
+            "k": "g",
+            "_": "'_'",
+            "expr": "CASE WHEN g = 'a' THEN 'one' ELSE 'rest' END",
+        }[spec["group"]]
+        sums = ", ".join(f"sum({f}) AS {f}" for f in spec["fields"])
+        obc = ", sum(cnt) AS __obc" if spec["order"] else ""
+        sql = (
+            f"SELECT {g2} AS g, CAST(floor(b / {p2}) * {p2} AS BIGINT) AS b, "
+            f"{sums}{obc} FROM ({inner}) GROUP BY 1, 2"
+        )
+        if spec["order"]:
+            sql = f"SELECT * FROM ({sql}) ORDER BY __obc DESC, b, g LIMIT 5"
+        outer_cols = ["g", "b"] + list(spec["fields"])
+        return f"SELECT {', '.join(outer_cols)} FROM ({sql})"
+    grp_dim = {"k": "k", "_": "'_'", "expr": _EXPR_DIM_ORACLE}[spec["group"]]
     w = spec["where"]
     if w and "SELECT" in w:
         # dialect subquery groups the stored table by (k, hour); HAVING
@@ -261,7 +313,8 @@ def _canon(v):
 def _engine_rows(df, spec):
     out = []
     for r in df.collect():
-        g = r["k"] if spec["group"] == "k" else "_"
+        g = {"k": "k", "expr": "g"}.get(spec["group"])
+        g = r[g] if g else "_"
         b = int(r["_time"].timestamp())
         vals = tuple(_canon(r[f]) for f in spec["fields"])
         if spec["shift"] == "shift":
@@ -291,6 +344,22 @@ def test_dialect_matches_duckdb_oracle(fuzz_db, oracle_con, spec):
         # when grouping by k — restrict ordered specs to the global series
         spec = dict(spec)
         spec["group"] = "_"
+        if spec["subquery"] and "cnt" not in spec["fields"]:
+            # the outer ORDER BY cnt re-reads the inner cnt column, which
+            # only exists if the inner query selected it
+            spec["fields"] = list(spec["fields"]) + ["cnt"]
+    if spec["subquery"] and spec["shift"]:
+        # _dialect_sql/_oracle_sql build the subquery's inner with
+        # shift=None (SHIFT composes with FROM-subqueries via the dedicated
+        # z20/z21 oracles, not this grid) — normalize so row extraction
+        # doesn't look for the dropped pcnt/ch columns
+        spec = dict(spec)
+        spec["shift"] = None
+    if spec["subquery"] and spec["asof"] and 2 * spec["period"] > DAY:
+        # outer grid = 2×period: same odd-epoch-day alignment rule as the
+        # base restriction below, applied at the OUTER resolution
+        spec = dict(spec)
+        spec["asof"] = None
     if spec["asof"] and spec["period"] > DAY:
         # T0 is an ODD epoch day: a 2d period's epoch grid does not align
         # with day-aligned ASOF bounds, engaging the engine's documented

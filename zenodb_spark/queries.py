@@ -8789,8 +8789,8 @@ def q167_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine ≥ 0.4 pairs from the triangle-blocked EXACT pair join (q32's
     machinery — bit-identical cosines, so the neighbor graph matches the
     oracle's brute force); core points have ≥ 3 neighbors; clusters are
-    connected components over core-core edges (min-label propagation, the
-    q47 fixpoint); border points attach to the MIN cluster id among their
+    connected components over core-core edges (large-star/small-star, the
+    q47 machinery); border points attach to the MIN cluster id among their
     core neighbors — a deterministic refinement of classic DBSCAN's
     order-dependent border rule. Noise points are omitted.
 
