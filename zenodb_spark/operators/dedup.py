@@ -188,6 +188,7 @@ def ngram_jaccard_pairs_prefix(
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity join via AllPairs/PPJoin prefix filtering —
     LOSSLESS (no doc-frequency cap), and immune to the C(k,2) blowup on
@@ -211,17 +212,19 @@ def ngram_jaccard_pairs_prefix(
     "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al., PPJoin,
     WWW'08).
     """
-    arrays = (
-        shingle_arrays(df, text_col, id_col, n, fingerprint=True)
-        # no size-filter here: shingle_arrays guarantees nonempty arrays,
-        # and re-filtering would push the shingle expr below the exchange.
-        # localCheckpoint(eager=False), NOT persist: a persist on a frame
-        # returned lazily can never be unpersisted by the operator, so long
-        # driver sessions leak CacheManager entries; checkpoint blocks are
-        # freed by the ContextCleaner once the frame is garbage collected
-        # (same fix as operators/prefix.py, round-4 ADVICE item 4).
-        .localCheckpoint(eager=False)
-    )
+    if arrays is None:
+        arrays = (
+            shingle_arrays(df, text_col, id_col, n, fingerprint=True)
+            # no size-filter here: shingle_arrays guarantees nonempty arrays,
+            # and re-filtering would push the shingle expr below the exchange.
+            # localCheckpoint(eager=False), NOT persist: a persist on a frame
+            # returned lazily can never be unpersisted by the operator, so
+            # long driver sessions leak CacheManager entries; checkpoint
+            # blocks are freed by the ContextCleaner once the frame is
+            # garbage collected (same fix as operators/prefix.py, round-4
+            # ADVICE item 4).
+            .localCheckpoint(eager=False)
+        )
     sh = arrays.select(
         "doc", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
     )
@@ -387,8 +390,35 @@ def _prefix_volume(
     return _pair_volume(pf, "pf")
 
 
+def _segment_arrays(sh: DataFrame, K: int, small_max: int) -> DataFrame:
+    """(doc, sz, ss) — each doc's shingles hashed into K segments, sorted
+    within segment, segments of < 2 elements dropped (they can't witness a
+    shared 2-token). Built once by the planner and REUSED by the pairtoken
+    executor: the groupBy here is the only token-channel shuffle whose input
+    is the full posting set, so sharing it between probe and execution
+    halves that cost."""
+    return (
+        sh.filter(F.col("sz") >= small_max)
+        .groupBy("doc", "sz", F.pmod(F.col("s"), F.lit(K)).alias("seg"))
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+
+
+# Packed-row guards: (doc << 16) | sz must be a lossless bijection for the
+# packed candidate path; docs or shingle-set sizes beyond these fall back to
+# the struct formulation (identical semantics, ~2× shuffle bytes).
+PACK_MAX_DOC = 1 << 45
+PACK_MAX_SZ = 1 << 16
+
+
 def _pairtoken_candidates(
-    sh: DataFrame, K: int, small_max: int, token_docs: DataFrame | None = None
+    sh: DataFrame,
+    K: int,
+    small_max: int,
+    token_docs: DataFrame | None = None,
+    segarr: DataFrame | None = None,
+    pack_ok: bool | None = None,
 ) -> DataFrame:
     """Candidate (doc_a, doc_b, sz_a, sz_b) pairs from segmented 2-token
     indexing over fingerprinted postings ``sh`` = (doc, sz, s).
@@ -400,52 +430,118 @@ def _pairtoken_candidates(
       such posting pairs against the shingle's FULL posting list (never
       all-pairs of the full list — volume is Σ df_small·df, controlled by
       the size quantile K was derived from).
-    """
+
+    Physical encoding: when doc ids and sizes fit (the PACK_* guards), the
+    emission row is TWO longs — token = xxhash64(s1, s2) and
+    dz = (doc << 16) | sz — so the token-channel shuffle moves ~16 B/row
+    instead of a 4-field struct, and the candidate distinct() runs on a
+    2-long row before unpacking (measured 16 s → ~8 s on the 28.6M-row
+    sf1.0 emission). Token hashing can only MERGE buckets (xxhash64
+    collisions), which adds verified-away candidates, never drops one —
+    losslessness is preserved. ``segarr`` (from the planner) skips the
+    segment groupBy; ``pack_ok`` skips the max-doc/max-sz probe."""
     token_side = token_docs if token_docs is not None else sh.filter(
         F.col("sz") >= small_max
     )
-    segarr = (
-        token_side.groupBy("doc", "sz", F.pmod(F.col("s"), F.lit(K)).alias("seg"))
-        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
-        .filter(F.size("ss") >= 2)
-    )
+    if segarr is None:
+        segarr = _segment_arrays(token_side, K, 0)
+    if pack_ok is None:
+        doc_type = dict(sh.dtypes).get("doc")
+        if doc_type not in ("tinyint", "smallint", "int", "bigint"):
+            pack_ok = False
+        else:
+            row = sh.agg(
+                F.min("doc").alias("mn"), F.max("doc").alias("md"), F.max("sz").alias("ms")
+            ).collect()[0]
+            pack_ok = (
+                row["md"] is not None
+                and 0 <= row["mn"]
+                and row["md"] < PACK_MAX_DOC
+                and row["ms"] < PACK_MAX_SZ
+            )
+
+    if not pack_ok:
+        tok = (
+            segarr.select("doc", "sz", F.explode("ss").alias("s1"), F.col("ss"))
+            .select("doc", "sz", "s1", F.explode("ss").alias("s2"))
+            .filter(F.col("s1") < F.col("s2"))
+        )
+        tok_pairs = (
+            tok.groupBy("s1", "s2")
+            .agg(F.collect_list(F.struct("doc", "sz")).alias("docs"))
+            .filter(F.size("docs") >= 2)
+            .select(F.explode("docs").alias("a"), F.col("docs"))
+            .select("a", F.explode("docs").alias("b"))
+            .filter(F.col("a.doc") < F.col("b.doc"))
+        )
+        posting = (
+            sh.groupBy("s")
+            .agg(F.collect_list(F.struct("doc", "sz")).alias("docs"))
+            .withColumn(
+                "smalls", F.filter("docs", lambda d: d["sz"] < F.lit(small_max))
+            )
+            .filter((F.size("smalls") >= 1) & (F.size("docs") >= 2))
+        )
+        small_pairs = (
+            posting.select(F.explode("smalls").alias("x"), F.col("docs"))
+            .select("x", F.explode("docs").alias("y"))
+            .filter(F.col("x.doc") != F.col("y.doc"))
+            .select(
+                F.when(F.col("x.doc") < F.col("y.doc"), F.struct("x", "y"))
+                .otherwise(F.struct(F.col("y").alias("x"), F.col("x").alias("y")))
+                .alias("p")
+            )
+            .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
+        )
+        both = tok_pairs.unionByName(small_pairs)
+        return both.select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        ).distinct()
+
+    dz = (F.shiftleft(F.col("doc").cast("bigint"), 16) + F.col("sz")).alias("dz")
     tok = (
-        segarr.select("doc", "sz", F.explode("ss").alias("s1"), F.col("ss"))
+        segarr.select(F.col("doc"), F.col("sz"), F.explode("ss").alias("s1"), F.col("ss"))
         .select("doc", "sz", "s1", F.explode("ss").alias("s2"))
         .filter(F.col("s1") < F.col("s2"))
+        .select(F.xxhash64("s1", "s2").alias("t"), dz)
     )
     tok_pairs = (
-        tok.groupBy("s1", "s2")
-        .agg(F.collect_list(F.struct("doc", "sz")).alias("docs"))
-        .filter(F.size("docs") >= 2)
-        .select(F.explode("docs").alias("a"), F.col("docs"))
-        .select("a", F.explode("docs").alias("b"))
-        .filter(F.col("a.doc") < F.col("b.doc"))
+        tok.groupBy("t")
+        .agg(F.collect_list("dz").alias("dzs"))
+        .filter(F.size("dzs") >= 2)
+        .select(F.explode("dzs").alias("a"), F.col("dzs"))
+        .select("a", F.explode("dzs").alias("b"))
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
     )
     posting = (
-        sh.groupBy("s")
-        .agg(F.collect_list(F.struct("doc", "sz")).alias("docs"))
-        .withColumn("smalls", F.filter("docs", lambda d: d["sz"] < F.lit(small_max)))
-        .filter((F.size("smalls") >= 1) & (F.size("docs") >= 2))
+        sh.select("s", dz)
+        .groupBy("s")
+        .agg(F.collect_list("dz").alias("dzs"))
+        .withColumn(
+            "smalls",
+            F.filter("dzs", lambda d: d.bitwiseAND(F.lit(65535)) < F.lit(small_max)),
+        )
+        .filter((F.size("smalls") >= 1) & (F.size("dzs") >= 2))
     )
     small_pairs = (
-        posting.select(F.explode("smalls").alias("x"), F.col("docs"))
-        .select("x", F.explode("docs").alias("y"))
-        .filter(F.col("x.doc") != F.col("y.doc"))
+        posting.select(F.explode("smalls").alias("x"), F.col("dzs"))
+        .select("x", F.explode("dzs").alias("y"))
+        .filter(F.shiftright("x", 16) != F.shiftright("y", 16))
         .select(
-            F.when(F.col("x.doc") < F.col("y.doc"), F.struct("x", "y"))
-            .otherwise(F.struct(F.col("y").alias("x"), F.col("x").alias("y")))
-            .alias("p")
+            F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b")
         )
-        .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"))
     )
-    both = tok_pairs.unionByName(small_pairs)
+    both = tok_pairs.unionByName(small_pairs).distinct()
     return both.select(
-        F.col("a.doc").alias("doc_a"),
-        F.col("b.doc").alias("doc_b"),
-        F.col("a.sz").alias("sz_a"),
-        F.col("b.sz").alias("sz_b"),
-    ).distinct()
+        F.shiftright("a", 16).alias("doc_a"),
+        F.shiftright("b", 16).alias("doc_b"),
+        F.col("a").bitwiseAND(F.lit(65535)).cast("int").alias("sz_a"),
+        F.col("b").bitwiseAND(F.lit(65535)).cast("int").alias("sz_b"),
+    )
 
 
 def _verify_pairs(cands: DataFrame, arrays: DataFrame) -> DataFrame:
@@ -470,6 +566,9 @@ def ngram_jaccard_pairs_pairtoken(
     threshold: float = 0.8,
     K: int | None = None,
     small_max: int | None = None,
+    arrays: DataFrame | None = None,
+    segarr: DataFrame | None = None,
+    pack_ok: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard join, segmented 2-token formulation (planner block
     comment above; AdaptJoin SIGMOD'12 for the general l-token scheme).
@@ -485,15 +584,18 @@ def ngram_jaccard_pairs_pairtoken(
     time, never correctness."""
     if K is None or small_max is None:
         raise ValueError("pairtoken requires planner-provided K and small_max")
-    # localCheckpoint, not persist — leak-free shared materialization (see
-    # ngram_jaccard_pairs_prefix)
-    arrays = shingle_arrays(df, text_col, id_col, n, fingerprint=True).localCheckpoint(
-        eager=False
-    )
+    if arrays is None:
+        # localCheckpoint, not persist — leak-free shared materialization
+        # (see ngram_jaccard_pairs_prefix)
+        arrays = shingle_arrays(
+            df, text_col, id_col, n, fingerprint=True
+        ).localCheckpoint(eager=False)
     sh = arrays.select(
         "doc", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
     )
-    cands = _pairtoken_candidates(sh, K, small_max).filter(
+    cands = _pairtoken_candidates(
+        sh, K, small_max, segarr=segarr, pack_ok=pack_ok
+    ).filter(
         F.least(F.col("sz_a"), F.col("sz_b"))
         >= F.lit(threshold) * F.greatest(F.col("sz_a"), F.col("sz_b"))
     )
@@ -515,6 +617,9 @@ def containment_pairs_pairtoken(
     threshold: float = 0.8,
     K: int | None = None,
     small_max: int | None = None,
+    arrays: DataFrame | None = None,
+    segarr: DataFrame | None = None,
+    pack_ok: bool | None = None,
 ) -> DataFrame:
     """Exact containment join, segmented 2-token formulation.
 
@@ -527,15 +632,18 @@ def containment_pairs_pairtoken(
     directions from one unordered candidate set."""
     if K is None or small_max is None:
         raise ValueError("pairtoken requires planner-provided K and small_max")
-    # localCheckpoint, not persist — leak-free shared materialization (see
-    # ngram_jaccard_pairs_prefix)
-    arrays = shingle_arrays(df, text_col, id_col, n, fingerprint=True).localCheckpoint(
-        eager=False
-    )
+    if arrays is None:
+        # localCheckpoint, not persist — leak-free shared materialization
+        # (see ngram_jaccard_pairs_prefix)
+        arrays = shingle_arrays(
+            df, text_col, id_col, n, fingerprint=True
+        ).localCheckpoint(eager=False)
     sh = arrays.select(
         "doc", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
     )
-    cands = _pairtoken_candidates(sh, K, small_max, token_docs=sh)
+    cands = _pairtoken_candidates(
+        sh, K, small_max, token_docs=sh, segarr=segarr, pack_ok=pack_ok
+    )
     verified = _verify_pairs(cands, arrays)
     directed = verified.select(
         F.explode(
@@ -564,6 +672,7 @@ def ngram_jaccard_pairs_count(
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard join, counting formulation: the intersection size IS
     the per-pair co-occurrence count over the inverted index, so Jaccard
@@ -573,8 +682,18 @@ def ngram_jaccard_pairs_count(
 
     Use via ``ngram_jaccard_pairs_auto`` — this path is only correct-AND-
     fast when Σ C(df,2) is modest (dense small-vocab corpora); a hot
-    shingle makes it quadratic, which is what the planner guards."""
-    sh = shingles(df, text_col, id_col, n, with_size=True)
+    shingle makes it quadratic, which is what the planner guards.
+
+    With planner-provided ``arrays`` (fingerprinted, checkpointed) the
+    postings derive from them — same fingerprint-collision exposure as the
+    verify joins of the other two modes (≈ n²/2⁶⁵, below any oracle's
+    resolution)."""
+    if arrays is not None:
+        sh = arrays.select(
+            "doc", F.explode("shingles").alias("shingle"), F.size("shingles").alias("sz")
+        )
+    else:
+        sh = shingles(df, text_col, id_col, n, with_size=True)
     posting = sh.groupBy("shingle").agg(
         F.collect_list(F.struct(F.col("doc"), F.col("sz"))).alias("docs")
     )
@@ -617,6 +736,27 @@ EMISSION_WEIGHT = 0.25
 PT_DECISIVE_RATIO = 5.0
 
 
+# 1-in-TOKVOL_SAMPLE hash-sample of 2-token keys for the tokvol probe: every
+# row of a sampled key is kept (token-level sampling), so per-key counts are
+# exact and Σ C(c,2) over the sample × TOKVOL_SAMPLE is an unbiased estimate
+# of the full token-pair volume.
+TOKVOL_SAMPLE = 16
+
+
+class _ExactJoinPlan:
+    """Everything _plan_exact_join decided AND materialized, so executors
+    re-use the probe's work instead of re-deriving it: ``arrays`` is the
+    eager localCheckpoint of the fingerprinted shingle arrays (every mode
+    needs it), ``segarr`` the segment arrays (pairtoken token channel),
+    ``pack_ok`` the packed-row guard verdict."""
+
+    __slots__ = ("mode", "K", "small_max", "arrays", "segarr", "pack_ok")
+
+    def __init__(self, mode, K, small_max, arrays, segarr, pack_ok):
+        self.mode, self.K, self.small_max = mode, K, small_max
+        self.arrays, self.segarr, self.pack_ok = arrays, segarr, pack_ok
+
+
 def _plan_exact_join(
     df: DataFrame,
     text_col: str,
@@ -625,11 +765,24 @@ def _plan_exact_join(
     threshold: float,
     contained: bool,
     stats: dict | None = None,
-) -> tuple[str, int | None, int | None]:
+) -> _ExactJoinPlan:
     """Probe posting volumes and pick an exact-join plan: "count",
-    "pairtoken", or "prefix" (planner block comment above). All probes are
-    O(1)-row aggregates; nothing is persisted. Returns (mode, K, small_max)
-    — segment parameters are None unless mode == "pairtoken".
+    "pairtoken", or "prefix" (planner block comment above).
+
+    Probe discipline (the round-4 planner re-tokenized the corpus for every
+    probe and materialized the full pair-token emission — 35 s of a 78 s
+    query at sf1.0; this one is ~5 s on the same corpus):
+
+    * the shingle arrays are eager-localCheckpointed ONCE and shared by
+      every probe AND by the chosen executor;
+    * emission is computed ANALYTICALLY as Σ C(segment_size, 2) from the
+      segment arrays — no pair explode;
+    * token-pair volume is estimated from a 1/TOKVOL_SAMPLE hash-sample of
+      2-token keys (unbiased; planning needs relative order, not digits);
+    * the prefix volume (a collect_list + rank pass) is probed ONLY when
+      neither cheap mode is decisive — on corpora where count or pairtoken
+      is already below COUNT_COST_OBVIOUS the probe would cost more than
+      the difference it could reveal.
 
     Cost unit = pair rows through a shuffle+distinct+verify; token emission
     rows are weighted EMISSION_WEIGHT. The 5th-percentile doc size sets the
@@ -637,7 +790,9 @@ def _plan_exact_join(
     channel, keeping its Σ df_small·df term bounded."""
     import math
 
-    arrays = shingle_arrays(df, text_col, id_col, n, fingerprint=True)
+    arrays = shingle_arrays(df, text_col, id_col, n, fingerprint=True).localCheckpoint(
+        eager=True
+    )
     quant = arrays.select(F.size("shingles").alias("sz")).approxQuantile(
         "sz", [0.05], 0.01
     )
@@ -653,9 +808,15 @@ def _plan_exact_join(
     sh = arrays.select(
         "doc", F.size("shingles").alias("sz"), F.explode("shingles").alias("s")
     )
+    doc_integral = dict(arrays.dtypes).get("doc") in (
+        "tinyint", "smallint", "int", "bigint",
+    )
     per = sh.groupBy("s").agg(
         F.count(F.lit(1)).alias("df"),
         F.count_if(F.col("sz") < F.lit(small_max if small_max else 0)).alias("nsmall"),
+        F.min("doc").alias("mnd"),
+        F.max("doc").alias("mxd"),
+        F.max("sz").alias("mxs"),
     )
     row = per.agg(
         F.coalesce(
@@ -664,37 +825,51 @@ def _plan_exact_join(
         F.coalesce(
             F.sum(F.col("nsmall").cast("double") * (F.col("df") - 1)), F.lit(0.0)
         ).alias("sc"),
+        F.min("mnd").alias("mn"),
+        F.max("mxd").alias("md"),
+        F.max("mxs").alias("ms"),
     ).collect()[0]
     count_cost, small_cross = int(row["cc"]), int(row["sc"])
+    pack_ok = bool(
+        doc_integral
+        and row["md"] is not None
+        and 0 <= row["mn"]
+        and row["md"] < PACK_MAX_DOC
+        and row["ms"] < PACK_MAX_SZ
+    )
     costs: dict[str, float] = {"count": float(count_cost)}
     pt_detail = None
+    segarr = None
     if count_cost <= COUNT_COST_OBVIOUS:
         mode = "count"
     else:
         if K >= 2:
             token_side = sh if contained else sh.filter(F.col("sz") >= small_max)
-            segarr = (
-                token_side.groupBy(
-                    "doc", F.pmod(F.col("s"), F.lit(K)).alias("seg")
-                )
-                .agg(F.collect_list("s").alias("ss"))
-                .filter(F.size("ss") >= 2)
-            )
-            tokc = (
+            segarr = _segment_arrays(token_side, K, 0).localCheckpoint(eager=True)
+            em_row = segarr.agg(
+                F.coalesce(
+                    F.sum(
+                        F.size("ss").cast("double") * (F.size("ss") - 1) / 2
+                    ),
+                    F.lit(0.0),
+                ).alias("em")
+            ).collect()[0]
+            emission = float(em_row["em"])
+            tok_sample = (
                 segarr.select(F.explode("ss").alias("s1"), F.col("ss"))
                 .select("s1", F.explode("ss").alias("s2"))
                 .filter(F.col("s1") < F.col("s2"))
+                .filter(F.pmod(F.xxhash64("s1", "s2"), F.lit(TOKVOL_SAMPLE)) == 0)
                 .groupBy("s1", "s2")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
-            trow = tokc.agg(
-                F.coalesce(F.sum(F.col("c").cast("double")), F.lit(0.0)).alias("em"),
+            trow = tok_sample.agg(
                 F.coalesce(
                     F.sum(F.col("c").cast("double") * (F.col("c") - 1) / 2),
                     F.lit(0.0),
-                ).alias("tv"),
+                ).alias("tv")
             ).collect()[0]
-            emission, tokvol = float(trow["em"]), float(trow["tv"])
+            tokvol = float(trow["tv"]) * TOKVOL_SAMPLE
             costs["pairtoken"] = EMISSION_WEIGHT * emission + PREFIX_VERIFY_WEIGHT * (
                 tokvol + small_cross
             )
@@ -703,9 +878,9 @@ def _plan_exact_join(
                 "tokvol": tokvol,
                 "small_cross": small_cross,
             }
-        if (
-            "pairtoken" in costs
-            and costs["pairtoken"] * PT_DECISIVE_RATIO <= count_cost
+        if "pairtoken" in costs and (
+            costs["pairtoken"] <= COUNT_COST_OBVIOUS
+            or costs["pairtoken"] * PT_DECISIVE_RATIO <= count_cost
         ):
             mode = "pairtoken"
         else:
@@ -725,11 +900,12 @@ def _plan_exact_join(
             K=K if mode == "pairtoken" else None,
             small_max=small_max if mode == "pairtoken" else None,
             q05=q05,
+            pack_ok=pack_ok,
             pt_detail=pt_detail,
         )
     if mode != "pairtoken":
-        return mode, None, None
-    return mode, K, small_max
+        return _ExactJoinPlan(mode, None, None, arrays, None, pack_ok)
+    return _ExactJoinPlan(mode, K, small_max, arrays, segarr, pack_ok)
 
 
 def ngram_jaccard_pairs_auto(
@@ -744,17 +920,34 @@ def ngram_jaccard_pairs_auto(
     above). Returns identical rows whichever plan is chosen — all three are
     lossless; only the physical plan differs. ``stats``, if given, receives
     {"mode", "count_cost", "prefix_cost", "pairtoken_cost", ...} for
-    plan-pin tests."""
-    mode, K, small_max = _plan_exact_join(
+    plan-pin tests.
+
+    The planner's materializations (checkpointed shingle arrays, segment
+    arrays) are handed to the chosen executor, so the corpus is tokenized
+    exactly once per auto call."""
+    plan = _plan_exact_join(
         df, text_col, id_col, n, threshold, contained=False, stats=stats
     )
-    if mode == "count":
-        return ngram_jaccard_pairs_count(df, text_col, id_col, n, threshold)
-    if mode == "pairtoken":
-        return ngram_jaccard_pairs_pairtoken(
-            df, text_col, id_col, n, threshold, K=K, small_max=small_max
+    if plan.mode == "count":
+        return ngram_jaccard_pairs_count(
+            df, text_col, id_col, n, threshold, arrays=plan.arrays
         )
-    return ngram_jaccard_pairs_prefix(df, text_col, id_col, n, threshold)
+    if plan.mode == "pairtoken":
+        return ngram_jaccard_pairs_pairtoken(
+            df,
+            text_col,
+            id_col,
+            n,
+            threshold,
+            K=plan.K,
+            small_max=plan.small_max,
+            arrays=plan.arrays,
+            segarr=plan.segarr,
+            pack_ok=plan.pack_ok,
+        )
+    return ngram_jaccard_pairs_prefix(
+        df, text_col, id_col, n, threshold, arrays=plan.arrays
+    )
 
 
 def cross_doc_dup_fraction(
@@ -1225,6 +1418,7 @@ def containment_pairs_count(
     id_col: str,
     n: int = 3,
     threshold: float = 0.8,
+    arrays: DataFrame | None = None,
 ) -> DataFrame:
     """Containment join, counting formulation (see the auto-planner block
     comment): per-pair co-occurrence count over the inverted index IS the
@@ -1233,7 +1427,12 @@ def containment_pairs_count(
     containment — the smaller side of any co-occurring pair is always a
     feasible contained side — so this is the full Σ C(df,2) volume, planner-
     guarded like the Jaccard path."""
-    sh = shingles(df, text_col, id_col, n, with_size=True)
+    if arrays is not None:
+        sh = arrays.select(
+            "doc", F.explode("shingles").alias("shingle"), F.size("shingles").alias("sz")
+        )
+    else:
+        sh = shingles(df, text_col, id_col, n, with_size=True)
     posting = sh.groupBy("shingle").agg(
         F.collect_list(F.struct(F.col("doc"), F.col("sz"))).alias("docs")
     )
@@ -1307,27 +1506,43 @@ def containment_pairs(
     if mode not in ("auto", "count", "prefix", "pairtoken"):
         raise ValueError(f"unknown containment mode {mode!r}")
     K = small_max = None
+    arrays = segarr = None
+    pack_ok = None
     if mode == "auto":
-        mode, K, small_max = _plan_exact_join(
+        plan = _plan_exact_join(
             df, text_col, id_col, n, threshold, contained=True, stats=stats
         )
+        mode, K, small_max = plan.mode, plan.K, plan.small_max
+        arrays, segarr, pack_ok = plan.arrays, plan.segarr, plan.pack_ok
     if mode == "count":
-        return containment_pairs_count(df, text_col, id_col, n, threshold)
+        return containment_pairs_count(
+            df, text_col, id_col, n, threshold, arrays=arrays
+        )
     if mode == "pairtoken":
         if K is None:
             raise ValueError("mode='pairtoken' is planner-only for containment")
         return containment_pairs_pairtoken(
-            df, text_col, id_col, n, threshold, K=K, small_max=small_max
+            df,
+            text_col,
+            id_col,
+            n,
+            threshold,
+            K=K,
+            small_max=small_max,
+            arrays=arrays,
+            segarr=segarr,
+            pack_ok=pack_ok,
         )
 
-    arrays = (
-        shingle_arrays(df, text_col, id_col, n, fingerprint=True)
-        # no size-filter here: shingle_arrays guarantees nonempty arrays,
-        # and re-filtering would push the shingle expr below the exchange.
-        # localCheckpoint, not persist — leak-free shared materialization
-        # (see ngram_jaccard_pairs_prefix)
-        .localCheckpoint(eager=False)
-    )
+    if arrays is None:
+        arrays = (
+            shingle_arrays(df, text_col, id_col, n, fingerprint=True)
+            # no size-filter here: shingle_arrays guarantees nonempty arrays,
+            # and re-filtering would push the shingle expr below the exchange.
+            # localCheckpoint, not persist — leak-free shared materialization
+            # (see ngram_jaccard_pairs_prefix)
+            .localCheckpoint(eager=False)
+        )
     sh = arrays.select(
         "doc", F.size("shingles").alias("sz"), F.explode("shingles").alias("shingle")
     )

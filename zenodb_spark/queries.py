@@ -3223,8 +3223,7 @@ def q72_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc", "p.w1", "p.w2").filter(
         (F.length("w1") > 0) & (F.length("w2") > 0)
     )
-    dbg = pairs.groupBy("doc", "w1", "w2").agg(F.count(F.lit(1)).alias("occ"))
-    big = dbg.groupBy("w1", "w2").agg(F.sum("occ").alias("c2"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     lp2 = big.join(uni.withColumnRenamed("tok", "w1"), "w1").select(
         "w1",
         "w2",
@@ -3235,6 +3234,25 @@ def q72_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("lp_micro"),
     )
+    # Dense-vocab regime (the q64 BM25 planner's pattern): when the LM table
+    # is model-sized (≤ cap, NOT corpus-proportional) broadcast it and score
+    # raw occurrences — the per-(doc, bigram) shuffle disappears entirely;
+    # both groupBy(doc) aggregations complete map-side because a doc's
+    # bigrams are generated inside one task. On Heaps-law corpora where the
+    # bigram table outgrows the cap, fall back to the shuffle join on the
+    # aggregated (doc, bigram) frame.
+    lp2 = lp2.localCheckpoint(eager=False)
+    if lp2.count() <= 1_000_000:
+        scored = pairs.join(F.broadcast(lp2), ["w1", "w2"])
+        return scored.groupBy("doc").agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            (
+                F.sum("lp_micro").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1_000_000.0)
+            ).alias("avg_logprob"),
+        )
+    dbg = pairs.groupBy("doc", "w1", "w2").agg(F.count(F.lit(1)).alias("occ"))
     return (
         dbg.join(lp2, ["w1", "w2"])
         .groupBy("doc")
