@@ -131,10 +131,17 @@ def main() -> None:
         t.state_df().count()
     protected = _persistent_ids(sc)
 
+    # SPARK_GRAFT_BENCH_QUERIES: comma-separated subset override, used by
+    # the sf10 scale rehearsal to bench the linear/planned operators
+    # without paying the (documented, spec-quadratic) oracle-proof queries
+    # at a scale they were never meant to run at.
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    headline = [q for q in subset.split(",") if q] if subset else HEADLINE
+
     # untimed warm-up: compile every headline plan shape once at sf0.001
     warm_dir = str(Path(sf_dir).parent / "sf0.001")
     if os.path.isdir(warm_dir) and warm_dir != sf_dir:
-        for name in HEADLINE:
+        for name in headline:
             try:
                 Q.QUERIES[name](spark, warm_dir).count()
             except Exception as e:  # warm-up must never fail the bench
@@ -154,7 +161,7 @@ def main() -> None:
     passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
     timings: dict[str, float] = {}
     for p in range(passes):
-        for name in HEADLINE:
+        for name in headline:
             t0 = time.perf_counter()
             df = Q.QUERIES[name](spark, sf_dir)
             n = df.count()

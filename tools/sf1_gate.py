@@ -95,8 +95,16 @@ def main() -> int:
         qs = _load_bench_slowest(args.bench, args.top)
         names = zs + [q for q in qs if q in Q.QUERIES]
 
+    # Bare confs like the driver gate, EXCEPT the heap: the driver's own
+    # gate stops at sf0.01 where 1g suffices; at sf1.0 a default-heap JVM
+    # dies in the first wide shuffle, which would test the sandbox, not the
+    # engine. 64g driver memory on local[16] mirrors a plausible executor
+    # sizing (4g/thread).
     spark = (
-        SparkSession.builder.appName("sf1_gate").master("local[16]").getOrCreate()
+        SparkSession.builder.appName("sf1_gate")
+        .master("local[16]")
+        .config("spark.driver.memory", "64g")
+        .getOrCreate()
     )
     sc = spark.sparkContext
     sc.setLogLevel("ERROR")

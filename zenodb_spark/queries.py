@@ -9804,7 +9804,10 @@ def q180_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle keys (NOT a broadcast — at 100 TB the bench set alone exceeds
     executor memory; Spark's runtime bloom filter prunes the probe side,
     the same shape q61 pins explicitly). One groupBy(doc) finishes; the
-    fraction is a ratio of exact integers."""
+    fraction is a ratio of exact integers. (A one-pass groupBy(shingle)
+    + collect_list re-emission was measured 30% SLOWER at sf1.0 — the
+    object-hash aggregate over the full posting set costs more than the
+    bloom-pruned hash join it saves; kept the join.)"""
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.shingles(docs, "text", "doc_id", n=5)
     bench = (

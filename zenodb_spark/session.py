@@ -41,7 +41,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # AQE coalesces by BYTES; CPU-dense stages over small compressed
-        # shuffles (pairwise vector math) otherwise collapse to 1 task
+        # shuffles (pairwise vector math) otherwise collapse to 1 task.
+        # (Advisory partition size stays at the 64 MB default: an A/B at
+        # sf1.0 showed no warm-run effect — parallelismFirst=true already
+        # targets core count when coalescing — while 8 MB cost the sf0.1
+        # suite ~8% in pure task overhead.)
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
