@@ -109,6 +109,42 @@ class TestJaccardModes:
         assert got == ref
         assert any(a == 2 and b == 1 for a, b, _ in got)  # small ⊂ big found
 
+    def test_packed_and_struct_candidates_agree(self, spark):
+        # The packed-long emission (token=xxhash64(s1,s2), dz=(doc<<16)|sz)
+        # and the struct fallback must produce identical pairs; and the
+        # pack guard must route non-integral / out-of-range ids to the
+        # struct path rather than corrupt them.
+        rows = [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g x"),
+            (3, "p q r s t u v w"),
+            (4, "p q r s t u v y"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        packed = _pairs(
+            dedup.ngram_jaccard_pairs_pairtoken(
+                df, "text", "doc_id", 3, 0.4, K=2, small_max=5, pack_ok=True
+            )
+        )
+        struct = _pairs(
+            dedup.ngram_jaccard_pairs_pairtoken(
+                df, "text", "doc_id", 3, 0.4, K=2, small_max=5, pack_ok=False
+            )
+        )
+        assert packed == struct and packed
+
+        # ids beyond PACK_MAX_DOC: auto guard must pick the struct path and
+        # still return the right pairs with ids intact
+        big_id = dedup.PACK_MAX_DOC + 7
+        rows_big = [(big_id, "a b c d e f g h"), (big_id + 1, "a b c d e f g x")]
+        df_big = spark.createDataFrame(rows_big, ["doc_id", "text"])
+        got = _pairs(
+            dedup.ngram_jaccard_pairs_pairtoken(
+                df_big, "text", "doc_id", 3, 0.4, K=2, small_max=5
+            )
+        )
+        assert {(a, b) for a, b, _ in got} == {(big_id, big_id + 1)}
+
     def test_empty_and_single_doc(self, spark):
         empty = spark.createDataFrame([], "doc_id long, text string")
         assert (
