@@ -49,12 +49,18 @@ def _days_ts(days: np.ndarray, base: str) -> pa.Array:
     return pa.array(base_us + days.astype("int64") * 86_400_000_000, pa.timestamp("us"))
 
 
+_WRITE_ONLY: set | None = None  # when set, _write skips other tables
+
+
 def _write(out_dir: str, name: str, table: pa.Table) -> None:
+    if _WRITE_ONLY is not None and name not in _WRITE_ONLY:
+        print(f"  {name}: skipped (--only)")
+        return
     pq.write_table(table, os.path.join(out_dir, f"{name}.parquet"))
     print(f"  {name}: {table.num_rows} rows")
 
 
-def generate(sf: float, out_dir: str, seed: int = 42) -> None:
+def generate(sf: float, out_dir: str, seed: int = 42, heaps: bool = False) -> None:
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
 
@@ -150,9 +156,25 @@ def generate(sf: float, out_dir: str, seed: int = 42) -> None:
 
     # documents: 10..100 words from the 31-word vocab; ~0.2% exact dups;
     # lang en-heavy (41% / 15% others); 20 sources
-    vocab = np.array(VOCAB)
+    #
+    # heaps=True swaps the driver-faithful fixed vocabulary for a
+    # Heaps-law one (V ≈ 2.2·√total_words synthetic types, Zipf(1.0)
+    # rank frequencies) — the regime REAL text lives in, where posting
+    # density stays flat as the corpus grows. The fixed-vocab default is
+    # the adversarial dense regime (posting df grows linearly with the
+    # corpus); both matter for the near-dup scaling story, so both are
+    # generatable (SCALE.md "sf10 rehearsal").
     lens = rng.integers(10, 101, n_doc)
-    texts = [" ".join(vocab[rng.integers(0, len(vocab), k)]) for k in lens]
+    if heaps:
+        total_words = int(lens.sum())
+        v_n = max(31, int(2.2 * total_words ** 0.5))
+        vocab = np.array([f"w{i}" for i in range(v_n)])
+        p = 1.0 / np.arange(1, v_n + 1, dtype="float64")
+        p /= p.sum()
+        texts = [" ".join(vocab[rng.choice(v_n, k, p=p)]) for k in lens]
+    else:
+        vocab = np.array(VOCAB)
+        texts = [" ".join(vocab[rng.integers(0, len(vocab), k)]) for k in lens]
     n_dup = max(1, n_doc // 500)
     for j in rng.integers(n_doc // 2, n_doc, n_dup):
         texts[j] = texts[int(j) // 2]
@@ -191,8 +213,19 @@ def _linenumbers(lines_per: np.ndarray) -> np.ndarray:
 
 
 if __name__ == "__main__":
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    out = sys.argv[2] if len(sys.argv) > 2 else f"/root/repo/.localdata/sf{sf}"
-    print(f"generating sf={sf} → {out}")
-    generate(sf, out)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    sf = float(args[0]) if args else 1.0
+    out = args[1] if len(args) > 1 else f"/root/repo/.localdata/sf{sf}"
+    heaps = "--heaps" in flags
+    only = {f.split("=", 1)[1] for f in flags if f.startswith("--only=")}
+    if only:
+        # skipped tables still consume their rng draws (and generation
+        # CPU) so the written tables are bit-identical to a full run
+        _WRITE_ONLY = set()
+        for spec in only:
+            _WRITE_ONLY |= set(spec.split(","))
+        globals()["_WRITE_ONLY"] = _WRITE_ONLY
+    print(f"generating sf={sf} → {out} (heaps={heaps})")
+    generate(sf, out, heaps=heaps)
     print("done")

@@ -6058,6 +6058,20 @@ def q127_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each run minted a new managed location and occasionally COLLIDED
     # with a stale one from an earlier process (LOCATION_ALREADY_EXISTS).
     import hashlib
+    import os as _os
+
+    # Bucket count sized from landing volume (~32 MB of source parquet per
+    # bucket, power of two, min 8): a FIXED count serializes the one-time
+    # sorted write AND caps the zero-exchange join's parallelism at scale
+    # (measured 33.7x per 10x data at sf10 with 8 buckets — each bucket is
+    # one task). Both tables take the SAME count — co-location requires it.
+    try:
+        mb = _os.path.getsize(_os.path.join(sf_dir, "lineitem.parquet")) >> 20
+    except OSError:
+        mb = 0
+    nb = 8
+    while nb < 256 and nb * 32 < mb:
+        nb *= 2
 
     tag = int(hashlib.md5(sf_dir.encode()).hexdigest()[:8], 16) % 10_000
     ot, lt = f"q127_orders_b{tag}", f"q127_lineitem_b{tag}"
@@ -6068,7 +6082,7 @@ def q127_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ot,
             ["o_orderkey"],
-            8,
+            nb,
             sort_cols=["o_orderkey"],
         )
     if not spark.catalog.tableExists(lt):
@@ -6078,7 +6092,7 @@ def q127_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             lt,
             ["l_orderkey"],
-            8,
+            nb,
             sort_cols=["l_orderkey"],
         )
     o = read_bucketed(spark, ot)
