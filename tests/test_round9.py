@@ -494,3 +494,44 @@ print("DONE", flush=True)
         for name in ("q204", "q32", "q24"):
             assert f"PASS {name}" in out or f"GRACEFUL {name}" in out, out
 
+
+
+class TestStreamNeardup:
+    def test_fold_semantics_and_replay(self, spark, tmp_path):
+        """Cross-batch near-dup dropped, originals kept; replaying a batch
+        id (checkpoint-recovery path) leaves state and output unchanged —
+        the per-batch-overwrite ledger contract."""
+        from zenodb_spark.streaming.neardup import fold_neardup_batch
+
+        docs0 = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog", "a"),
+                (2, "completely different text with other words entirely", "a"),
+            ],
+            ["doc_id", "text", "source"],
+        )
+        docs1 = spark.createDataFrame(
+            [
+                (3, "the quick brown fox jumps over the lazy dog", "b"),
+                (4, "yet another unrelated document body goes here", "b"),
+            ],
+            ["doc_id", "text", "source"],
+        )
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        fold_neardup_batch(spark, docs0, 0, state, out)
+        fold_neardup_batch(spark, docs1, 1, state, out)
+        m = spark.read.option("basePath", out).parquet(out + "/batch=*")
+        got = {r["doc_id"]: r["dropped"] for r in m.collect()}
+        assert got == {1: False, 2: False, 3: True, 4: False}
+
+        fold_neardup_batch(spark, docs1, 1, state, out)  # replay batch 1
+        m2 = spark.read.option("basePath", out).parquet(out + "/batch=*")
+        got2 = {r["doc_id"]: r["dropped"] for r in m2.collect()}
+        assert got2 == got
+        # state holds exactly one band-store slice per batch id
+        import os
+
+        assert sorted(os.listdir(os.path.join(state, "bands"))) == [
+            "batch=0",
+            "batch=1",
+        ]

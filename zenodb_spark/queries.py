@@ -13703,3 +13703,122 @@ def z22_engine_order_by_hidden(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY mn, event_type, _time LIMIT 2, 7"
     )
     return _as_bucket(out)
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup (round 5): LSH dedup against accumulated history
+# ---------------------------------------------------------------------------
+
+
+def _stream_neardup_oracle(num_hashes: int = 16, bands: int = 8, min_match: int = 8) -> str:
+    rpb = num_hashes // bands
+    mins = ", ".join(
+        f"min(md5(concat('{i}|', shingle))) AS h{i}" for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT doc, {j} AS band, md5(concat({hs})) AS bh FROM sig".format(
+            j=j, hs=", ".join(f"h{j * rpb + r}" for r in range(rpb))
+        )
+        for j in range(bands)
+    )
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+    bnd AS ({band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc, b.doc AS p
+      FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh AND b.doc < a.doc
+    ),
+    dropped AS (
+      SELECT DISTINCT c.doc FROM cand c
+      JOIN sig sa ON sa.doc = c.doc
+      JOIN sig sb ON sb.doc = c.p
+      WHERE {matches} >= {min_match}
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN d.doc IS NOT NULL THEN 1 END) AS BIGINT) AS n_dropped,
+           CAST(count(CASE WHEN d.doc IS NULL THEN 1 END) AS BIGINT) AS n_kept
+    FROM documents LEFT JOIN dropped d ON d.doc = doc_id
+    GROUP BY source
+    """
+
+
+@query("q231_stream_neardup", _stream_neardup_oracle())
+def q231_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING near-duplicate filter (full oracle): the document corpus
+    arrives as 4 ascending-id-range micro-batches; each batch is MinHash-
+    signed, LSH-probed against the ACCUMULATED band/signature history
+    (streaming/neardup.py), marked kept/dropped, and folded into state.
+    A doc is dropped iff an earlier doc shares a band AND their 16-hash
+    signatures agree on >= 8 positions (est-J >= 0.5, the q195-calibrated
+    estimator).
+
+    Because batches arrive in ascending id order and history keeps ALL
+    seen docs, "earlier-seen" == "smaller doc_id" exactly — so the pure-
+    SQL oracle (a band self-join + signature agreement, no recursion over
+    arrival state) reproduces the stream's verdicts bit-for-bit. The
+    micro-batch boundaries provably don't change the answer.
+
+    Scale shape: per batch, one signature aggregate + one band-keyed
+    equi-join against the band store (the LSH-bounded join of q25); state
+    is parquet, written per-batch-overwrite for exactly-once under
+    checkpoint replay (the ingest.py ledger idea). At 100 TB the band
+    store is bucketed by (band, bh) so the daily join is exchange-free
+    on the history side."""
+    import os
+    import tempfile
+    import time
+
+    from zenodb_spark.streaming.neardup import start_neardup_stream
+
+    tmp = tempfile.mkdtemp(prefix="zspark_q231_")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    if mx is None:
+        return docs.groupBy("source").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_dropped"),
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+        )
+    src = f"{tmp}/src"
+    os.makedirs(src)
+    qsz = mx // 4 + 1
+    base = int(time.time()) - 1000
+    for i in range(4):
+        stage = f"{tmp}/stage{i}"
+        docs.filter(
+            (F.col("doc_id") >= i * qsz) & (F.col("doc_id") < (i + 1) * qsz)
+        ).coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage) if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dst = f"{src}/b{i}.parquet"
+        os.rename(f"{stage}/{part}", dst)
+        # ascending mtimes pin the FileStreamSource batch order to the id
+        # ranges — the property the oracle's "earlier == smaller id" needs
+        os.utime(dst, (base + i * 10, base + i * 10))
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = start_neardup_stream(
+        spark,
+        stream,
+        state_dir=f"{tmp}/state",
+        out_dir=f"{tmp}/out",
+        checkpoint_dir=f"{tmp}/ckpt",
+        num_hashes=16,
+        bands=8,
+        min_match=8,
+    )
+    q.awaitTermination(600)
+    marked = spark.read.option("basePath", f"{tmp}/out").parquet(f"{tmp}/out/batch=*")
+    return marked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(F.col("dropped"), 1)).cast("long").alias("n_dropped"),
+        F.count(F.when(~F.col("dropped"), 1)).cast("long").alias("n_kept"),
+    )

@@ -1,0 +1,168 @@
+"""Streaming NEAR-duplicate filtering: MinHash-LSH dedup of a document
+stream against ACCUMULATED history — the missing streaming member of the
+dedup family (exact streaming dedup: q108 custom state / q135 built-in
+dropDuplicatesWithinWatermark; batch near-dup: operators/dedup.py).
+
+Reference framing: the reference engine deduplicates at INSERT time by
+aggregating into keyed state (core/table.go insert path); this operator is
+the near-duplicate analogue for a training-data ingest — each arriving
+micro-batch of documents is checked against every document seen so far,
+marked kept/dropped, and folded into the history.
+
+Semantics (deterministic, oracle-checkable): a document D is DROPPED iff
+some earlier document P (earlier micro-batch, or same batch with
+P.id < D.id) shares at least one LSH band with D and their MinHash
+signatures agree on >= min_match of num_hashes positions (the estimator
+calibrated by q195). History holds ALL seen documents — kept and dropped —
+so droppedness is exactly "exists P with P.id < D.id ..." when batches
+arrive in ascending id order, which is what a pure-SQL oracle can express
+with no recursion over arrival state.
+
+State layout (exactly-once): two parquet stores under ``state_dir``,
+``bands/batch={id}`` (doc, band, bh) and ``sigs/batch={id}``
+(doc, h0..h{n-1}), each written with per-batch overwrite so a checkpoint
+replay of a batch id is idempotent — the same part-replace ledger idea as
+streaming/ingest.py. Marked output lands in ``out_dir/batch={id}`` the
+same way.
+
+Scale shape: the per-batch cost is |batch| signature aggregation + a
+band-keyed equi-join against the band store — the standard LSH join whose
+bucket sizes the banding bounds on Heaps-law corpora. At 100 TB the band
+store is the thing to bucket (sources/bucketed) by (band, bh) so the
+daily join is exchange-free on the history side; signatures are 16
+hex-string columns per doc, ~0.5 KB/doc — 5 TB of state per 10B docs,
+a parquet table, never driver-resident.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from zenodb_spark.operators.dedup import minhash_signatures, shingles
+
+
+def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, bh) — band hash = md5 of the concatenated member hashes
+    (hex-string concat, reproducible in any engine with md5)."""
+    rpb = num_hashes // bands
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.md5(
+                    F.concat(*[F.col(f"h{j * rpb + r}") for r in range(rpb)])
+                ).alias("bh"),
+            )
+            for j in range(bands)
+        ]
+    )
+    return sig.select("doc", F.explode(entries).alias("e")).select(
+        "doc", "e.band", "e.bh"
+    )
+
+
+def fold_neardup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    out_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    min_match: int = 8,
+) -> None:
+    """Fold one micro-batch: mark kept/dropped vs (history ∪ earlier-in-
+    batch), then append this batch's bands+signatures to the history."""
+    if batch_df.isEmpty():
+        return
+    sig = minhash_signatures(
+        shingles(batch_df, text_col, id_col, n), num_hashes=num_hashes
+    ).localCheckpoint(eager=True)
+    cur_bands = _band_rows(sig, num_hashes, bands)
+
+    bands_root = os.path.join(state_dir, "bands")
+    sigs_root = os.path.join(state_dir, "sigs")
+    hist_exists = os.path.isdir(bands_root) and any(
+        e.startswith("batch=") for e in os.listdir(bands_root)
+    )
+    if hist_exists:
+        hist_bands = spark.read.option("basePath", bands_root).parquet(
+            f"{bands_root}/batch=*"
+        ).select("doc", "band", "bh")
+        hist_sigs = spark.read.option("basePath", sigs_root).parquet(
+            f"{sigs_root}/batch=*"
+        ).drop("batch")
+        all_bands = hist_bands.unionByName(cur_bands)
+        all_sigs = hist_sigs.unionByName(sig)
+    else:
+        all_bands, all_sigs = cur_bands, sig
+
+    partner = all_bands.select(
+        F.col("doc").alias("p"), "band", "bh"
+    )
+    cand = (
+        cur_bands.join(partner, ["band", "bh"])
+        .filter(F.col("p") < F.col("doc"))
+        .select("doc", "p")
+        .distinct()
+    )
+    sa = sig.select("doc", *[F.col(f"h{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sb = all_sigs.select(
+        F.col("doc").alias("p"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    n_match = sum(
+        [
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(1, num_hashes)
+        ],
+        start=F.when(F.col("a0") == F.col("b0"), 1).otherwise(0),
+    )
+    dropped = (
+        cand.join(sa, "doc")
+        .join(sb, "p")
+        .filter(n_match >= F.lit(min_match))
+        .select("doc")
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    marked = (
+        batch_df.join(
+            dropped.withColumnRenamed("doc", id_col), id_col, "left"
+        ).withColumn("dropped", F.coalesce("dropped", F.lit(False)))
+    )
+    # per-batch overwrite directories: a checkpoint replay rewrites the
+    # same paths instead of double-counting (ingest.py's ledger idea)
+    marked.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+    cur_bands.write.mode("overwrite").parquet(f"{bands_root}/batch={batch_id}")
+    sig.write.mode("overwrite").parquet(f"{sigs_root}/batch={batch_id}")
+
+
+def start_neardup_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    state_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    **fold_kwargs,
+) -> StreamingQuery:
+    """Attach the near-dup filter to a streaming DataFrame of documents.
+    availableNow when no trigger interval is configured upstream; marked
+    rows land in ``out_dir/batch=*`` with a ``dropped`` boolean."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        fold_neardup_batch(
+            spark, batch_df, batch_id, state_dir, out_dir, **fold_kwargs
+        )
+
+    writer = stream_df.writeStream.foreachBatch(process).outputMode("append")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.trigger(availableNow=True).start()
