@@ -535,3 +535,34 @@ class TestStreamNeardup:
             "batch=0",
             "batch=1",
         ]
+
+    def test_compaction_preserves_verdicts(self, spark, tmp_path):
+        """compact_neardup_state folds batch slices into the base store;
+        subsequent folds read base+batches and verdict identically, and a
+        post-compaction replay of a compacted batch stays benign (set-
+        semantic consumers)."""
+        import os
+
+        from zenodb_spark.streaming.neardup import (
+            compact_neardup_state,
+            fold_neardup_batch,
+        )
+
+        mk = lambda rows: spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        b0 = mk([(1, "the quick brown fox jumps over the lazy dog", "a")])
+        b1 = mk([(2, "completely different text with other words entirely", "a")])
+        b2 = mk([(3, "the quick brown fox jumps over the lazy dog", "b")])
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        fold_neardup_batch(spark, b0, 0, state, out)
+        fold_neardup_batch(spark, b1, 1, state, out)
+        compact_neardup_state(spark, state)
+        assert os.listdir(os.path.join(state, "bands")) == ["base"]
+        fold_neardup_batch(spark, b2, 2, state, out)  # dup of doc 1 via base
+        m = spark.read.option("basePath", out).parquet(out + "/batch=*")
+        got = {r["doc_id"]: r["dropped"] for r in m.collect()}
+        assert got == {1: False, 2: False, 3: True}
+
+        fold_neardup_batch(spark, b1, 1, state, out)  # replay a compacted id
+        m2 = spark.read.option("basePath", out).parquet(out + "/batch=*")
+        got2 = {r["doc_id"]: r["dropped"] for r in m2.collect()}
+        assert got2 == got

@@ -65,6 +65,66 @@ def _band_rows(sig: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def _read_store(spark: SparkSession, root: str, cols: list[str]) -> DataFrame | None:
+    """Union the compacted base store (if any) with per-batch slices."""
+    parts = []
+    base = os.path.join(root, "base")
+    if os.path.isdir(base) and os.listdir(base):
+        parts.append(spark.read.parquet(base).select(*cols))
+    if os.path.isdir(root) and any(e.startswith("batch=") for e in os.listdir(root)):
+        parts.append(
+            spark.read.option("basePath", root).parquet(f"{root}/batch=*").select(*cols)
+        )
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def compact_neardup_state(spark: SparkSession, state_dir: str) -> None:
+    """Fold per-batch band/signature slices into the base store — the
+    streaming analogue of engine ``compact()``: a long-running stream
+    otherwise accumulates one directory per micro-batch and every fold
+    pays a wider and wider file listing.
+
+    Crash/replay safety: the new base is written to a staging dir and
+    swapped in with a directory rename; batch dirs are removed after the
+    swap. If a checkpoint replay later re-delivers a compacted batch id,
+    its rows are re-appended NEXT TO the base copy — verdicts are
+    unaffected because every consumer is set-semantic (candidate and
+    dropped frames are distinct()-ed), so duplicate history rows can only
+    repeat a comparison, never change its outcome."""
+    import shutil
+
+    for sub, cols in (
+        ("bands", ["doc", "band", "bh"]),
+        ("sigs", None),
+    ):
+        root = os.path.join(state_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        batches = [e for e in os.listdir(root) if e.startswith("batch=")]
+        if not batches:
+            continue
+        if cols is None:
+            sample = spark.read.option("basePath", root).parquet(f"{root}/batch=*")
+            cols = [c for c in sample.columns if c != "batch"]
+        df = _read_store(spark, root, cols)
+        staging = os.path.join(root, "_base_staging")
+        df.write.mode("overwrite").parquet(staging)
+        base = os.path.join(root, "base")
+        old = os.path.join(root, "_base_old")
+        if os.path.isdir(base):
+            os.rename(base, old)
+        os.rename(staging, base)
+        if os.path.isdir(old):
+            shutil.rmtree(old)
+        for b in batches:
+            shutil.rmtree(os.path.join(root, b))
+
+
 def fold_neardup_batch(
     spark: SparkSession,
     batch_df: DataFrame,
@@ -89,16 +149,11 @@ def fold_neardup_batch(
 
     bands_root = os.path.join(state_dir, "bands")
     sigs_root = os.path.join(state_dir, "sigs")
-    hist_exists = os.path.isdir(bands_root) and any(
-        e.startswith("batch=") for e in os.listdir(bands_root)
+    hist_bands = _read_store(spark, bands_root, ["doc", "band", "bh"])
+    hist_sigs = _read_store(
+        spark, sigs_root, ["doc"] + [f"h{i}" for i in range(num_hashes)]
     )
-    if hist_exists:
-        hist_bands = spark.read.option("basePath", bands_root).parquet(
-            f"{bands_root}/batch=*"
-        ).select("doc", "band", "bh")
-        hist_sigs = spark.read.option("basePath", sigs_root).parquet(
-            f"{sigs_root}/batch=*"
-        ).drop("batch")
+    if hist_bands is not None:
         all_bands = hist_bands.unionByName(cur_bands)
         all_sigs = hist_sigs.unionByName(sig)
     else:
