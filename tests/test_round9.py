@@ -384,7 +384,7 @@ NAMES = ["q24_ngram_jaccard", "q47_dedup_clusters", "q66_containment",
 def run():
     for n in NAMES:
         Q.QUERIES[n](spark, "/root/testdata/sf0.01").count()
-def drain(target, tries=40):
+def drain(target, tries=120):
     for _ in range(tries):
         gc.collect()
         spark.sparkContext._jvm.System.gc()
@@ -416,8 +416,11 @@ print(f"COMPACTGROWTH {grown}", flush=True)
 spark.stop()
 print("DONE", flush=True)
 """
+        # 1200s: the subprocess shares the box with whatever suite/bench
+        # is running — under a full -x suite the same work measured 5-8x
+        # its isolated time, and a timeout here reads as a (false) leak
         proc = subprocess.run(
-            [sys.executable, "-c", script], capture_output=True, text=True, timeout=600
+            [sys.executable, "-c", script], capture_output=True, text=True, timeout=1200
         )
         assert "DONE" in proc.stdout, proc.stderr[-2000:]
         n1, n2 = [
@@ -487,7 +490,7 @@ print("DONE", flush=True)
             [sys.executable, "-c", script],
             capture_output=True,
             text=True,
-            timeout=600,
+            timeout=1200,  # co-tenant suite load: see TestUnpersistDiscipline
         )
         out = proc.stdout
         assert "DONE" in out, f"subprocess died hard:\n{proc.stderr[-2000:]}"
