@@ -293,6 +293,24 @@ def test_metrics_endpoint_reports_freshness(dash):
     assert hw2 >= E + 80  # bucketed to 10s resolution
 
 
+def test_metrics_cardinality_panel_kmv(dash):
+    """?cardinalities=1 adds per-dim KMV distinct estimates to each table's
+    stats (exact below k — the dash fixture's dims are tiny) and the plain
+    /metrics response stays free of the extra pass."""
+    srv, base, db = dash
+    status, raw = _get(f"{base}/metrics?cardinalities=1")
+    assert status == 200
+    st = json.loads(raw)["tables"]["hits2"]
+    card = st["dim_cardinalities"]
+    exact = {
+        r["site"]
+        for r in db.query("SELECT n FROM hits2 GROUP BY site").collect()
+    }
+    assert card["site"] == float(len(exact))  # coupon mode: exact
+    status, raw = _get(f"{base}/metrics")
+    assert "dim_cardinalities" not in json.loads(raw)["tables"]["hits2"]
+
+
 def test_cache_purges_expired_entries(tmp_path):
     from zenodb_spark.web import STATUS_SUCCESS, ResultCache
 

@@ -734,12 +734,21 @@ class DB:
         self.insert(stream, self.spark.createDataFrame(rows))
 
     # -- query --------------------------------------------------------------
-    def table_stats(self, name: str) -> dict:
+    def table_stats(
+        self, name: str, dim_cardinalities: bool = False, k: int = 256
+    ) -> dict:
         """Per-table stats the reference reports alongside query results
         (table.go:569-601, common/common.go:57-64): stored row count,
         bucket range, high-water mark (max bucket epoch — the freshness
         signal), and part count (memstore-vs-filestore analog: parts not
-        yet folded by compact())."""
+        yet folded by compact()).
+
+        With ``dim_cardinalities``, adds a per-dimension distinct-count
+        estimate over the STORED state via the KMV sketch (the same
+        construction as the ``COUNTDISTINCT(x, k)`` dialect state and
+        operators/sketch.py — exact below k, (k-1)/h_(k) above, ~1/sqrt(k)
+        error): one extra pass over the state, O(k·dims) driver bytes at
+        any table cardinality — the dashboard cardinality panel."""
         if name not in self.tables:
             raise ValueError(f"unknown table {name}")
         t = self.tables[name]
@@ -753,7 +762,7 @@ class DB:
             F.min(BUCKET_COL).alias("mn"),
             F.max(BUCKET_COL).alias("mx"),
         ).collect()[0]
-        return {
+        out = {
             "table": name,
             "rows": agg["rows"],
             "parts": len(t._parts),
@@ -761,6 +770,44 @@ class DB:
             "max_bucket": agg["mx"],
             "high_water": agg["mx"],
         }
+        if dim_cardinalities and t.dims:
+            from zenodb_spark.operators.sketch import kmv_sketch
+
+            pairs = (
+                t.state_df()
+                .select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(d).alias("dim"),
+                                    F.col(d).cast("string").alias("val"),
+                                )
+                                for d in t.dims
+                            ]
+                        )
+                    ).alias("e")
+                )
+                .select("e.dim", "e.val")
+                .filter(F.col("val").isNotNull())
+            )
+            sk = kmv_sketch(pairs, ["dim"], "val", k=k)
+            est = F.when(
+                F.size("kmin") < k, F.size("kmin").cast("double")
+            ).otherwise(
+                F.lit(float(k - 1))
+                / F.greatest(
+                    F.conv(F.substring(F.element_at("kmin", k), 1, 8), 16, 10)
+                    .cast("long")
+                    / F.lit(4294967296.0),
+                    F.lit(2.0**-32),
+                )
+            )
+            out["dim_cardinalities"] = {
+                r["dim"]: r["est"]
+                for r in sk.select("dim", est.alias("est")).collect()
+            }
+        return out
 
     def query_many(self, sqls: list[str]) -> list[DataFrame]:
         """Coalesced execution of concurrent queries (reference

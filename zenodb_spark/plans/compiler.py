@@ -856,9 +856,16 @@ def finalize_expr(
                 # (32 bits / 2^32 — the same convention as the KMV operator
                 # library, exactly reproducible in any engine with md5).
                 kk = specs[0].hist_meta[0]
-                frac = F.conv(
-                    F.substring(F.element_at(c, kk), 1, 8), 16, 10
-                ).cast("long") / F.lit(4294967296.0)
+                # floor at 2^-32 so a k-th digest with 8 leading zero hex
+                # chars (P ≈ 2^-32 per read) estimates 2^32·(k-1) instead
+                # of nulling the group — keeps the estimator total
+                frac = F.greatest(
+                    F.conv(
+                        F.substring(F.element_at(c, kk), 1, 8), 16, 10
+                    ).cast("long")
+                    / F.lit(4294967296.0),
+                    F.lit(2.0**-32),
+                )
                 return (
                     F.when(c.isNull(), F.lit(0.0))
                     .when(F.size(c) < kk, F.size(c).cast("double"))

@@ -14,7 +14,9 @@ Routes (reference web/handler.go:117–124):
 - ``GET /cached/{permalink}`` — fetch a finished (or still-pending) result
   by its stable permalink (web/query.go:69–83, web/cache.go).
 - ``GET /metrics`` — per-table stats + streaming freshness
-  (web/metrics.go, table.go:569–601).
+  (web/metrics.go, table.go:569–601); ``?cardinalities=1`` adds the
+  per-dimension KMV distinct estimates (DB.table_stats) — the dashboard
+  cardinality panel, O(k·dims) response bytes at any table size.
 
 Result cache (web/cache.go:22–115): every dashboard query gets a cache
 entry keyed by its SQL with a stable UUID permalink; the entry's payload is
@@ -648,11 +650,13 @@ class _Handler(BaseHTTPRequestHandler):
         self._respond_with_entry(ce, self.short_timeout)
 
     # -- metrics (reference web/metrics.go, table.go:569–601) ---------------
-    def _handle_metrics(self) -> None:
+    def _handle_metrics(self, with_cardinalities: bool = False) -> None:
         tables = {}
         for name in sorted(self.db.tables):
             try:
-                tables[name] = self.db.table_stats(name)
+                tables[name] = self.db.table_stats(
+                    name, dim_cardinalities=with_cardinalities
+                )
             except Exception as e:
                 tables[name] = {"error": str(e)}
         streams = []
@@ -706,7 +710,11 @@ class _Handler(BaseHTTPRequestHandler):
         elif len(parts) == 2 and parts[0] == "cached":
             self._handle_cached(parts[1])
         elif path == "/metrics":
-            self._handle_metrics()
+            qs = parse_qs(url.query)
+            self._handle_metrics(
+                with_cardinalities=qs.get("cardinalities", ["0"])[0]
+                in ("1", "true")
+            )
         else:
             self._reply(404, {"error": f"no route {url.path}"})
 
