@@ -869,7 +869,29 @@ def _plan_exact_join(
                     F.lit(0.0),
                 ).alias("tv")
             ).collect()[0]
-            tokvol = float(trow["tv"]) * TOKVOL_SAMPLE
+            # the hash sample is keyed — a single hot 2-token key is either
+            # fully counted or fully MISSED (1/TOKVOL_SAMPLE odds), and a
+            # miss underestimates the dominant C(c,2) term 16x. Floor with
+            # an exact heavy-hitter bound that needs no pair explosion:
+            # g docs sharing an IDENTICAL segment array share >= 1 2-token
+            # key of count >= g, and convexity makes sum-of-C(g,2) over
+            # identical-array groups a lower bound on sum-of-C(c,2) even
+            # when groups overlap on keys (c >= g1+g2 => C(c,2) >=
+            # C(g1,2)+C(g2,2)). One O(|docs|)-row aggregate over the
+            # shared checkpoint.
+            frow = (
+                segarr.filter(F.size("ss") >= 2)
+                .groupBy(F.xxhash64("ss").alias("ak"))
+                .agg(F.count(F.lit(1)).alias("g"))
+                .agg(
+                    F.coalesce(
+                        F.sum(F.col("g").cast("double") * (F.col("g") - 1) / 2),
+                        F.lit(0.0),
+                    ).alias("fl")
+                )
+                .collect()[0]
+            )
+            tokvol = max(float(trow["tv"]) * TOKVOL_SAMPLE, float(frow["fl"]))
             costs["pairtoken"] = EMISSION_WEIGHT * emission + PREFIX_VERIFY_WEIGHT * (
                 tokvol + small_cross
             )
