@@ -18,7 +18,7 @@ import math
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings, strategies as st
+from hypothesis import HealthCheck, example, given, settings, strategies as st
 from pyspark.sql import Row
 
 from zenodb_spark.engine import DB
@@ -338,6 +338,19 @@ def _oracle_rows(con, spec):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(spec=SPEC)
+@example(  # pin the IN-subquery×stride composition (verdict item 8): the
+    # grammar allows it but 40 examples don't guarantee the draw
+    spec={"fields": ["cnt", "mx"], "group": "k", "period": 3600,
+          "where": "k IN (SELECT k FROM fz GROUP BY k HAVING mx > 14)",
+          "shift": None, "having": None, "order": None, "asof": None,
+          "stride": True, "subquery": False}
+)
+@example(  # IN-subquery×stride×HAVING×ASOF, day grid
+    spec={"fields": ["cnt"], "group": "expr", "period": 3600,
+          "where": "k IN (SELECT k FROM fz GROUP BY k HAVING mx > 14)",
+          "shift": None, "having": "cnt > 2", "order": None, "asof": (2, 6),
+          "stride": True, "subquery": False}
+)
 def test_dialect_matches_duckdb_oracle(fuzz_db, oracle_con, spec):
     if spec["order"]:
         # LIMIT needs a total order: (cnt DESC, _time) can tie across dims
@@ -396,13 +409,19 @@ CT_SPEC = st.fixed_dictionaries(
         "where": st.sampled_from([None, "k <> 'b'"]),
         "totals": st.booleans(),
         "having": st.sampled_from([None, "cnt > 6"]),
+        # SHIFT inside a pivot (round-6 verdict item 8: the pair never
+        # co-occurred in the grammar; crosstab+shift is legal dialect) —
+        # each pivot column gets a {k}_pcnt sibling reading the UNGATED
+        # series one day back, coalesced to 0 where the current cell exists
+        "shift": st.booleans(),
     }
 )
 
 
 def _ct_dialect(spec) -> str:
     fn = "CROSSTABT" if spec["totals"] else "CROSSTAB"
-    sql = "SELECT cnt FROM fz"
+    sel = "cnt, SHIFT(cnt, '1d') AS pcnt" if spec["shift"] else "cnt"
+    sql = f"SELECT {sel} FROM fz"
     if spec["where"]:
         sql += f" WHERE {spec['where']}"
     sql += f" GROUP BY _, {fn}(k), period('{spec['period']}s')"
@@ -417,7 +436,17 @@ def _ct_oracle_rows(con, spec):
     having = ""
     if spec["having"]:
         having = f"HAVING CAST(count(v) AS DOUBLE) > 6"
-    # totals at the (bucket) grain gate which buckets exist (inner join)
+    # totals at the (bucket) grain gate which buckets exist (inner join);
+    # the UNGATED totals feed total_pcnt (shift reads below HAVING)
+    tot_all = dict(
+        con.execute(
+            f"""
+        SELECT CAST(floor(epoch(ts) / {p}) * {p} AS BIGINT) AS b,
+               CAST(count(v) AS DOUBLE) AS cnt
+        FROM pts {where} GROUP BY 1
+        """
+        ).fetchall()
+    )
     tot = con.execute(
         f"""
         SELECT CAST(floor(epoch(ts) / {p}) * {p} AS BIGINT) AS b,
@@ -433,10 +462,21 @@ def _ct_oracle_rows(con, spec):
         FROM pts {where} GROUP BY 1, 2
         """
     ).fetchall()
-    out = {(b, k): c for b, k, c in cells if b in buckets}
+    cells_all = {(b, k): c for b, k, c in cells}
+    out = {
+        (b, k, "cnt"): c for (b, k), c in cells_all.items() if b in buckets
+    }
+    if spec["shift"]:
+        # pcnt exists exactly where the current cell exists; absent shift
+        # sources coalesce to 0 (engine reads the full series below HAVING)
+        for (b, k) in list(cells_all):
+            if b in buckets:
+                out[(b, k, "pcnt")] = cells_all.get((b - 86400, k), 0.0)
     if spec["totals"]:
         for b, c in buckets.items():
-            out[(b, "total")] = c
+            out[(b, "total", "cnt")] = c
+            if spec["shift"]:
+                out[(b, "total", "pcnt")] = tot_all.get(b - 86400, 0.0)
     return out
 
 
@@ -447,10 +487,12 @@ def _ct_engine_rows(df, spec):
         for col in df.columns:
             if col == "_time" or r[col] is None:
                 continue
-            if col == "total_cnt":
-                out[(b, "total")] = _canon(r[col])
-            elif col.endswith("_cnt"):
-                out[(b, col[: -len("_cnt")])] = _canon(r[col])
+            for f in ("pcnt", "cnt"):  # pcnt first: "a_pcnt" ends in "_cnt" too
+                suf = f"_{f}"
+                if col.endswith(suf):
+                    k = col[: -len(suf)]
+                    out[(b, "total" if k == "total" else k, f)] = _canon(r[col])
+                    break
     return out
 
 
@@ -460,6 +502,14 @@ def _ct_engine_rows(df, spec):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(spec=CT_SPEC)
+@example(  # pin the SHIFT×CROSSTABT×HAVING composition (verdict item 8)
+    spec={"period": DAY, "where": None, "totals": True, "having": "cnt > 6",
+          "shift": True}
+)
+@example(  # SHIFT×CROSSTAB with WHERE at hour grain
+    spec={"period": 3600, "where": "k <> 'b'", "totals": False,
+          "having": None, "shift": True}
+)
 def test_crosstab_matches_duckdb_oracle(fuzz_db, oracle_con, spec):
     got = _ct_engine_rows(fuzz_db.query(_ct_dialect(spec)), spec)
     want = {k: _canon(v) for k, v in _ct_oracle_rows(oracle_con, spec).items()}
