@@ -100,10 +100,13 @@ def main() -> int:
     # dies in the first wide shuffle, which would test the sandbox, not the
     # engine. 64g driver memory on local[16] mirrors a plausible executor
     # sizing (4g/thread).
+    import os
+
     spark = (
         SparkSession.builder.appName("sf1_gate")
         .master("local[16]")
-        .config("spark.driver.memory", "64g")
+        # sf10 runs want 96g (the bench's SPARK_DRIVER_MEM convention)
+        .config("spark.driver.memory", os.environ.get("SPARK_GATE_MEM", "64g"))
         .getOrCreate()
     )
     sc = spark.sparkContext

@@ -2433,6 +2433,58 @@ def z23_engine_countdistinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _as_bucket(out)
 
 
+_Z24_CELLS = ",\n           ".join(
+    f"max(CASE WHEN c.event_type = '{t}' THEN c.cnt END) AS {t}_cnt,\n           "
+    f"max(CASE WHEN c.event_type = '{t}' THEN c.pcnt END) AS {t}_pcnt"
+    for t in _CT_TYPES
+)
+
+
+@query(
+    "z24_engine_crosstab_shift",
+    f"""
+    WITH d AS (
+      SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
+             CAST(count(value) AS DOUBLE) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT bucket, CAST(sum(cnt) AS DOUBLE) AS total_cnt FROM d GROUP BY 1
+    ),
+    cell AS (
+      SELECT d.event_type, d.bucket, d.cnt, coalesce(p.cnt, 0.0) AS pcnt
+      FROM d LEFT JOIN d p
+        ON p.event_type = d.event_type AND p.bucket + 86400 = d.bucket
+    )
+    SELECT t.bucket,
+           {_Z24_CELLS},
+           t.total_cnt,
+           coalesce(pt.total_cnt, 0.0) AS total_pcnt
+    FROM tot t
+    LEFT JOIN cell c ON c.bucket = t.bucket
+    LEFT JOIN tot pt ON pt.bucket + 86400 = t.bucket
+    GROUP BY t.bucket, t.total_cnt, pt.total_cnt
+    """,
+)
+def z24_engine_crosstab_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: SHIFT inside a CROSSTABT pivot (round-6 fuzz grammar
+    extension surfaced as a driver-gated composition): every pivot value
+    gets a {val}_pcnt sibling reading the series one day back, plus
+    total_cnt/total_pcnt at the totals grain. Semantics pinned by the
+    oracle: shift reads the UNGATED full series (reference
+    encoding/seq.go reads below the output window; HAVING would apply
+    after), a pcnt cell exists exactly where its current cell exists, and
+    an absent shift source coalesces to 0 while an absent current cell is
+    NULL — the engine's sparse-pivot convention (core/group.go:185-246 +
+    expr/shift.go composed)."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT cnt, SHIFT(cnt, '1d') AS pcnt FROM ev_hourly "
+        "GROUP BY _, CROSSTABT(event_type), period('1d')"
+    )
+    return _as_bucket(out)
+
+
 @query(
     "q59_stream_ingest",
     f"""
