@@ -2486,6 +2486,38 @@ def z24_engine_crosstab_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "z25_engine_in_subquery_stride",
+    f"""
+    SELECT event_type, {BUCKET.format(p=172800)} AS bucket,
+           CAST(count(value) AS DOUBLE) AS cnt
+    FROM events
+    WHERE CAST(floor(epoch(ts)) AS BIGINT) % 172800 < 86400
+      AND event_type IN (
+        SELECT event_type FROM events GROUP BY 1 HAVING count(value) > 2000
+      )
+    GROUP BY 1, 2
+    """,
+)
+def z25_engine_in_subquery_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL ENGINE: WHERE dim IN (SELECT ...) composed with
+    period('1d') + stride('2d') — the round-6 fuzz pair surfaced as a
+    driver-gated query: the uncorrelated subquery splices its group dim
+    in as a membership list (planner/subquery.go), then the stride phase
+    keeps the first 1d slice of every 2d window and re-buckets to the 2d
+    grid (sql/sql.go:551-560 + encoding/seq.go:309-316 StrideSlice) —
+    subquery filtering happens at SCAN grain, before the slice, which is
+    what the oracle's conjunction pins."""
+    db = _engine_db(spark, sf_dir)
+    out = db.query(
+        "SELECT cnt FROM ev_hourly "
+        "WHERE event_type IN (SELECT cnt FROM ev_hourly "
+        "GROUP BY event_type, period('128d') HAVING cnt > 2000) "
+        "GROUP BY event_type, period('1d'), stride('2d')"
+    )
+    return _as_bucket(out)
+
+
+@query(
     "q59_stream_ingest",
     f"""
     SELECT event_type, {BUCKET.format(p=86400)} AS bucket,
