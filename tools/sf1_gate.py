@@ -51,20 +51,31 @@ def _load_bench_slowest(bench_path: str, n: int) -> list[str]:
 
 
 class _Budget:
-    """Arm a watchdog for one engine call; disarm before comparing."""
+    """Arm a watchdog for one engine call; disarm before comparing.
+
+    The cancel RE-FIRES every few seconds once the budget lapses: a
+    one-shot cancelJobGroup only kills jobs ACTIVE at that instant, so a
+    multi-job query (planner probes, checkpoint chains) whose cancel
+    lands between jobs would sail on — the sf10 q24 run overshot its
+    budget exactly this way before the re-fire."""
+
+    REFIRE_SEC = 10.0
 
     def __init__(self, seconds: float, cancel):
         self.seconds, self.cancel = seconds, cancel
         self.fired = False
         self._t = None
+        self._stop = threading.Event()
 
     def __enter__(self):
         def fire():
             self.fired = True
-            try:
-                self.cancel()
-            except Exception:
-                pass
+            while not self._stop.is_set():
+                try:
+                    self.cancel()
+                except Exception:
+                    pass
+                self._stop.wait(self.REFIRE_SEC)
 
         self._t = threading.Timer(self.seconds, fire)
         self._t.daemon = True
@@ -72,6 +83,7 @@ class _Budget:
         return self
 
     def __exit__(self, *exc):
+        self._stop.set()
         self._t.cancel()
         return False
 
