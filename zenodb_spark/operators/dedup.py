@@ -782,7 +782,11 @@ def _plan_exact_join(
     * the prefix volume (a collect_list + rank pass) is probed ONLY when
       neither cheap mode is decisive — on corpora where count or pairtoken
       is already below COUNT_COST_OBVIOUS the probe would cost more than
-      the difference it could reveal.
+      the difference it could reveal;
+    * probe ACTIONS are merged (round 6): the quantile materializes the
+      lazily-checkpointed arrays in the same job, and the three 1-row
+      segment probes (emission / sampled tokvol / heavy-hitter floor)
+      crossJoin into a single collect — 4 jobs end to end instead of 7.
 
     Cost unit = pair rows through a shuffle+distinct+verify; token emission
     rows are weighted EMISSION_WEIGHT. The 5th-percentile doc size sets the
@@ -790,8 +794,12 @@ def _plan_exact_join(
     channel, keeping its Σ df_small·df term bounded."""
     import math
 
+    # lazy checkpoint: the quantile probe is the first action over the
+    # arrays, so one job both tokenizes the corpus into checkpoint blocks
+    # and returns the size quantile (an eager checkpoint + separate
+    # quantile action would scan the corpus twice)
     arrays = shingle_arrays(df, text_col, id_col, n, fingerprint=True).localCheckpoint(
-        eager=True
+        eager=False
     )
     quant = arrays.select(F.size("shingles").alias("sz")).approxQuantile(
         "sz", [0.05], 0.01
@@ -846,15 +854,14 @@ def _plan_exact_join(
         if K >= 2:
             token_side = sh if contained else sh.filter(F.col("sz") >= small_max)
             segarr = _segment_arrays(token_side, K, 0).localCheckpoint(eager=True)
-            em_row = segarr.agg(
+            em_agg = segarr.agg(
                 F.coalesce(
                     F.sum(
                         F.size("ss").cast("double") * (F.size("ss") - 1) / 2
                     ),
                     F.lit(0.0),
                 ).alias("em")
-            ).collect()[0]
-            emission = float(em_row["em"])
+            )
             tok_sample = (
                 segarr.select(F.explode("ss").alias("s1"), F.col("ss"))
                 .select("s1", F.explode("ss").alias("s2"))
@@ -863,12 +870,12 @@ def _plan_exact_join(
                 .groupBy("s1", "s2")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
-            trow = tok_sample.agg(
+            tv_agg = tok_sample.agg(
                 F.coalesce(
                     F.sum(F.col("c").cast("double") * (F.col("c") - 1) / 2),
                     F.lit(0.0),
                 ).alias("tv")
-            ).collect()[0]
+            )
             # the hash sample is keyed — a single hot 2-token key is either
             # fully counted or fully MISSED (1/TOKVOL_SAMPLE odds), and a
             # miss underestimates the dominant C(c,2) term 16x. Floor with
@@ -879,7 +886,7 @@ def _plan_exact_join(
             # when groups overlap on keys (c >= g1+g2 => C(c,2) >=
             # C(g1,2)+C(g2,2)). One O(|docs|)-row aggregate over the
             # shared checkpoint.
-            frow = (
+            fl_agg = (
                 segarr.filter(F.size("ss") >= 2)
                 .groupBy(F.xxhash64("ss").alias("ak"))
                 .agg(F.count(F.lit(1)).alias("g"))
@@ -889,9 +896,15 @@ def _plan_exact_join(
                         F.lit(0.0),
                     ).alias("fl")
                 )
-                .collect()[0]
             )
-            tokvol = max(float(trow["tv"]) * TOKVOL_SAMPLE, float(frow["fl"]))
+            # all three probes are 1-row aggregates over the SAME
+            # checkpointed segment arrays: crossJoin them into one row and
+            # pay ONE job's scheduling + Py4J round-trip instead of three
+            # (the subtrees are independent, so the single job still runs
+            # their stages in parallel)
+            prow = em_agg.crossJoin(tv_agg).crossJoin(fl_agg).collect()[0]
+            emission = float(prow["em"])
+            tokvol = max(float(prow["tv"]) * TOKVOL_SAMPLE, float(prow["fl"]))
             costs["pairtoken"] = EMISSION_WEIGHT * emission + PREFIX_VERIFY_WEIGHT * (
                 tokvol + small_cross
             )
@@ -1265,6 +1278,11 @@ def _cc_star(
     a signature collision can never end the loop early. Lineage is
     truncated per round with localCheckpoint (freed by the ContextCleaner,
     not pinned in the CacheManager)."""
+    # eager checkpoint, measured choice (round 6): a lazy checkpoint whose
+    # blocks materialize under the signature aggregate was 2× SLOWER here —
+    # the per-round frame is consumed by several downstream jobs and the
+    # lazy variant re-ran upstream stages — so the explicit materrialize-
+    # then-aggregate two-job shape stays
     e = (
         edges.select(
             F.greatest(F.col(a_col), F.col(b_col)).alias("a"),

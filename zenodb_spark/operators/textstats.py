@@ -215,6 +215,12 @@ def unigram_logprob(
     plus one join of doc-token rows against the frequency table — AQE
     broadcasts it while the vocabulary fits, shuffle-joins beyond. No
     driver collect; T rides along as a broadcast scalar.
+
+    doc_tok feeds three consumers (frequency table, total, final join)
+    whose column pruning differs, so Catalyst cannot stage-reuse the
+    exchange and the corpus was scanned + exploded 3× (measured plan,
+    round 6); an eager localCheckpoint materializes the doc-token counts
+    once and every consumer reads the blocks.
     """
     from zenodb_spark.operators.dedup import normalize_text
 
@@ -222,7 +228,11 @@ def unigram_logprob(
         F.col(id_col).alias("doc"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    doc_tok = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("occ"))
+    doc_tok = (
+        toks.groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .localCheckpoint(eager=True)
+    )
     freq = doc_tok.groupBy("tok").agg(F.sum("occ").alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("t"))
     lp = freq.crossJoin(F.broadcast(total)).select(

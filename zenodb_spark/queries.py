@@ -2972,10 +2972,24 @@ def q68_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered conversion funnel over the events stream: first view → first
     click within 1 day → first purchase within 1 day of that click.
     Each stage is one conditional-min aggregation plus one user-keyed join —
-    all three shuffles share the user_id partitioning (exchange reuse), so
-    a 1000-executor funnel is three co-partitioned passes, no windows over
-    global sorts."""
-    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts_ns")
+    all three shuffles share the user_id partitioning, no windows over
+    global sorts.
+
+    Round-6 subtree alignment (guide §2.4): tv feeds both its stage count
+    and the tc join, tc feeds its count and the tp join — for AQE to reuse
+    those shuffle stages instead of re-scanning events per consumer, every
+    copy must canonicalize identically. Three no-op-on-the-data tweaks buy
+    that: an explicit user_id null-filter at the scan (the join used to
+    infer it on one branch only), explicit isNotNull filters on tc/tp (a
+    min over joined non-null timestamps is never null), and stage counts
+    over the VALUE column (count(tv) == count(1) under the filter) so
+    column pruning cannot strip the aggregate out of the counted branch.
+    Measured: events scanned 6× → 3× (one pass per event type)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts_ns")
+        .filter(F.col("user_id").isNotNull())
+    )
     tv = (
         ev.groupBy("user_id")
         .agg(F.min(F.when(F.col("event_type") == "view", F.col("ts_ns"))).alias("tv"))
@@ -2990,6 +3004,7 @@ def q68_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts_ns").alias("tc"))
+        .filter(F.col("tc").isNotNull())
     )
     tp = (
         ev.filter(F.col("event_type") == "purchase")
@@ -3000,15 +3015,16 @@ def q68_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("ts_ns").alias("tp"))
+        .filter(F.col("tp").isNotNull())
     )
 
-    def stage(df, name):
-        return df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+    def stage(df, name, vcol):
+        return df.agg(F.count(vcol).cast("long").alias("n_users")).select(
             F.lit(name).alias("stage"), "n_users"
         )
 
-    return stage(tv, "1_view").unionAll(stage(tc, "2_click")).unionAll(
-        stage(tp, "3_purchase")
+    return stage(tv, "1_view", "tv").unionAll(stage(tc, "2_click", "tc")).unionAll(
+        stage(tp, "3_purchase", "tp")
     )
 
 
@@ -3156,7 +3172,14 @@ def q71_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc"),
         F.explode(F.split(normalize_text("text"), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    tf = toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds three differently-pruned consumers (n_docs, idf, scored);
+    # checkpoint so the corpus is scanned + exploded once, not three times
+    # (round 6; Catalyst cannot stage-reuse subtrees that prune apart)
+    tf = (
+        toks.groupBy("doc", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     stats = tf.agg(F.count_distinct("doc").alias("n_docs"))
     idf = (
         tf.groupBy("tok")
@@ -3295,6 +3318,8 @@ def q72_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c1"))
     )
     n = F.size("toks")
+    # the bigram rows feed BOTH the LM build (big) and the scoring join;
+    # checkpoint so the corpus is scanned + bigram-exploded once (round 6)
     pairs = t.filter(n >= 2).select(
         "doc",
         F.explode(
@@ -3306,7 +3331,7 @@ def q72_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p"),
     ).select("doc", "p.w1", "p.w2").filter(
         (F.length("w1") > 0) & (F.length("w2") > 0)
-    )
+    ).localCheckpoint(eager=True)
     big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     lp2 = big.join(uni.withColumnRenamed("tok", "w1"), "w1").select(
         "w1",
@@ -4947,7 +4972,14 @@ def q106_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.split(normalize_text("text"), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    dt = toks.groupBy("doc_id", "lang", "tok").agg(F.count(F.lit(1)).alias("occ"))
+    # dt feeds five differently-pruned consumers (raw LM, target LM, the
+    # two totals, scoring); checkpoint so the corpus is scanned + exploded
+    # once, not five times (round-6 measured plan)
+    dt = (
+        toks.groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .localCheckpoint(eager=True)
+    )
     raw = dt.groupBy("tok").agg(F.sum("occ").alias("cr"))
     tgt = dt.filter(F.col("lang") == "en").groupBy("tok").agg(
         F.sum("occ").alias("ct")
@@ -5811,25 +5843,43 @@ def q121_suppliers_at_fault(spark: SparkSession, sf_dir: str) -> DataFrame:
     to two chained aggregates on the orderkey axis instead of two
     correlated probes per row.
 
-    Scale: per-(order,supplier) flags aggregate on an (orderkey,suppkey)
-    shuffle; the per-order roll-up and the fault join both run on the
-    orderkey prefix of that partitioning (exchange-compatible); the final
-    per-supplier count is a small aggregate and the top-20 is
-    TakeOrderedAndProject (no global sort). Deterministic: tie-broken by
-    suppkey."""
+    Scale (round-6 single-exchange rewrite, guide §2.4): ONE explicit
+    orderkey repartition up front (no count argument, so the width follows
+    spark.sql.shuffle.partitions / AQE, not a local constant); hash(ok)
+    satisfies the clustered distribution of BOTH aggregation grains
+    ((ok,sk) and (ok)) and of the fault self-join, so the per-supplier
+    flags, the per-order roll-up and the join all run WITHOUT further
+    exchanges — the measured before-plan paid three separate lineitem-
+    derived exchanges for the same data. The final per-supplier count is
+    a small aggregate and the top-20 is TakeOrderedAndProject (no global
+    sort). Deterministic: tie-broken by suppkey."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
-    per_supp = l.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("ret")
+    # the explicit key null-filters (no-ops on TPC-H data: both keys are
+    # spec-NOT-NULL, and the inner joins below drop null keys anyway) make
+    # the two consumers of this exchange canonically IDENTICAL — without
+    # them Spark infers isnotnull(l_suppkey) on only one branch and the
+    # shuffle runs twice instead of being AQE-stage-reused
+    lr = (
+        l.filter(F.col("l_orderkey").isNotNull() & F.col("l_suppkey").isNotNull())
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("retf"),
+        )
+        .repartition("l_orderkey")
     )
-    per_order = per_supp.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+    per_supp = lr.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("retf").alias("ret")
+    )
+    per_order = per_supp.groupBy(F.col("l_orderkey")).agg(
         F.count(F.lit(1)).alias("n_supp"), F.sum("ret").alias("n_ret")
     )
     faults = (
         per_supp.filter(F.col("ret") == 1)
         .join(
             per_order.filter((F.col("n_supp") >= 2) & (F.col("n_ret") == 1)),
-            F.col("po_orderkey") == F.col("l_orderkey"),
+            "l_orderkey",
         )
         .groupBy("l_suppkey")
         .agg(F.count(F.lit(1)).alias("numwait"))
@@ -9904,35 +9954,41 @@ def q180_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: shingle explode is linear; the benchmark shingle set is
     corpus-proportional so it rides a shuffle hash join on 8-byte-ish
     shingle keys (NOT a broadcast — at 100 TB the bench set alone exceeds
-    executor memory; Spark's runtime bloom filter prunes the probe side,
-    the same shape q61 pins explicitly). One groupBy(doc) finishes; the
-    fraction is a ratio of exact integers. (A one-pass groupBy(shingle)
-    + collect_list re-emission was measured 30% SLOWER at sf1.0 — the
-    object-hash aggregate over the full posting set costs more than the
-    bloom-pruned hash join it saves; kept the join.)"""
+    executor memory). (A one-pass groupBy(shingle) + collect_list
+    re-emission was measured 30% SLOWER at sf1.0 — the object-hash
+    aggregate over the full posting set costs more than the hash join it
+    saves; kept the join.)
+
+    Round 6: hit and total counts fold into ONE left-join + ONE
+    groupBy(doc) — mirroring the oracle's own formulation — instead of an
+    inner-join branch plus a separate total branch re-joined on doc; the
+    shingle rows feed both the benchmark set and the probe side, so they
+    are checkpointed once (the before-plan scanned + exploded the corpus
+    3×). Post-join partial aggregation keeps the doc-grain shuffle at
+    partial-count size."""
     docs = load_table(spark, sf_dir, "documents")
     sh = dedup.shingles(docs, "text", "doc_id", n=5)
     bench = (
         F.conv(F.substring(F.md5(F.col("doc").cast("string")), 1, 4), 16, 10)
         .cast("long") % 50 == 0
     )
-    t = sh.withColumn("bench", bench)
+    t = sh.withColumn("bench", bench).localCheckpoint(eager=True)
     bs = t.filter("bench").select("shingle").distinct()
     ev = t.filter(~F.col("bench")).select("doc", "shingle")
-    hits = ev.join(bs, "shingle").groupBy("doc").agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    tot = ev.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    marked = ev.join(bs.withColumn("hitm", F.lit(1)), "shingle", "left")
     return (
-        tot.join(hits, "doc", "left")
+        marked.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hitm").alias("n_hit"),
+        )
         .select(
             "doc",
             "n_shingles",
-            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
-            (
-                F.coalesce("n_hit", F.lit(0)).cast("double")
-                / F.col("n_shingles")
-            ).alias("contam_frac"),
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("n_shingles")).alias(
+                "contam_frac"
+            ),
         )
     )
 
