@@ -29,7 +29,13 @@ def ks_distance_by_group(df: DataFrame, group_col: str, value_col: str) -> DataF
     bounded/discretized axes (lengths, scores, bucketed floats); a
     continuous axis should be quantized first (the KS of the quantized
     distributions lower-bounds the true D by at most one bin's mass)."""
-    d = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
+    # five consumers (per-cell counts, group sizes, the value grid, value
+    # totals, grand total) would each recompute the caller's value
+    # expression over the full frame (q192 pays a regex-normalize + split
+    # per consumer); checkpoint the narrow (g, x) projection once
+    d = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("x")
+    ).localCheckpoint(eager=True)
     c1 = d.groupBy("g", "x").agg(F.count(F.lit(1)).alias("c"))
     grps = d.groupBy("g").agg(F.count(F.lit(1)).alias("n1"))
     xs = d.select("x").distinct()
@@ -90,8 +96,13 @@ def chi2_contingency(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     BEFORE the per-row integer sum, so group totals are associative-exact.
     Overflow-safe to ~3e9 rows (O·N, R·C < 2⁶³). The grid is a broadcast
     cross of two category-bounded aggregates."""
-    o = df.groupBy(F.col(row_col).alias("r_"), F.col(col_col).alias("c_")).agg(
-        F.count(F.lit(1)).alias("o")
+    # o is category-grid-sized but feeds four consumers (row totals, col
+    # totals, grand total, the grid join) — without a checkpoint each one
+    # re-aggregates the raw frame from the scan (round-6 measured plan)
+    o = (
+        df.groupBy(F.col(row_col).alias("r_"), F.col(col_col).alias("c_"))
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
     )
     r = o.groupBy("r_").agg(F.sum("o").alias("r"))
     c = o.groupBy("c_").agg(F.sum("o").alias("c"))
@@ -196,7 +207,11 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     Scale shape: identical to the KS grid — one (group, value) aggregate,
     one value aggregate, per-group windows over the VALUE GRID (bounded
     by the value domain), never a sort of the raw frame."""
-    d = df.select(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
+    # three consumers of the narrow projection (cell counts, value totals,
+    # grand total) — checkpoint once, same rationale as ks_distance_by_group
+    d = df.select(
+        F.col(group_col).alias("g"), F.col(value_col).alias("x")
+    ).localCheckpoint(eager=True)
     cgx = d.groupBy("g", "x").agg(F.count(F.lit(1)).alias("c"))
     ct = d.groupBy("x").agg(F.count(F.lit(1)).alias("ct"))
     nn = d.agg(F.count(F.lit(1)).alias("nn"))
@@ -291,11 +306,14 @@ def poisson_bootstrap_mean_ci(
     (group, replicate), then a reps-per-group rollup."""
     khex = [format(round(t * 65536), "04x") for t in POISSON1_CDF]
     n_grp = (reps + 7) // 8
+    # two consumers (the ×reps replicate explode and the per-group base
+    # stats) — checkpoint the narrow projection so the caller's value/id
+    # expressions run once over the scan
     d = df.select(
         F.col(group_col).alias("g"),
         F.col(value_col).alias("x"),
         F.col(id_col).cast("string").alias("rid"),
-    )
+    ).localCheckpoint(eager=True)
     e = d.select(
         "g", "x", "rid", F.explode(F.sequence(F.lit(0), F.lit(n_grp - 1))).alias("grp")
     ).withColumn("h", F.md5(F.concat(F.col("rid"), F.lit(":"), F.col("grp"))))

@@ -8598,7 +8598,14 @@ def q162_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk"),
     ).filter(F.col("chunk") != "")
-    f = ch.select("source", "doc_id", F.md5("chunk").alias("h"))
+    # the chunk-hash rows feed BOTH the cross-doc recurrence count and the
+    # per-source rollup with different column needs, and the per-char
+    # boundary polynomial above is the query's dominant compute — without
+    # a checkpoint the whole chunking pipeline ran twice (round-6 measured
+    # plan: two full Generate subtrees)
+    f = ch.select(
+        "source", "doc_id", F.md5("chunk").alias("h")
+    ).localCheckpoint(eager=True)
     g = f.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     return (
         f.join(g, "h")
@@ -8819,12 +8826,21 @@ def q165_dup_span_strike(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     W = 10
     docs = spread(load_table(spark, sf_dir, "documents"))
-    tt = docs.select(
-        "doc_id",
-        F.filter(
-            F.split(normalize_text("text"), " "), lambda x: F.length(x) > 0
-        ).alias("toks"),
-    ).filter(F.size("toks") > 0).withColumn("n", F.size("toks").cast("long"))
+    # tt feeds the window pass, the token re-emission and the final join;
+    # w feeds the per-hash aggregate and the strike join. Checkpoint both:
+    # without it the tokenize ran ~4x and the O(tokens) window-md5 pass —
+    # the dominant compute — ran twice (round-6 measured plan)
+    tt = (
+        docs.select(
+            "doc_id",
+            F.filter(
+                F.split(normalize_text("text"), " "), lambda x: F.length(x) > 0
+            ).alias("toks"),
+        )
+        .filter(F.size("toks") > 0)
+        .withColumn("n", F.size("toks").cast("long"))
+        .localCheckpoint(eager=True)
+    )
     w = (
         tt.filter(F.col("n") >= W)
         .select(
@@ -8837,6 +8853,7 @@ def q165_dup_span_strike(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p",
             F.md5(F.concat_ws(" ", F.expr(f"slice(toks, int(p), {W})"))).alias("h"),
         )
+        .localCheckpoint(eager=True)
     )
     key = F.col("doc_id") * F.lit(1_000_000_000) + F.col("p")
     g = w.groupBy("h").agg(
