@@ -107,6 +107,9 @@ def paragraph_dedup(
         F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(chunk_tokens)
     )
     d = d.select("doc", "toks", F.posexplode(starts).alias("cidx", "start"))
+    # the chunk rows feed both the keep-first aggregate and the reassembly
+    # join; checkpoint so the tokenize + per-chunk slice/md5 pass — the
+    # dominant compute — runs once, not twice (round-6 measured plan)
     d = d.select(
         "doc",
         F.col("cidx").cast("long").alias("cidx"),
@@ -116,7 +119,7 @@ def paragraph_dedup(
         F.md5(
             F.array_join(F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens), " ")
         ).alias("h"),
-    )
+    ).localCheckpoint(eager=True)
     firsts = d.groupBy("h").agg(F.min(F.struct("doc", "cidx")).alias("first"))
     d = d.join(firsts, "h")
     is_first = (F.col("doc") == F.col("first.doc")) & (
@@ -206,7 +209,9 @@ def decontaminate_bloom(
     positions = F.array(
         *[F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m_bits)) for i in range(k)]
     )
-    bench_g = grams(benchmark).select("gram").distinct()
+    # the benchmark gram set feeds both the bit table and the verify join;
+    # checkpoint so the eval-set scan + gram explode runs once
+    bench_g = grams(benchmark).select("gram").distinct().localCheckpoint(eager=True)
     bits = bench_g.select(F.explode(positions).alias("pos")).distinct()
 
     cand = (

@@ -5629,7 +5629,11 @@ def q117_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     The threshold compare is exact integer algebra: qty < 0.2·avg ⇔
     5·qty_c·cnt < Σqty_c — no float division, so Spark and the oracle
     agree bit-for-bit. Part join carries no hint (SF-scaled; AQE
-    decides)."""
+    decides). (Round 6 tried q121's single-exchange repartition pattern
+    here and it measured SLOWER: the per-part aggregate is part-grain —
+    broadcastable — so the decorrelated join never shuffles the fact
+    side at all, and forcing a partkey repartition added the one shuffle
+    the broadcast join avoids. Kept the two-scan broadcast shape.)"""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     pq = l.groupBy(F.col("l_partkey").alias("pq_partkey")).agg(
@@ -6031,9 +6035,11 @@ def q124_cooccurrence_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     from zenodb_spark.operators.skew import salted_join
 
     ev = load_table(spark, sf_dir, "events")
+    # the deduped (user, day, type) frame is BOTH sides of the self-join;
+    # checkpoint so the scan + distinct shuffle runs once, not twice
     dt = ev.select(
         "user_id", F.to_date("ts").alias("day"), "event_type"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     left = dt.withColumnRenamed("event_type", "type_a")
     right = dt.withColumnRenamed("event_type", "type_b")
     pairs = salted_join(
@@ -6380,7 +6386,10 @@ def q129_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = b.agg(
         F.min("bucket").alias("bmin"), F.max("bucket").alias("bmax")
     )
-    types = ev.select("event_type").distinct()
+    # derive the type spine from the already-aggregated b (identical set:
+    # every event row lands in exactly one (type, bucket) group) instead
+    # of a second scan + distinct over the raw events
+    types = b.select("event_type").distinct()
     spine = types.join(F.broadcast(bounds)).select(
         "event_type",
         F.explode(
@@ -10221,9 +10230,12 @@ def q183_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("long") % 10
     )
+    # d feeds the doc-count branch and (via t) two token aggregates;
+    # checkpoint the token arrays so the regex-normalize + split runs
+    # once over the corpus instead of three times (round-6 measured plan)
     d = docs.filter(F.length(normalize_text("text")) > 0).select(
         "doc_id", bkt.alias("bkt"), toks.alias("toks")
-    )
+    ).localCheckpoint(eager=True)
     t = d.select("doc_id", "bkt", F.explode("toks").alias("tok"))
     firstb = t.groupBy("tok").agg(F.min("bkt").alias("fb"))
     occ_b = t.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_occ"))
