@@ -827,3 +827,87 @@ class TestStreamNeardup:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
             spark.sql(f"DROP TABLE IF EXISTS {ptr['table']}")
+
+
+class TestPlanCache:
+    """Round-6 prepared-plan cache (DB._plan_cache): lowering a dialect
+    statement is ~1,500 Py4J round-trips, so DB.query memoizes the lowered
+    DataFrame keyed on SQL text. These pin the contract: plans (never
+    results) are cached, every table-state mutation invalidates, and
+    time-/rand-dependent statements are excluded."""
+
+    def _db(self, spark):
+        from pyspark.sql import functions as F
+
+        from zenodb_spark.engine import DB
+
+        db = DB(spark)
+        db.apply_schema(
+            {"pc1": {"sql": "SELECT SUM(v) AS sv FROM s GROUP BY k, period('1h')"}}
+        )
+        rows = [{"ts": 3600 * i, "k": "a", "v": float(i)} for i in range(8)]
+        df = spark.createDataFrame(rows).withColumn(
+            "ts", F.timestamp_seconds("ts")
+        )
+        db.insert("s", df)
+        return db, df
+
+    def test_hit_and_insert_invalidation(self, spark):
+        from pyspark.sql import functions as F
+
+        db, df = self._db(spark)
+        sql = "SELECT sv FROM pc1 GROUP BY k, period('2h')"
+        r1 = sorted(tuple(r) for r in db.query(sql).collect())
+        assert sql in db._plan_cache
+        # cached plan re-executes (same result), object identity is the plan
+        assert db.query(sql) is db._plan_cache[sql]
+        db.insert("s", df.withColumn("v", F.col("v") + 100))
+        assert sql not in db._plan_cache, "ingest must invalidate"
+        r2 = sorted(tuple(r) for r in db.query(sql).collect())
+        assert r1 != r2, "post-insert query must see the new rows"
+
+    def test_compact_invalidates_results_stable(self, spark):
+        db, _ = self._db(spark)
+        sql = "SELECT sv FROM pc1 GROUP BY k, period('2h')"
+        r1 = sorted(tuple(r) for r in db.query(sql).collect())
+        assert sql in db._plan_cache
+        for t in db.tables.values():
+            t.compact()
+        assert sql not in db._plan_cache, "compact must invalidate"
+        assert sorted(tuple(r) for r in db.query(sql).collect()) == r1
+
+    def test_time_dependent_and_rand_not_cached(self, spark):
+        db, _ = self._db(spark)
+        db.query("SELECT sv FROM pc1 ASOF '-1000w' GROUP BY k, period('2h')")
+        db.query(
+            "SELECT sv FROM pc1 ASOF '1970-01-01' UNTIL '2100-01-01' "
+            "GROUP BY k, period('2h')"
+        )
+        assert not db._plan_cache, "ASOF/UNTIL statements must not be cached"
+
+    def test_retention_table_not_cached(self, spark):
+        from pyspark.sql import functions as F
+
+        from zenodb_spark.engine import DB
+
+        db = DB(spark)
+        db.apply_schema(
+            {
+                "pcr": {
+                    "sql": "SELECT SUM(v) AS sv FROM s GROUP BY k, period('1h')",
+                    "retentionperiod": "520w",
+                }
+            }
+        )
+        rows = [{"ts": 3600 * i, "k": "a", "v": 1.0} for i in range(4)]
+        db.insert(
+            "s",
+            spark.createDataFrame(rows).withColumn(
+                "ts", F.timestamp_seconds("ts")
+            ),
+        )
+        db.query("SELECT sv FROM pcr GROUP BY k, period('2h')")
+        assert not db._plan_cache, (
+            "a retention cutoff is a now()-derived literal in the plan — "
+            "must not be cached"
+        )

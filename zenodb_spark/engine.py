@@ -292,6 +292,7 @@ class Table:
             ]
         self._parts = parts
         self._materialized = len(parts) == 1  # parquet-backed; >1 still needs a fold
+        self.db._invalidate_plans()
 
     # -- live ALTER (reference schema.go:16-55 + table_alter semantics) ------
     def alter_compatible(self, q: Query) -> bool:
@@ -380,6 +381,7 @@ class Table:
             self.registry = registry
         self._parts.append(state)
         self._materialized = False
+        self.db._invalidate_plans()
 
     def _val_names(self) -> set[str]:
         out: set[str] = set()
@@ -547,6 +549,7 @@ class Table:
         # re-ingested
         self._stream_seen = {k: None for k in self._stream_seen}
         self._materialized = True
+        self.db._invalidate_plans()
 
 
 class DB:
@@ -575,6 +578,16 @@ class DB:
         # DB.query_many coalesced-scan state (reference table.go:398-521)
         self._scan_cache: dict[str, DataFrame] = {}
         self._coalesced_scans: list[DataFrame] = []
+        # Prepared-PLAN cache (round 6, guide §1/§2: lowering a dialect
+        # statement costs ~1,500 Py4J round-trips — measured 0.9-1.1 s for
+        # the percentile re-read query vs 0.4 s of execution). Maps SQL
+        # text → lowered DataFrame. This caches the PLAN only: every
+        # action on the returned frame re-executes against the stored
+        # state, exactly like a prepared statement. Entries are dropped
+        # whenever ANY table state mutates (ingest/compact/reopen/schema
+        # change — see _plan_cacheable for the time-dependence rules).
+        self._plan_cache: dict[str, DataFrame] = {}
+        self._plan_epoch = 0  # bumped by _invalidate_plans (store-if-unchanged guard)
 
     def now(self) -> float:
         if self._now is not None:
@@ -625,6 +638,9 @@ class DB:
                 progress = True
         if remaining:
             raise ValueError(f"unresolvable view dependencies: {sorted(remaining)}")
+        # any create/alter invalidates prepared plans (and a retention
+        # change flips cacheability for the whole DB)
+        self._invalidate_plans()
 
     def apply_schema_yaml(self, text: str) -> None:
         self.apply_schema(_parse_simple_yaml(text))
@@ -863,14 +879,56 @@ class DB:
             df._jdf.queryExecution(), mode
         )
 
+    _PLAN_CACHE_MAX = 64
+
+    def _invalidate_plans(self) -> None:
+        """Drop every prepared plan; called from every table-state
+        mutation site (ingest/compact/reopen/schema/maintenance). The
+        epoch bump closes the lower-while-mutating race: a query thread
+        that began lowering BEFORE a concurrent mutation must not store
+        its (now stale) plan after this clear."""
+        self._plan_epoch += 1
+        self._plan_cache.clear()
+
+    def _plan_cacheable(self, sql: str) -> bool:
+        """True when ``sql`` lowers to a plan that depends only on the SQL
+        text and the current table state (both captured by the cache key +
+        mutation invalidation). Excluded, conservatively by text match:
+
+        - ASOF/UNTIL — relative forms resolve against ``now()`` at lowering
+          time, so the same text can legitimately lower to different plans;
+        - RAND — an unseeded rand() fixes its seed at analysis, so a cached
+          plan would repeat one "random" stream instead of redrawing;
+        - any table with retention — the truncation cutoff is a now()-
+          derived literal baked into the scan (state_df), same staleness
+          class as relative ASOF.
+        """
+        low = sql.lower()
+        if "asof" in low or "until" in low or "rand" in low:
+            return False
+        return all(t.tdef.retention is None for t in self.tables.values())
+
     def query(self, sql: str) -> DataFrame:
         q = parse(sql)
         if q.force_fresh:
             # `-- force_fresh`: drain pending stream micro-batches before
             # reading, the reference's include-memstore flag (query.go:28–32)
+            # (a drain that folds new batches mutates table state, which
+            # clears the plan cache before the lookup below)
             for s in list(self.streams):
                 s.drain()
-        return self.plan(q)
+        key = sql if self._plan_cacheable(sql) else None
+        if key is not None:
+            hit = self._plan_cache.get(key)
+            if hit is not None:
+                return hit
+        epoch0 = self._plan_epoch
+        out = self.plan(q)
+        if key is not None and self._plan_epoch == epoch0:
+            if len(self._plan_cache) >= self._PLAN_CACHE_MAX:
+                self._plan_cache.pop(next(iter(self._plan_cache)), None)
+            self._plan_cache[key] = out
+        return out
 
     def explain(self, sql: str, mode: str = "formatted") -> str:
         """Formatted PHYSICAL plan of a dialect query without executing it —

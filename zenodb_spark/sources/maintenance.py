@@ -49,6 +49,7 @@ def filter_and_merge(
     if table.db.workdir:
         merged = table._write_store(merged, f"{table.db.workdir}/{table.tdef.name}/main")
     table._parts = [merged]
+    table.db._invalidate_plans()
 
 
 def file_info(table: Table) -> dict:

@@ -62,10 +62,12 @@ def ingest_stream_batch(
                 return  # already compacted into main
             table.ingest(batch_df, ts_col)
             table._parts[idx] = table._write_store(table._parts.pop(), path)
+            db._invalidate_plans()
             return
         table.ingest(batch_df, ts_col)
         table._parts[-1] = table._write_store(table._parts[-1], path)
         table._stream_seen[path] = len(table._parts) - 1
+        db._invalidate_plans()
     else:
         table.ingest(batch_df, ts_col)
         part = table._parts[-1]
@@ -75,6 +77,7 @@ def ingest_stream_batch(
 
         table._parts[-1] = part.persist(StorageLevel.MEMORY_AND_DISK)
         table._parts[-1].count()
+        db._invalidate_plans()
 
 
 def start_table_stream(
