@@ -10118,12 +10118,17 @@ def q182_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     and token mass surviving each stage. The panel every pipeline report
     leads with: where the corpus actually went.
 
-    Scale shape: ONE narrow codegen scan computes every per-doc flag;
-    the only shuffle is the fingerprint min-winner aggregate for the
-    dedup stage (algebraic min, map-side combined, skew-immune the same
-    way dedup_apply is); the stage rollup is a single-row aggregate
-    stacked to 5 rows — so the whole funnel costs one scan + one
-    fingerprint shuffle at any corpus size."""
+    Scale shape (round-6 rewrite, guide §2.4): ONE narrow codegen scan
+    computes every per-doc flag; the dedup winner is a min-window over
+    the fingerprint partition — the oracle's own shape — so the whole
+    funnel is one scan + ONE fingerprint shuffle + a single-row rollup
+    at any corpus size. (The previous form aggregated winners in a
+    separate branch and re-joined: two prune-divergent consumers of the
+    flag frame, so the scan + tokenize pass and the fp exchange each ran
+    TWICE — measured 2 scans / 3 exchanges vs 1 scan / 1 exchange now.)
+    Fingerprint groups are duplicate clusters (tiny), so the window
+    partition is skew-immune the same way dedup_apply's min-winner
+    aggregate is."""
     from zenodb_spark.operators.dedup import normalize_text
 
     docs = load_table(spark, sf_dir, "documents")
@@ -10159,8 +10164,17 @@ def q182_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (logit > 0.0)
         ).alias("p_qual"),
     )
-    win = f.filter("p_qual").groupBy("fp").agg(F.min("doc_id").alias("win_id"))
-    d = f.join(win, "fp", "left").withColumn(
+    # winner per fingerprint via a window, not a filtered aggregate
+    # re-joined onto f: min(CASE WHEN p_qual THEN doc_id END) OVER
+    # (PARTITION BY fp) is null exactly when the group has no qualifying
+    # row, and p_qual AND (doc_id = null) is false under three-valued
+    # logic — identical to the left-join-miss case of the old shape
+    d = f.withColumn(
+        "win_id",
+        F.min(F.when(F.col("p_qual"), F.col("doc_id"))).over(
+            Window.partitionBy("fp")
+        ),
+    ).withColumn(
         "p_dedup", F.col("p_qual") & (F.col("doc_id") == F.col("win_id"))
     )
     one = d.agg(
