@@ -240,7 +240,12 @@ class TestStarConnectedComponents:
             [Row(doc_a=i, doc_b=i + 1) for i in range(199)]
         )
         st = {}
-        out = connected_components(chain, algorithm="star", max_iter=30, stats=st)
+        # driver_max_edges=0 forces the distributed star rounds: this test
+        # is about the distributed algorithm's convergence bound, which the
+        # small-graph driver fast lane would otherwise bypass (rounds=0)
+        out = connected_components(
+            chain, algorithm="star", max_iter=30, stats=st, driver_max_edges=0
+        )
         labs = self._labels(out)
         assert labs == [(i, 0) for i in range(200)]
         assert st["rounds"] <= 12, st  # log2(200) ~ 7.6 + slack
@@ -253,8 +258,40 @@ class TestStarConnectedComponents:
         )
         connected_components(short, algorithm="minlabel", stats=st2)
         st3 = {}
-        connected_components(short, algorithm="star", stats=st3)
+        connected_components(short, algorithm="star", stats=st3, driver_max_edges=0)
         assert st3["rounds"] < st2["rounds"], (st3, st2)
+
+    def test_driver_fast_lane_matches_distributed(self, spark):
+        """The small-graph driver union-find must produce labels identical
+        to the forced-distributed star rounds, on long AND string ids."""
+        from zenodb_spark.operators.dedup import connected_components
+
+        rng = random.Random(987)
+        for trial in range(3):
+            n = 50
+            edges = [
+                Row(doc_a=rng.randrange(n), doc_b=rng.randrange(n))
+                for _ in range(30 + trial * 20)
+            ]
+            e = spark.createDataFrame(edges).filter("doc_a != doc_b")
+            st_fast, st_dist = {}, {}
+            fast = connected_components(e, stats=st_fast)
+            dist = connected_components(e, stats=st_dist, driver_max_edges=0)
+            assert st_fast["rounds"] == 0, st_fast
+            assert st_dist["rounds"] >= 1, st_dist
+            assert self._labels(fast) == self._labels(dist), f"trial {trial}"
+        # string ids: Spark's binary collation and Python's codepoint
+        # ordering must agree through the fast lane's min-root choice
+        es = spark.createDataFrame(
+            [
+                Row(doc_a="zeta", doc_b="alpha"),
+                Row(doc_a="zeta", doc_b="Beta"),  # upper < lower in both
+                Row(doc_a="gamma", doc_b="delta"),
+            ]
+        )
+        fast = connected_components(es)
+        dist = connected_components(es, driver_max_edges=0)
+        assert self._labels(fast) == self._labels(dist)
 
     def test_disconnected_components_and_dupes(self, spark):
         from zenodb_spark.operators.dedup import connected_components
