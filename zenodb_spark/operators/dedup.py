@@ -93,7 +93,14 @@ def shingle_arrays(
       are identical, including the short tail shingle for docs with
       fewer than n tokens (concat_ws skips the nulls arrays_zip pads).
     """
-    df = spread(df.filter(F.length(normalize_text(text_col)) > 0))
+    # rlike '\S' ⟺ length(normalize_text(col)) > 0 (both are "contains a
+    # non-\s char"; NULL text drops either way) but costs a first-match
+    # probe instead of a full lower+regexp_replace pass. The predicate
+    # runs BELOW the spread exchange at raw-scan parallelism — a single
+    # small parquet split is 1 task — so on a query-sized side the full
+    # normalize here was ~1.2 s of serial regex (event-log measured,
+    # q187's two query-side scan stages).
+    df = spread(df.filter(F.col(text_col).rlike(r"\S")))
     sh = shingle_expr(text_col, n)
     if fingerprint:
         sh = F.transform(sh, lambda s: F.xxhash64(s))

@@ -151,17 +151,37 @@ def bm25_topk(
         dense = mode == "dense"
 
     if dense:
+        # Stream tf (round 6): with idf leftmost Catalyst streamed the
+        # vocab-sized side — AQE coalesces its ~tens-of-KB shuffle to ONE
+        # partition, so the per-posting s_micro arithmetic ran as a single
+        # serial task. tf leftmost keeps the math at the token-frame's
+        # parallelism at every scale. No broadcast hints: idf and dl must
+        # stay free to shuffle when mode="dense" is forced on a corpus
+        # whose vocabulary is not small.
         srow = (
-            idf.join(tf, "tok").join(dl, "doc").select("doc", "tok", _s_micro())
+            tf.join(dl, "doc")
+            .join(idf, "tok")
+            .select("doc", "tok", _s_micro())
         )
         scored = _bm25_dense_topk(
             srow, qtok, queries.schema[qid_col].dataType, topk
         )
     else:
+        # Stream tf, not qtok/idf (round 6, measured): with qtok leftmost,
+        # the streamed base was the vocab-sized idf/qtok chain whose
+        # ~tens-of-KB shuffle AQE coalesces to ONE partition — the whole
+        # posting fan-out (postings × matching qids), the s_micro floor
+        # arithmetic and the partial (qid, doc) aggregate then ran as a
+        # single serial task (~2 s at sf0.1 in q64 AND q187, event-log
+        # measured, while 31 cores idled). With tf leftmost the same
+        # codegen span runs at the token-frame's parallelism. Join order
+        # is the only change — inner joins on the same keys, identical
+        # rows out — and there are no new hints: at 100 TB every side is
+        # large and Catalyst plans the same exchanges it would have.
         term = (
-            qtok.join(idf, "tok")
-            .join(tf, "tok")
-            .join(dl, "doc")
+            tf.join(dl, "doc")
+            .join(qtok, "tok")
+            .join(idf, "tok")
             .select("qid", "doc", _s_micro())
         )
         scored = term.groupBy("qid", "doc").agg(
