@@ -1127,7 +1127,13 @@ def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 16) -> DataFr
     Bit j of the fingerprint = majority vote of bit j across token hashes
     (weighted by token frequency). Token hash bit j = high bit of the j-th
     hex nibble of md5(token) — deterministic in any engine.
+
+    `spread` first: the normalize+explode+md5 pass is CPU-dense and ran
+    at raw-scan parallelism (1 task on the one-file local corpus,
+    event-log measured round 6); a real corpus has ≥ cores files and the
+    spread is a no-op.
     """
+    df = spread(df)
     toks = df.select(
         F.col(id_col).alias("doc"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),

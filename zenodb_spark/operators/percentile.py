@@ -110,13 +110,29 @@ def hist_quantile(state: Column | str, p: float, lo: float, precision: int) -> C
     scale = float(10**precision)
     entries = F.sort_array(F.map_entries(state))
     total = F.aggregate(entries, F.lit(0).cast("long"), lambda a, x: a + x["value"])
+    # target rides IN the accumulator, not as a lambda-captured expression
+    # (round 6, measured): a higher-order function's lambda re-evaluates
+    # every captured subexpression PER ELEMENT, interpreted — with target
+    # (itself an O(bins) fold over `total`) inlined into the lambda, the
+    # read was O(bins²): 13 s of single-task CPU for q14's five rows at
+    # 1001 bins. The zero/initial value is evaluated once per row, so
+    # carrying target there makes the fold O(bins) with the identical
+    # integer result.
     target = F.ceil(total * F.lit(p) / F.lit(100.0)).cast("long")
     folded = F.aggregate(
         entries,
-        F.struct(F.lit(0).cast("long").alias("cum"), F.lit(-1).cast("long").alias("ans")),
+        F.struct(
+            target.alias("target"),
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(-1).cast("long").alias("ans"),
+        ),
         lambda acc, x: F.struct(
+            acc["target"].alias("target"),
             (acc["cum"] + x["value"]).alias("cum"),
-            F.when((acc["ans"] < 0) & (acc["cum"] + x["value"] >= target), x["key"].cast("long"))
+            F.when(
+                (acc["ans"] < 0) & (acc["cum"] + x["value"] >= acc["target"]),
+                x["key"].cast("long"),
+            )
             .otherwise(acc["ans"])
             .alias("ans"),
         ),

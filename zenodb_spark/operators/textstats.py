@@ -126,9 +126,17 @@ def repetition_signals(
 
     All four signals are in-row array expressions — the most-frequent-bigram
     count comes from the longest equal-run of the doc's SORTED bigram array
-    (array_sort + one fold), so there is no explode, no shuffle, and no UDF:
-    a 100 TB corpus pass stays one narrow codegen'd scan."""
+    (array_sort + one fold), so there is no explode and no UDF, and — on a
+    corpus with ≥ cores input files — no shuffle: a 100 TB corpus pass
+    stays one narrow codegen'd scan. `spread` guards the local/one-file
+    case: Catalyst adds no parallelism below a narrow chain, and this
+    per-doc array work (sorted-run folds, array_distinct over trigrams)
+    is the most CPU-dense narrow pass in the repo — measured 67 s as a
+    SINGLE task on the sf0.1 one-file corpus (event-log, round 6)."""
     from zenodb_spark.operators.dedup import normalize_text
+    from zenodb_spark.operators.util import spread
+
+    df = spread(df)
 
     toks = F.split(normalize_text(text_col), " ")
     n = F.size(toks)

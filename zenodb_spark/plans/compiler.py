@@ -918,13 +918,24 @@ def _hist_quantile_col(state: Column, p: float, lo: float, precision: int) -> Co
     scale = float(10**precision)
     entries = F.sort_array(F.map_entries(state))
     total = F.aggregate(entries, F.lit(0).cast("long"), lambda a, x: a + x["value"])
+    # target in the accumulator, not lambda-captured: captured expressions
+    # re-evaluate per element (interpreted), turning the read O(bins²) —
+    # see operators/percentile.py:hist_quantile for the measured numbers.
     target = F.ceil(total * F.lit(p) / F.lit(100.0)).cast("long")
     folded = F.aggregate(
         entries,
-        F.struct(F.lit(0).cast("long").alias("cum"), F.lit(-1).cast("long").alias("ans")),
+        F.struct(
+            target.alias("target"),
+            F.lit(0).cast("long").alias("cum"),
+            F.lit(-1).cast("long").alias("ans"),
+        ),
         lambda acc, x: F.struct(
+            acc["target"].alias("target"),
             (acc["cum"] + x["value"]).alias("cum"),
-            F.when((acc["ans"] < 0) & (acc["cum"] + x["value"] >= target), x["key"].cast("long"))
+            F.when(
+                (acc["ans"] < 0) & (acc["cum"] + x["value"] >= acc["target"]),
+                x["key"].cast("long"),
+            )
             .otherwise(acc["ans"])
             .alias("ans"),
         ),
