@@ -274,3 +274,151 @@ def test_bloom_write_embeds_filters(spark, tmp_path):
         == spark.read.parquet(str(tmp_path / "plain")).count()
         == 50_000
     )
+
+
+class TestCellPairScorerEquivalence:
+    """Round-6 optimization: the within-cell pair scoring in
+    semdedup_drop_list / cell_topk_pairs moved from a centroid self-join
+    evaluating the interpreted HOF dot per pair to the dimension-sequential
+    numpy block scorer. These tests pin EXACT equality (doubles compared
+    bitwise via ==) against the old self-join formulation, on synthetic
+    vectors with duplicate embeddings (bit-equal cosines exercise the
+    (cosine desc, id asc) tie-break) plus a singleton cell, and on the
+    real float32 parquet embeddings."""
+
+    def _synthetic(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = []
+        for i in range(40):
+            rows.append(
+                Row(
+                    vec_id=i,
+                    embedding=[rng.gauss(0.0, 1.0) for _ in range(8)],
+                    label=rng.randrange(3),
+                )
+            )
+        # exact duplicate vectors -> bit-equal cosines against every third
+        # vector (tie-break must pick the smaller id, in both formulations)
+        rows.append(Row(vec_id=100, embedding=list(rows[0]["embedding"]), label=1))
+        rows.append(Row(vec_id=101, embedding=list(rows[0]["embedding"]), label=2))
+        # a vector far away from everything: likely alone in its cell
+        rows.append(Row(vec_id=200, embedding=[50.0] * 8, label=0))
+        return spark.createDataFrame(rows)
+
+    @staticmethod
+    def _old_semdedup(assigned, thr):
+        from zenodb_spark.operators.similarity import dot, norm
+
+        x = assigned.select(
+            F.col("centroid"),
+            F.col("vec_id").alias("vec_a"),
+            F.col("embedding").alias("va"),
+            norm("embedding").alias("na"),
+        )
+        y = assigned.select(
+            F.col("centroid"),
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("vb"),
+            norm("embedding").alias("nb"),
+        )
+        pairs = (
+            x.join(y, "centroid")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .withColumn("cosine", dot("va", "vb") / (F.col("na") * F.col("nb")))
+            .filter(F.col("cosine") >= thr)
+        )
+        return pairs.groupBy("centroid", "vec_b").agg(
+            F.count(F.lit(1)).alias("n_dups"), F.max("cosine").alias("best_cos")
+        ).select(
+            "centroid", F.col("vec_b").alias("dropped_vec"), "n_dups", "best_cos"
+        )
+
+    @staticmethod
+    def _old_topk(assigned, k):
+        from pyspark.sql.window import Window
+
+        from zenodb_spark.operators.similarity import dot, norm
+
+        withn = assigned.withColumn("nrm", norm("embedding"))
+        a = withn.select(
+            F.col("centroid"),
+            F.col("vec_id").alias("a_id"),
+            F.col("label").alias("a_label"),
+            F.col("embedding").alias("a_v"),
+            F.col("nrm").alias("a_nrm"),
+        )
+        b = withn.select(
+            F.col("centroid"),
+            F.col("vec_id").alias("b_id"),
+            F.col("label").alias("b_label"),
+            F.col("embedding").alias("b_v"),
+            F.col("nrm").alias("b_nrm"),
+        )
+        pairs = (
+            a.join(b, "centroid")
+            .filter(F.col("a_id") != F.col("b_id"))
+            .select(
+                "centroid",
+                "a_id",
+                "b_id",
+                "a_label",
+                "b_label",
+                (dot("a_v", "b_v") / (F.col("a_nrm") * F.col("b_nrm"))).alias(
+                    "cosine"
+                ),
+            )
+        )
+        w = Window.partitionBy("a_id").orderBy(F.col("cosine").desc(), F.col("b_id"))
+        return (
+            pairs.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("centroid", "a_id", "b_id", "cosine", "rnk", "a_label", "b_label")
+        )
+
+    def test_semdedup_matches_self_join(self, spark):
+        from zenodb_spark.operators.similarity import (
+            ivf_assign,
+            ivf_centroids,
+            semdedup_drop_list,
+        )
+
+        emb = self._synthetic(spark)
+        cents = ivf_centroids(8, 3, 43)
+        new = _pairs(semdedup_drop_list(emb, cents, "vec_id", "embedding", 0.2))
+        old = _pairs(self._old_semdedup(ivf_assign(emb, cents), 0.2))
+        assert new == old and len(new) > 5
+
+    def test_semdedup_matches_on_parquet_float32(self, spark):
+        from zenodb_spark.operators.similarity import (
+            ivf_assign,
+            ivf_centroids,
+            semdedup_drop_list,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = ivf_centroids(64, 8, 43)
+        new = _pairs(semdedup_drop_list(emb, cents, "vec_id", "embedding", 0.2))
+        old = _pairs(self._old_semdedup(ivf_assign(emb, cents), 0.2))
+        assert new == old and len(new) > 0
+
+    def test_cell_topk_matches_window(self, spark):
+        from zenodb_spark.operators.similarity import (
+            cell_topk_pairs,
+            ivf_assign,
+            ivf_centroids,
+        )
+
+        emb = self._synthetic(spark)
+        assigned = ivf_assign(emb, ivf_centroids(8, 3, 43)).join(
+            emb.select("vec_id", "label"), "vec_id"
+        )
+        new = _pairs(
+            cell_topk_pairs(
+                assigned, "vec_id", "embedding", "centroid", k=3,
+                carry=(("label", "int"),),
+            ).select("centroid", "a_id", "b_id", "cosine", "rnk", "a_label", "b_label")
+        )
+        old = _pairs(self._old_topk(assigned, 3))
+        assert new == old and len(new) > 50

@@ -309,19 +309,28 @@ def ivf_search(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF ANN search: candidates are corpus vectors whose centroid is one
     of the query's `nprobe` nearest centroids; exact cosine re-rank within.
     Corpus side scans once with its (tiny) centroid id; the probe relation
     broadcasts — at scale the centroid column is the partition/cluster key
-    so probing reads only the matching lists."""
-    c = ivf_assign(corpus, centroids, id_col, vec_col).select(
+    so probing reads only the matching lists.
+
+    ``assigned`` optionally passes a precomputed ``ivf_assign(corpus,
+    centroids, ...)`` frame so multi-arm callers (the q210 nprobe curve)
+    build the centroid-literal assignment expression once instead of once
+    per arm — each build is ~500 Py4J round-trips of literal construction
+    (round 6; same sharing precedent as ngram_jaccard_pairs_prefix's
+    ``arrays=``)."""
+    if assigned is None:
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    c = assigned.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cv"),
         norm(vec_col).alias("nc"),
         "centroid",
     )
-    qa = ivf_assign(queries, centroids, id_col, vec_col)
     # nprobe nearest centroids per query: sort (distance, index) structs
     v = F.col(vec_col)
     vv = dot(v, v)
@@ -348,6 +357,103 @@ def ivf_search(
     )
 
 
+def cell_topk_pairs(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "centroid",
+    k: int = 3,
+    carry: tuple[tuple[str, str], ...] = (),
+) -> DataFrame:
+    """Per-vector top-k same-cell cosine neighbors, scored with the
+    dimension-sequential numpy block scorer (the exact FP order of the
+    zip_with/aggregate ``dot`` — see cosine_neardup_pairs) inside one
+    ``applyInPandas`` per cell, instead of a cell self-join evaluating an
+    interpreted 64-term fold per pair.
+
+    Why (round 6, measured): the self-join formulation fans a bounded cell
+    into |cell|² pair ROWS and evaluates ``dot`` per pair in the
+    interpreted HOF path — and because the centroid-key shuffle is tiny,
+    AQE coalesces it so the whole fan-out runs nearly serial (the bm25
+    fan-out blindness). Here each cell ships its VECTORS once (N·dim
+    floats, strictly less than N² pair rows), the pair matrix is scored
+    vectorized in row blocks (~32 MB each, so a fat cell never
+    materializes |cell|² doubles at once), and only k rows per vector come
+    back. Norms are computed Spark-side once per vector, as everywhere.
+
+    Ranking is (cosine desc, ``id_col`` asc) — the same total order as the
+    ``row_number`` in the self-join formulation; cosine doubles are
+    bit-identical, so the selected neighbors are too. Ids must be
+    orderable (long or string). ``carry`` lists (column, spark_type)
+    per-vector attributes to emit on both sides as ``a_<col>``/``b_<col>``.
+
+    Output: (cell_col int, a_id long, b_id long, cosine double, rnk int
+    [, a_<c>, b_<c> ...]). Vectors alone in their cell emit nothing (no
+    neighbors), exactly like the self-join."""
+    kk = int(k)
+    carry_names = [c for c, _t in carry]
+    schema = f"{cell_col} int, a_id long, b_id long, cosine double, rnk int" + "".join(
+        f", a_{c} {t}, b_{c} {t}" for c, t in carry
+    )
+    _pd_t = {"int": "int32", "long": "int64", "double": "float64", "float": "float32"}
+    out_dtypes = {cell_col: "int32", "a_id": "int64", "b_id": "int64",
+                  "cosine": "float64", "rnk": "int32"}
+    for c, t in carry:
+        out_dtypes[f"a_{c}"] = out_dtypes[f"b_{c}"] = _pd_t.get(t, "object")
+    base = assigned.select(
+        F.col(cell_col).alias("_cell"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(vec_col).alias("_n"),
+        *[F.col(c).alias(f"_x_{c}") for c in carry_names],
+    )
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({c: [] for c in out_dtypes}).astype(out_dtypes)
+        ids = pdf["_id"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        nrm = pdf["_n"].to_numpy().astype(np.float64)
+        cell = pdf["_cell"].iloc[0]
+        xtra = {c: pdf[f"_x_{c}"].to_numpy() for c in carry_names}
+        a_idx, b_idx, cos_out, rnk_out = [], [], [], []
+        blk = max(1, (1 << 22) // m)  # ~32 MB of C per row block
+        for lo in range(0, m, blk):
+            hi = min(m, lo + blk)
+            C = np.zeros((hi - lo, m), dtype=np.float64)
+            for d in range(V.shape[1]):  # dimension-sequential: exact FP order
+                C += np.outer(V[lo:hi, d], V[:, d])
+            C /= np.outer(nrm[lo:hi], nrm)
+            for i in range(hi - lo):
+                row = C[i]
+                order = np.lexsort((ids, -row))  # cosine desc, id asc
+                order = order[order != (lo + i)]  # drop self by position
+                sel = order[:kk]
+                a_idx.extend([lo + i] * len(sel))
+                b_idx.extend(sel.tolist())
+                cos_out.extend(row[sel].tolist())
+                rnk_out.extend(range(1, len(sel) + 1))
+        a_idx = np.asarray(a_idx, dtype=np.int64)
+        b_idx = np.asarray(b_idx, dtype=np.int64)
+        out = {
+            cell_col: np.full(len(a_idx), cell),
+            "a_id": ids[a_idx],
+            "b_id": ids[b_idx],
+            "cosine": np.asarray(cos_out, dtype=np.float64),
+            "rnk": np.asarray(rnk_out),
+        }
+        for c in carry_names:
+            out[f"a_{c}"] = xtra[c][a_idx]
+            out[f"b_{c}"] = xtra[c][b_idx]
+        return pd.DataFrame(out).astype(out_dtypes)
+
+    return base.groupBy("_cell").applyInPandas(score, schema)
+
+
 def semdedup_drop_list(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -363,37 +469,60 @@ def semdedup_drop_list(
 
     Scale shape: the whole point of SemDeDup is that the quadratic pair
     search is confined within clusters — k grows with the corpus so cell
-    size N/k stays bounded, and each cell's pairs come from one
-    co-partitioned self-join on the centroid key (no corpus-wide pair
-    materialization). Norms are computed once per vector before the join.
-    For very fat cells, the triangle-blocked scorer (cosine_neardup_pairs)
-    is the drop-in replacement within a cell."""
+    size N/k stays bounded. Round 6: the within-cell scoring moved from a
+    co-partitioned self-join (|cell|² pair rows, one interpreted HOF dot
+    per pair, near-serial under AQE's small-shuffle coalescing) to the
+    dimension-sequential numpy block scorer inside one ``applyInPandas``
+    per cell — the same bit-exact FP order as ``dot`` (the
+    cosine_neardup_pairs scorer), vectors shipped once per cell instead of
+    once per pair, pair matrix bounded to ~32 MB row blocks. n_dups is an
+    exact count and best_cos a max over bit-identical doubles, so the
+    result is unchanged."""
     assigned = ivf_assign(corpus, centroids, id_col, vec_col)
-    x = assigned.select(
-        F.col("centroid"),
-        F.col(id_col).alias("vec_a"),
-        F.col(vec_col).alias("va"),
-        norm(vec_col).alias("na"),
+    thr = float(threshold)
+    base = assigned.select(
+        F.col("centroid").alias("_cell"),
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(vec_col).alias("_n"),
     )
-    y = assigned.select(
-        F.col("centroid"),
-        F.col(id_col).alias("vec_b"),
-        F.col(vec_col).alias("vb"),
-        norm(vec_col).alias("nb"),
-    )
-    pairs = (
-        x.join(y, "centroid")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .withColumn("cosine", dot("va", "vb") / (F.col("na") * F.col("nb")))
-        .filter(F.col("cosine") >= threshold)
-    )
-    return pairs.groupBy("centroid", "vec_b").agg(
-        F.count(F.lit(1)).alias("n_dups"), F.max("cosine").alias("best_cos")
-    ).select(
-        "centroid",
-        F.col("vec_b").alias("dropped_vec"),
-        "n_dups",
-        "best_cos",
+    out_dtypes = {"centroid": "int32", "dropped_vec": "int64",
+                  "n_dups": "int64", "best_cos": "float64"}
+
+    def score(pdf):
+        import numpy as np
+        import pandas as pd
+
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({c: [] for c in out_dtypes}).astype(out_dtypes)
+        ids = pdf["_id"].to_numpy()
+        V = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        nrm = pdf["_n"].to_numpy().astype(np.float64)
+        n_dups = np.zeros(m, dtype=np.int64)
+        best = np.full(m, -np.inf, dtype=np.float64)
+        blk = max(1, (1 << 22) // m)  # ~32 MB of C per row block
+        for lo in range(0, m, blk):
+            hi = min(m, lo + blk)
+            C = np.zeros((hi - lo, m), dtype=np.float64)
+            for d in range(V.shape[1]):  # dimension-sequential: exact FP order
+                C += np.outer(V[lo:hi, d], V[:, d])
+            C /= np.outer(nrm[lo:hi], nrm)
+            mask = (C >= thr) & (ids[lo:hi, None] < ids[None, :])
+            n_dups += mask.sum(axis=0)
+            best = np.maximum(best, np.where(mask, C, -np.inf).max(axis=0))
+        keep = n_dups > 0
+        return pd.DataFrame(
+            {
+                "centroid": np.full(int(keep.sum()), pdf["_cell"].iloc[0]),
+                "dropped_vec": ids[keep],
+                "n_dups": n_dups[keep],
+                "best_cos": best[keep],
+            }
+        ).astype(out_dtypes)
+
+    return base.groupBy("_cell").applyInPandas(
+        score, "centroid int, dropped_vec long, n_dups long, best_cos double"
     )
 
 

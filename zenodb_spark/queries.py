@@ -4032,15 +4032,29 @@ def q87_stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="400 days",
     )
     name = f"q87_sink_{abs(hash(sf_dir)) % 10_000}"
-    q = (
-        rolled.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
+    # state-store partitions follow spark.sql.shuffle.partitions at stream
+    # start; a bare driver session's 200 means 4 batches × 200 state tasks
+    # + 200 checkpoint delta files each for a handful of keys (measured
+    # 72-96 s vs 3-7 s at core count, round 6). defaultParallelism is the
+    # scale-adaptive value (cores locally, cluster cores at 100 TB) — the
+    # q126/q133/q135 guard, applied to the three streaming queries that
+    # predate it.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination(300)
+    try:
+        q = (
+            rolled.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     sink = spark.table(name)
     return (
         sink.groupBy(
@@ -5127,15 +5141,23 @@ def q108_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deduped = stream_dedup_first(stream, "k", ["event_id"])
     name = f"q108_sink_{abs(hash(sf_dir)) % 10_000}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
+    # scale-adaptive state-store partitioning — see q87 (round 6)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination(300)
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(name)
         .groupBy("event_type")
@@ -5443,15 +5465,23 @@ def q113_stream_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counts = stream_key_counts(stream, "event_type")
     name = f"q113_sink_{abs(hash(sf_dir)) % 10_000}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", f"{tmp}/ckpt")
-        .trigger(availableNow=True)
-        .start()
+    # scale-adaptive state-store partitioning — see q87 (round 6)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
     )
-    q.awaitTermination(300)
+    try:
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(name)
         .groupBy(F.col("key").alias("event_type"))
@@ -6990,51 +7020,34 @@ def q138_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     training a classifier.
 
     The quadratic neighbor search is confined to IVF cells exactly like
-    SemDeDup (q51): one co-partitioned self-join on the centroid key, so
-    cell size — not corpus size — bounds the pair count; cosines use the
-    sequential-order dot (bit-identical to the DuckDB replay), ranking
-    tie-breaks on neighbor id, majority tie-breaks on smaller label. At
-    100 TB, centroid count scales with the corpus to keep cells
-    bounded."""
-    from zenodb_spark.operators.similarity import dot, ivf_assign, ivf_centroids
+    SemDeDup (q51); within a cell the top-3 neighbors come from the
+    dimension-sequential numpy block scorer (cell_topk_pairs — round 6:
+    the previous centroid self-join evaluated an interpreted 64-term dot
+    per pair, near-serial under AQE's small-shuffle coalescing; the
+    scorer is bit-identical in FP order and in the (cosine desc, id asc)
+    ranking, so the selected neighbors are unchanged). Majority
+    tie-breaks on smaller label. At 100 TB, centroid count scales with
+    the corpus to keep cells bounded."""
+    from zenodb_spark.operators.similarity import (
+        cell_topk_pairs,
+        ivf_assign,
+        ivf_centroids,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = (
         ivf_assign(emb, ivf_centroids(64, 8, 43))
         .select("vec_id", "embedding", "centroid")
         .join(emb.select("vec_id", "label"), "vec_id")
-        .withColumn("nrm", F.sqrt(dot("embedding", "embedding")))
     )
-    a = assigned.select(
-        F.col("centroid"),
-        F.col("vec_id").alias("a_id"),
-        F.col("label").alias("own_label"),
-        F.col("embedding").alias("a_v"),
-        F.col("nrm").alias("a_nrm"),
+    top = cell_topk_pairs(
+        assigned, "vec_id", "embedding", "centroid", k=3, carry=(("label", "int"),)
     )
-    b = assigned.select(
-        F.col("centroid"),
-        F.col("vec_id").alias("b_id"),
-        F.col("label").alias("nb_label"),
-        F.col("embedding").alias("b_v"),
-        F.col("nrm").alias("b_nrm"),
-    )
-    pairs = (
-        a.join(b, "centroid")
-        .filter(F.col("a_id") != F.col("b_id"))
-        .select(
-            "a_id",
-            "own_label",
-            "nb_label",
-            "b_id",
-            (dot("a_v", "b_v") / (F.col("a_nrm") * F.col("b_nrm"))).alias("cos"),
-        )
-    )
-    w = Window.partitionBy("a_id").orderBy(F.col("cos").desc(), F.col("b_id"))
-    top = pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= 3)
-    votes = top.groupBy("a_id", "own_label", "nb_label").agg(
-        F.count(F.lit(1)).alias("c")
-    )
+    votes = top.groupBy(
+        "a_id",
+        F.col("a_label").alias("own_label"),
+        F.col("b_label").alias("nb_label"),
+    ).agg(F.count(F.lit(1)).alias("c"))
     wm = Window.partitionBy("a_id").orderBy(F.col("c").desc(), F.col("nb_label"))
     majority = votes.withColumn("r", F.row_number().over(wm)).filter(
         F.col("r") == 1
@@ -7179,23 +7192,44 @@ def q140_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = kmv_jaccard(a, b, F.col("type_a") < F.col("type_b"), k=64).select(
         "type_a", "type_b", "n_shared", "est_jaccard"
     )  # n_union_k folds into est_jaccard; not carried to the panel
+    # Exact panel via an EQUI-join on user_id (round 6): the original
+    # formulation cross-joined the distinct (type, user) frame on
+    # type_a < type_b alone — a BroadcastNestedLoopJoin materializing
+    # |users_a|·|users_b| rows per type pair (guide §3's exploding join;
+    # O(users²) at any scale) just to count matches. The same integers
+    # fall out of |A∩B| = count_distinct over the user_id equi-join
+    # (each user contributes its own type pairs only) and
+    # n_sum = |A| + |B| from per-type distinct counts; the complete
+    # type-pair spine (every pair with both sides non-empty, n_inter=0
+    # when disjoint) is the tiny type-level cross join. exact_jaccard is
+    # computed from the identical (n_inter, n_sum) longs below, so the
+    # doubles are bit-identical.
     ex = ev.select("event_type", "user_id").distinct()
-    exact = (
+    cnt = ex.groupBy("event_type").agg(F.count_distinct("user_id").alias("nu"))
+    spine = cnt.select(
+        F.col("event_type").alias("type_a"), F.col("nu").alias("na")
+    ).join(
+        cnt.select(F.col("event_type").alias("type_b"), F.col("nu").alias("nb")),
+        F.col("type_a") < F.col("type_b"),
+    )
+    inter = (
         ex.alias("x")
-        .join(ex.alias("y"), F.col("x.event_type") < F.col("y.event_type"))
+        .join(
+            ex.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
         .groupBy(
             F.col("x.event_type").alias("type_a"),
             F.col("y.event_type").alias("type_b"),
         )
-        .agg(
-            F.count_distinct(
-                F.when(F.col("x.user_id") == F.col("y.user_id"), F.col("x.user_id"))
-            ).alias("n_inter"),
-            (
-                F.count_distinct(F.col("x.user_id"))
-                + F.count_distinct(F.col("y.user_id"))
-            ).alias("n_sum"),
-        )
+        .agg(F.count_distinct(F.col("x.user_id")).alias("n_inter"))
+    )
+    exact = spine.join(inter, ["type_a", "type_b"], "left").select(
+        "type_a",
+        "type_b",
+        F.coalesce(F.col("n_inter"), F.lit(0).cast("long")).alias("n_inter"),
+        (F.col("na") + F.col("nb")).alias("n_sum"),
     )
     return (
         est.join(exact, ["type_a", "type_b"])
@@ -12186,12 +12220,20 @@ def q209_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(normalize_text("text"), " "), lambda x: F.length(x) > 0)
+    # Both shared bases are eager-checkpointed (round 6, the round's
+    # multi-consumer rule): `t` (normalize+md5+tokenize scan) feeds the
+    # keeper window AND the exact-group count; `pairs` (the whole prefix
+    # join) feeds star-CC AND the pair count — without the checkpoint each
+    # consumer re-runs the full upstream pipeline (prune-divergent copies,
+    # no AQE reuse). Each materialization is at most O(docs)/O(pairs) rows.
     t = docs.select(
         "doc_id", F.md5(normalize_text("text")).alias("fp"), F.size(toks).alias("n_tok")
-    )
+    ).localCheckpoint()
     w = Window.partitionBy("fp")
     tk = t.withColumn("keeper", F.min("doc_id").over(w))
-    pairs = dedup.ngram_jaccard_pairs_prefix(docs, "text", "doc_id", n=3, threshold=0.5)
+    pairs = dedup.ngram_jaccard_pairs_prefix(
+        docs, "text", "doc_id", n=3, threshold=0.5
+    ).localCheckpoint()
     labels = dedup.connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
     )
@@ -12272,10 +12314,15 @@ def q210_ivf_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     cents = similarity.ivf_centroids(64, 8, 43)
+    # one shared corpus assignment across the three arms: the centroid
+    # expression is ~500 Py4J literal round-trips to BUILD per arm
+    # (round 6 — q210's cost was dominated by driver-side construction)
+    assigned = similarity.ivf_assign(emb, cents, "vec_id", "embedding")
     arms = []
     for np_ in (1, 2, 4):
         ivf = similarity.ivf_search(
-            emb, qside, cents, "vec_id", "embedding", k=5, nprobe=np_
+            emb, qside, cents, "vec_id", "embedding", k=5, nprobe=np_,
+            assigned=assigned,
         ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
         j = brute.join(ivf, ["query_id", "neighbor_id"], "left")
         arms.append(
