@@ -8612,11 +8612,20 @@ def q162_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     d = docs.filter(F.length("text") >= 8).select(
-        "doc_id", "source", "text", F.length("text").cast("long").alias("n")
+        "doc_id",
+        "source",
+        # one O(n) pass builds the per-char array; every later per-char /
+        # per-chunk access is O(1) array indexing. The obvious
+        # `substring(text, p, 1)` / `substring(text, cut, len)` forms are
+        # O(p) EACH (UTF8String.substring scans code points from byte 0),
+        # i.e. O(n²) per document — invisible on 300-char bench docs,
+        # catastrophic on real MB-scale documents (round-6 fix).
+        F.split("text", "").alias("chars"),
+        F.length("text").cast("long").alias("n"),
     )
     d = d.withColumn(
         "codes",
-        F.expr("transform(sequence(1, n), p -> bigint(ascii(substring(text, int(p), 1))))"),
+        F.expr("transform(chars, c -> bigint(ascii(c)))"),
     ).withColumn(
         "cuts",
         F.expr(
@@ -8636,8 +8645,8 @@ def q162_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr(
                 "transform(sequence(0, size(cuts) - 2), j ->"
-                " substring(text, int(element_at(cuts, j + 1)) + 1,"
-                "           int(element_at(cuts, j + 2) - element_at(cuts, j + 1))))"
+                " array_join(slice(chars, int(element_at(cuts, j + 1)) + 1,"
+                "            int(element_at(cuts, j + 2) - element_at(cuts, j + 1))), ''))"
             )
         ).alias("chunk"),
     ).filter(F.col("chunk") != "")
