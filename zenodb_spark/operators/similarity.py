@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from zenodb_spark.operators.util import spread
+from zenodb_spark.operators.util import lit_vec, spread
 
 
 def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
@@ -212,7 +212,7 @@ def lsh_fingerprint(vec_col: Column | str, planes: list[list[float]]) -> Column:
     vec_col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = []
     for j, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
+        lit_plane = lit_vec(plane)
         d = F.aggregate(
             F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
@@ -290,7 +290,7 @@ def ivf_assign(
     vv = dot(v, v)
     dists = []
     for c in centroids:
-        lit_c = F.array(*[F.lit(x) for x in c])
+        lit_c = lit_vec(c)
         cc = sum((x * x for x in c), 0.0)  # python-side constant, same literal in SQL
         dists.append(vv - 2.0 * dot(v, lit_c) + F.lit(cc))
     darr = F.array(*dists)
@@ -336,7 +336,7 @@ def ivf_search(
     vv = dot(v, v)
     dists = []
     for i, cent in enumerate(centroids):
-        lit_c = F.array(*[F.lit(x) for x in cent])
+        lit_c = lit_vec(cent)
         cc = sum((x * x for x in cent), 0.0)
         dists.append(F.struct((vv - 2.0 * dot(v, lit_c) + F.lit(cc)).alias("d"), F.lit(i + 1).alias("i")))
     probes = F.slice(F.sort_array(F.array(*dists)), 1, nprobe)
@@ -626,7 +626,7 @@ def pq_assign(
         ss = dot(s, s)
         dists = []
         for c in cb:
-            lit_c = F.array(*[F.lit(x) for x in c])
+            lit_c = lit_vec(c)
             cc = sum((x * x for x in c), 0.0)
             dists.append(ss - 2.0 * dot(s, lit_c) + F.lit(cc))
         darr = F.array(*dists)
@@ -670,7 +670,7 @@ def pq_lut(
         s = F.slice(F.col(vec_col), j * sub + 1, sub)
         ss = dot(s, s)
         for ci, c in enumerate(cb):
-            lit_c = F.array(*[F.lit(x) for x in c])
+            lit_c = lit_vec(c)
             cc = sum((x * x for x in c), 0.0)
             d = ss - 2.0 * dot(s, lit_c) + F.lit(cc)
             rows.append(

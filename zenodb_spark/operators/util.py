@@ -2,7 +2,28 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def lit_vec(xs) -> Column:
+    """Constant ``array<double>`` literal built in ONE Py4J round-trip.
+
+    ``F.array(*[F.lit(float(x)) for x in xs])`` costs dim+1 JVM round-trips
+    per vector — profiled at 0.5-2.5 s of pure driver-side chatter for an
+    8x64 model (512 literals), which dominated q33/q63/q107's bench time.
+    Parsing ``array(<repr>D, ...)`` in one ``F.expr`` call yields the SAME
+    CreateArray(Literal double) tree: Python ``repr`` round-trips doubles
+    exactly and Spark's ``D`` suffix parses with java.lang.Double semantics
+    (bitwise-verified incl. denormals, +-0.0 and max-double). Non-finite
+    values have no SQL literal form and fall back to the per-element path.
+    """
+    xs = [float(x) for x in xs]
+    if not xs or not all(map(math.isfinite, xs)):
+        return F.array(*[F.lit(x) for x in xs])
+    return F.expr("array(" + ",".join(repr(x) + "D" for x in xs) + ")")
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -11921,10 +11921,11 @@ def q206_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale the same projection column feeds the LSH/IVF index
     builders instead of a pair join."""
     from zenodb_spark.operators.similarity import dot
+    from zenodb_spark.operators.util import lit_vec
 
     signs = _jl_signs()
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
-    lit_rows = [F.array(*[F.lit(x) for x in row]) for row in signs]
+    lit_rows = [lit_vec(row) for row in signs]
     p = emb.select(
         "vec_id",
         F.col("embedding").alias("v"),
