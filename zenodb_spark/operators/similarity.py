@@ -33,7 +33,40 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from zenodb_spark.operators.util import lit_vec, spread
+from zenodb_spark.operators.util import lit_mat, lit_vec, spread
+
+
+def _lit_centroids(cents: list[list[float]]) -> Column:
+    """Constant ``array<struct<c:array<double>, cc:double>>`` carrying each
+    centroid/codeword with its precomputed squared norm, parsed in ONE
+    ``F.expr`` call (the per-codeword loop cost ~25 Py4J round-trips each —
+    round 6). ``cc`` is the same Python-side left-to-right double sum the
+    per-codeword form inlined as ``F.lit(cc)``."""
+    import math as _math
+
+    parts = []
+    for c in cents:
+        c = [float(x) for x in c]
+        cc = sum((x * x for x in c), 0.0)
+        if not c or not all(map(_math.isfinite, c + [cc])):
+            # no SQL literal form for non-finite doubles; fall back
+            return F.array(
+                *[
+                    F.struct(
+                        lit_vec(cent).alias("c"),
+                        F.lit(sum((x * x for x in cent), 0.0)).alias("cc"),
+                    )
+                    for cent in cents
+                ]
+            )
+        parts.append(
+            "named_struct('c', array("
+            + ",".join(repr(x) + "D" for x in c)
+            + "), 'cc', "
+            + repr(cc)
+            + "D)"
+        )
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
@@ -208,18 +241,30 @@ def _planes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
 
 
 def lsh_fingerprint(vec_col: Column | str, planes: list[list[float]]) -> Column:
-    """Sign-bit fingerprint of a vector against fixed hyperplanes."""
+    """Sign-bit fingerprint of a vector against fixed hyperplanes.
+
+    One ``transform`` over a single constant plane matrix instead of a
+    per-plane expression loop: the per-plane form cost ~20 Py4J round-trips
+    x bits per plan build (round 6). Values are identical — the same
+    sequential zip_with/aggregate dot decides each sign, ``shiftleft(1, j)``
+    equals the old ``F.lit(1 << j)``, and the bit sum is the same
+    left-to-right integer addition."""
     vec_col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
-    bits = []
-    for j, plane in enumerate(planes):
-        lit_plane = lit_vec(plane)
-        d = F.aggregate(
-            F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    return sum(bits[1:], start=bits[0]).cast("long")
+    bits = F.transform(
+        lit_mat(planes),
+        lambda p, j: F.when(
+            F.aggregate(
+                F.zip_with(vec_col, p, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            >= 0,
+            # PySpark's F.shiftleft wrapper rejects a Column shift amount;
+            # the SQL function itself takes one
+            F.call_function("shiftleft", F.lit(1), j),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda a, b: a + b).cast("long")
 
 
 def lsh_cosine_topk(
@@ -288,12 +333,13 @@ def ivf_assign(
     bit-identical to a DuckDB replay."""
     v = F.col(vec_col)
     vv = dot(v, v)
-    dists = []
-    for c in centroids:
-        lit_c = lit_vec(c)
-        cc = sum((x * x for x in c), 0.0)  # python-side constant, same literal in SQL
-        dists.append(vv - 2.0 * dot(v, lit_c) + F.lit(cc))
-    darr = F.array(*dists)
+    # one transform over the constant centroid matrix instead of a
+    # per-centroid expression loop (round 6: ~25 Py4J round-trips per
+    # centroid). Each element evaluates the IDENTICAL ((vv - 2*dot) + cc)
+    # IEEE sequence the loop form built, in the same centroid order.
+    darr = F.transform(
+        _lit_centroids(centroids), lambda t: vv - 2.0 * dot(v, t["c"]) + t["cc"]
+    )
     return corpus.select(
         F.col(id_col),
         v.alias(vec_col),
@@ -331,15 +377,19 @@ def ivf_search(
         norm(vec_col).alias("nc"),
         "centroid",
     )
-    # nprobe nearest centroids per query: sort (distance, index) structs
+    # nprobe nearest centroids per query: sort (distance, index) structs —
+    # built with one transform over the constant centroid matrix (round 6),
+    # same ((vv - 2*dot) + cc) sequence and same (d, i) sort keys
     v = F.col(vec_col)
     vv = dot(v, v)
-    dists = []
-    for i, cent in enumerate(centroids):
-        lit_c = lit_vec(cent)
-        cc = sum((x * x for x in cent), 0.0)
-        dists.append(F.struct((vv - 2.0 * dot(v, lit_c) + F.lit(cc)).alias("d"), F.lit(i + 1).alias("i")))
-    probes = F.slice(F.sort_array(F.array(*dists)), 1, nprobe)
+    dists = F.transform(
+        _lit_centroids(centroids),
+        lambda t, i: F.struct(
+            (vv - 2.0 * dot(v, t["c"]) + t["cc"]).alias("d"),
+            (i + 1).alias("i"),
+        ),
+    )
+    probes = F.slice(F.sort_array(dists), 1, nprobe)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         v.alias("qv"),
@@ -624,12 +674,11 @@ def pq_assign(
     for j, cb in enumerate(codebooks):
         s = F.slice(F.col(vec_col), j * sub + 1, sub)
         ss = dot(s, s)
-        dists = []
-        for c in cb:
-            lit_c = lit_vec(c)
-            cc = sum((x * x for x in c), 0.0)
-            dists.append(ss - 2.0 * dot(s, lit_c) + F.lit(cc))
-        darr = F.array(*dists)
+        # one transform per subspace over the constant codeword structs
+        # (round 6 construction fix); identical ((ss - 2*dot) + cc) doubles
+        darr = F.transform(
+            _lit_centroids(cb), lambda t: ss - 2.0 * dot(s, t["c"]) + t["cc"]
+        )
         rows.append(
             F.struct(
                 F.lit(j + 1).alias("subspace"),
@@ -665,25 +714,33 @@ def pq_lut(
     Same expression shapes as pq_assign, so the DuckDB oracle replay is
     bit-identical."""
     sub = len(codebooks[0][0])
-    rows = []
+    per_sub = []
     for j, cb in enumerate(codebooks):
         s = F.slice(F.col(vec_col), j * sub + 1, sub)
         ss = dot(s, s)
-        for ci, c in enumerate(cb):
-            lit_c = lit_vec(c)
-            cc = sum((x * x for x in c), 0.0)
-            d = ss - 2.0 * dot(s, lit_c) + F.lit(cc)
-            rows.append(
-                F.struct(
+        # one transform per subspace (round 6 construction fix); identical
+        # ((ss - 2*dot) + cc) doubles and the same (subspace, code) labels
+        # the lambda runs eagerly inside F.transform, so capturing the loop
+        # vars j/s/ss is safe (and a default-arg would break PySpark's
+        # lambda-arity detection)
+        per_sub.append(
+            F.transform(
+                _lit_centroids(cb),
+                lambda t, ci: F.struct(
                     F.lit(j + 1).alias("subspace"),
-                    F.lit(ci + 1).alias("code"),
-                    F.floor(d * F.lit(1_000_000) + F.lit(0.5))
+                    (ci + 1).alias("code"),
+                    F.floor(
+                        (ss - 2.0 * dot(s, t["c"]) + t["cc"]) * F.lit(1_000_000)
+                        + F.lit(0.5)
+                    )
                     .cast("long")
                     .alias("d_micro"),
-                )
+                ),
             )
+        )
     return queries.select(
-        F.col(id_col).alias("query_id"), F.explode(F.array(*rows)).alias("t")
+        F.col(id_col).alias("query_id"),
+        F.explode(F.flatten(F.array(*per_sub))).alias("t"),
     ).select(
         "query_id",
         F.col("t.subspace").alias("subspace"),

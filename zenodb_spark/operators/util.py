@@ -26,6 +26,23 @@ def lit_vec(xs) -> Column:
     return F.expr("array(" + ",".join(repr(x) + "D" for x in xs) + ")")
 
 
+def lit_mat(rows) -> Column:
+    """Constant ``array<array<double>>`` literal (one ``F.expr`` parse).
+
+    Same contract and bitwise guarantee as :func:`lit_vec`, one level up:
+    a whole plane/centroid matrix rides the plan as ONE parsed expression
+    instead of rows x (dim+1) JVM round-trips. Non-finite rows fall back to
+    per-row :func:`lit_vec` construction."""
+    rows = [[float(x) for x in r] for r in rows]
+    if not rows or not all(all(map(math.isfinite, r)) for r in rows):
+        return F.array(*[lit_vec(r) for r in rows])
+    return F.expr(
+        "array("
+        + ",".join("array(" + ",".join(repr(x) + "D" for x in r) + ")" for r in rows)
+        + ")"
+    )
+
+
 def spread(df: DataFrame) -> DataFrame:
     """Repartition only when the input is under-partitioned relative to the
     cluster (e.g. a single unsplittable file): pairwise vector math and

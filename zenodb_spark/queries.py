@@ -11921,15 +11921,18 @@ def q206_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale the same projection column feeds the LSH/IVF index
     builders instead of a pair join."""
     from zenodb_spark.operators.similarity import dot
-    from zenodb_spark.operators.util import lit_vec
+    from zenodb_spark.operators.util import lit_mat
 
     signs = _jl_signs()
     emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
-    lit_rows = [lit_vec(row) for row in signs]
     p = emb.select(
         "vec_id",
         F.col("embedding").alias("v"),
-        F.array(*[dot(F.col("embedding"), r) for r in lit_rows]).alias("pvec"),
+        # one transform over the constant sign matrix (round 6): same
+        # sequential dot per row of `signs`, same array order
+        F.transform(lit_mat(signs), lambda r: dot(F.col("embedding"), r)).alias(
+            "pvec"
+        ),
     )
     a = p.select(
         F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"), F.col("pvec").alias("pa")
