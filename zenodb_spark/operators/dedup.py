@@ -863,7 +863,15 @@ def _plan_exact_join(
     else:
         if K >= 2:
             token_side = sh if contained else sh.filter(F.col("sz") >= small_max)
-            segarr = _segment_arrays(token_side, K, 0).localCheckpoint(eager=True)
+            # lazy: the merged 3-probe collect below is the first action,
+            # so ONE job materializes the segment arrays AND answers the
+            # probes (round 6; same merge as the arrays+quantile job above)
+            # — later consumers (the chosen executor's emission joins) read
+            # the persisted blocks. (Merging the quantile INTO the stats
+            # job via an in-plan percentile + 1-row crossJoin was also
+            # tried and REJECTED: the broadcast attach taxes every exploded
+            # shingle row, costing more than the job it saves.)
+            segarr = _segment_arrays(token_side, K, 0).localCheckpoint(eager=False)
             em_agg = segarr.agg(
                 F.coalesce(
                     F.sum(
