@@ -863,15 +863,20 @@ def _plan_exact_join(
     else:
         if K >= 2:
             token_side = sh if contained else sh.filter(F.col("sz") >= small_max)
-            # lazy: the merged 3-probe collect below is the first action,
-            # so ONE job materializes the segment arrays AND answers the
-            # probes (round 6; same merge as the arrays+quantile job above)
-            # — later consumers (the chosen executor's emission joins) read
-            # the persisted blocks. (Merging the quantile INTO the stats
-            # job via an in-plan percentile + 1-row crossJoin was also
-            # tried and REJECTED: the broadcast attach taxes every exploded
-            # shingle row, costing more than the job it saves.)
-            segarr = _segment_arrays(token_side, K, 0).localCheckpoint(eager=False)
+            # eager, deliberately (round 6, measured): a lazy checkpoint
+            # here looks like it would merge the materialization into the
+            # probe collect (the arrays+quantile trick one step up), but
+            # the THREE crossJoined probe subtrees each scan segarr in
+            # their own stage, and with unmaterialized blocks they all
+            # recompute the explode+collect_list shuffle concurrently —
+            # flat at 32 cores, 2x slower at 8 (q24 4.55 vs 2.19 s, 8-core
+            # subset bench). Same failure mechanism as the rejected lazy
+            # per-round checkpoints in _cc_star. (Also rejected: merging
+            # the size quantile into the df-stats job via an in-plan
+            # percentile + 1-row crossJoin - the broadcast attach taxes
+            # every exploded shingle row, costing more than the job it
+            # saves.)
+            segarr = _segment_arrays(token_side, K, 0).localCheckpoint(eager=True)
             em_agg = segarr.agg(
                 F.coalesce(
                     F.sum(
