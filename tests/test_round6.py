@@ -422,3 +422,79 @@ class TestCellPairScorerEquivalence:
         )
         old = _pairs(self._old_topk(assigned, 3))
         assert new == old and len(new) > 50
+
+
+class TestLitVec:
+    """Round 6: lit_vec builds constant array<double> literals in one
+    F.expr round-trip instead of dim+1 F.lit calls. The contract is
+    BITWISE equality with the per-element construction — these pins keep
+    a Spark parser change from silently drifting a literal."""
+
+    def test_bitwise_equal_including_edge_doubles(self, spark):
+        import math
+        import random
+        import struct
+
+        from pyspark.sql import functions as F
+
+        from zenodb_spark.operators.util import lit_vec
+
+        rng = random.Random(7)
+        vals = [rng.gauss(0.0, 1.0) for _ in range(64)] + [
+            1e-05, -1e-05, 5e-324, 1.7976931348623157e308, -0.0, 0.0,
+            0.1, 1 / 3, math.pi, 2 ** -52, 123456789.123456789,
+        ]
+        row = (
+            spark.range(1)
+            .select(
+                F.array(*[F.lit(float(x)) for x in vals]).alias("a"),
+                lit_vec(vals).alias("b"),
+            )
+            .collect()[0]
+        )
+        pack = lambda xs: [struct.pack("<d", v) for v in xs]
+        assert pack(row["a"]) == pack(row["b"])
+
+    def test_nonfinite_falls_back(self, spark):
+        import math
+
+        from zenodb_spark.operators.util import lit_vec
+
+        col = lit_vec([1.0, float("nan"), float("inf")])
+        row = spark.range(1).select(col.alias("v")).collect()[0]
+        assert row["v"][0] == 1.0
+        assert math.isnan(row["v"][1])
+        assert math.isinf(row["v"][2])
+
+    def test_lsh_fingerprint_unchanged(self, spark):
+        """Operator-level pin: fingerprints from lit_vec-built planes equal
+        the per-element-literal construction on real float32 vectors."""
+        import random
+
+        from pyspark.sql import functions as F
+
+        from zenodb_spark.operators.similarity import _planes, lsh_fingerprint
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        planes = _planes(16, 8, seed=3)
+
+        def old_fp(vec_col, planes):
+            vec_col = F.col(vec_col)
+            bits = []
+            for j, plane in enumerate(planes):
+                lit_plane = F.array(*[F.lit(x) for x in plane])
+                d = F.aggregate(
+                    F.zip_with(vec_col, lit_plane, lambda x, y: x.cast("double") * y),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                bits.append(F.when(d >= 0, F.lit(1 << j)).otherwise(F.lit(0)))
+            return sum(bits[1:], start=bits[0]).cast("long")
+
+        got = df.select("vec_id", lsh_fingerprint("embedding", planes).alias("fp"))
+        want = df.select("vec_id", old_fp("embedding", planes).alias("fp"))
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from zenodb_spark.operators.dedup import normalize_text
-from zenodb_spark.operators.util import spread
+from zenodb_spark.operators.util import maybe_checkpoint, spread
 
 # Redaction patterns restricted to syntax with identical semantics in Java
 # regex (Spark) and RE2 (DuckDB): no lookaround, no backrefs.
@@ -109,13 +109,17 @@ def paragraph_dedup(
     d = d.select("doc", "toks", F.posexplode(starts).alias("cidx", "start"))
     # the chunk rows feed both the keep-first aggregate and the reassembly
     # join; checkpoint so the tokenize + per-chunk slice/md5 pass — the
-    # dominant compute — runs once, not twice (round-6 measured plan)
+    # dominant compute — runs once, not twice (round-6 measured plan).
+    # UNCONDITIONAL (not size-gated): the chunk/md5 columns cannot be
+    # pruned by either consumer, so the duplicate compute is fully paid at
+    # ANY scale — round-7 interleaved A/B kept the checkpoint a local win
+    # (0.82 vs 1.13 s at sf0.1, min-of-5 ×2 sessions)
     d = d.select(
         "doc",
         F.col("cidx").cast("long").alias("cidx"),
-        F.array_join(F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens), " ").alias(
-            "chunk"
-        ),
+        F.array_join(
+            F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens), " "
+        ).alias("chunk"),
         F.md5(
             F.array_join(F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens), " ")
         ).alias("h"),
@@ -211,7 +215,7 @@ def decontaminate_bloom(
     )
     # the benchmark gram set feeds both the bit table and the verify join;
     # checkpoint so the eval-set scan + gram explode runs once
-    bench_g = grams(benchmark).select("gram").distinct().localCheckpoint(eager=True)
+    bench_g = maybe_checkpoint(grams(benchmark).select("gram").distinct())
     bits = bench_g.select(F.explode(positions).alias("pos")).distinct()
 
     cand = (

@@ -33,7 +33,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from zenodb_spark.operators.util import lit_mat, lit_vec, spread
+from zenodb_spark.operators.util import all_finite, lit_mat, lit_vec, spread, sql_double
 
 
 def _lit_centroids(cents: list[list[float]]) -> Column:
@@ -41,14 +41,14 @@ def _lit_centroids(cents: list[list[float]]) -> Column:
     centroid/codeword with its precomputed squared norm, parsed in ONE
     ``F.expr`` call (the per-codeword loop cost ~25 Py4J round-trips each —
     round 6). ``cc`` is the same Python-side left-to-right double sum the
-    per-codeword form inlined as ``F.lit(cc)``."""
-    import math as _math
-
+    per-codeword form inlined as ``F.lit(cc)``. Literal serialization is
+    util.sql_double — the single home of the repr+'D' format and its
+    bitwise guarantee (round 7, ADVICE r6)."""
     parts = []
     for c in cents:
         c = [float(x) for x in c]
         cc = sum((x * x for x in c), 0.0)
-        if not c or not all(map(_math.isfinite, c + [cc])):
+        if not c or not all_finite(c + [cc]):
             # no SQL literal form for non-finite doubles; fall back
             return F.array(
                 *[
@@ -61,10 +61,10 @@ def _lit_centroids(cents: list[list[float]]) -> Column:
             )
         parts.append(
             "named_struct('c', array("
-            + ",".join(repr(x) + "D" for x in c)
+            + ",".join(sql_double(x) for x in c)
             + "), 'cc', "
-            + repr(cc)
-            + "D)"
+            + sql_double(cc)
+            + ")"
         )
     return F.expr("array(" + ",".join(parts) + ")")
 
@@ -246,9 +246,16 @@ def lsh_fingerprint(vec_col: Column | str, planes: list[list[float]]) -> Column:
     One ``transform`` over a single constant plane matrix instead of a
     per-plane expression loop: the per-plane form cost ~20 Py4J round-trips
     x bits per plan build (round 6). Values are identical — the same
-    sequential zip_with/aggregate dot decides each sign, ``shiftleft(1, j)``
-    equals the old ``F.lit(1 << j)``, and the bit sum is the same
-    left-to-right integer addition."""
+    sequential zip_with/aggregate dot decides each sign, ``shiftleft`` of a
+    LONG base equals the old ``F.lit(1 << j)`` for every plane index up to
+    62 (an int base overflows at j >= 31 — ADVICE r6; callers today use
+    <= 16 planes, the long base keeps the equality unconditional), and the
+    bit sum is the same left-to-right LONG integer addition."""
+    if len(planes) > 62:
+        raise ValueError(
+            f"lsh_fingerprint: {len(planes)} planes exceed the 62 sign "
+            "bits a long fingerprint can carry"
+        )
     vec_col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = F.transform(
         lit_mat(planes),
@@ -261,10 +268,10 @@ def lsh_fingerprint(vec_col: Column | str, planes: list[list[float]]) -> Column:
             >= 0,
             # PySpark's F.shiftleft wrapper rejects a Column shift amount;
             # the SQL function itself takes one
-            F.call_function("shiftleft", F.lit(1), j),
-        ).otherwise(F.lit(0)),
+            F.call_function("shiftleft", F.lit(1).cast("long"), j),
+        ).otherwise(F.lit(0).cast("long")),
     )
-    return F.aggregate(bits, F.lit(0), lambda a, b: a + b).cast("long")
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda a, b: a + b)
 
 
 def lsh_cosine_topk(

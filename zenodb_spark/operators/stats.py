@@ -12,6 +12,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from zenodb_spark.operators.util import maybe_checkpoint
+
 
 def ks_distance_by_group(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """Exact two-sample KS statistic of each group's ``value_col``
@@ -33,9 +35,9 @@ def ks_distance_by_group(df: DataFrame, group_col: str, value_col: str) -> DataF
     # totals, grand total) would each recompute the caller's value
     # expression over the full frame (q192 pays a regex-normalize + split
     # per consumer); checkpoint the narrow (g, x) projection once
-    d = df.select(
-        F.col(group_col).alias("g"), F.col(value_col).alias("x")
-    ).localCheckpoint(eager=True)
+    d = maybe_checkpoint(
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
+    )
     c1 = d.groupBy("g", "x").agg(F.count(F.lit(1)).alias("c"))
     grps = d.groupBy("g").agg(F.count(F.lit(1)).alias("n1"))
     xs = d.select("x").distinct()
@@ -99,10 +101,9 @@ def chi2_contingency(df: DataFrame, row_col: str, col_col: str) -> DataFrame:
     # o is category-grid-sized but feeds four consumers (row totals, col
     # totals, grand total, the grid join) — without a checkpoint each one
     # re-aggregates the raw frame from the scan (round-6 measured plan)
-    o = (
+    o = maybe_checkpoint(
         df.groupBy(F.col(row_col).alias("r_"), F.col(col_col).alias("c_"))
         .agg(F.count(F.lit(1)).alias("o"))
-        .localCheckpoint(eager=True)
     )
     r = o.groupBy("r_").agg(F.sum("o").alias("r"))
     c = o.groupBy("c_").agg(F.sum("o").alias("c"))
@@ -209,9 +210,9 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     by the value domain), never a sort of the raw frame."""
     # three consumers of the narrow projection (cell counts, value totals,
     # grand total) — checkpoint once, same rationale as ks_distance_by_group
-    d = df.select(
-        F.col(group_col).alias("g"), F.col(value_col).alias("x")
-    ).localCheckpoint(eager=True)
+    d = maybe_checkpoint(
+        df.select(F.col(group_col).alias("g"), F.col(value_col).alias("x"))
+    )
     cgx = d.groupBy("g", "x").agg(F.count(F.lit(1)).alias("c"))
     ct = d.groupBy("x").agg(F.count(F.lit(1)).alias("ct"))
     nn = d.agg(F.count(F.lit(1)).alias("nn"))
@@ -309,11 +310,13 @@ def poisson_bootstrap_mean_ci(
     # two consumers (the ×reps replicate explode and the per-group base
     # stats) — checkpoint the narrow projection so the caller's value/id
     # expressions run once over the scan
-    d = df.select(
-        F.col(group_col).alias("g"),
-        F.col(value_col).alias("x"),
-        F.col(id_col).cast("string").alias("rid"),
-    ).localCheckpoint(eager=True)
+    d = maybe_checkpoint(
+        df.select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).alias("x"),
+            F.col(id_col).cast("string").alias("rid"),
+        )
+    )
     e = d.select(
         "g", "x", "rid", F.explode(F.sequence(F.lit(0), F.lit(n_grp - 1))).alias("grp")
     ).withColumn("h", F.md5(F.concat(F.col("rid"), F.lit(":"), F.col("grp"))))

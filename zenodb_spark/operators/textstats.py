@@ -236,10 +236,10 @@ def unigram_logprob(
         F.col(id_col).alias("doc"),
         F.explode(F.split(normalize_text(text_col), " ")).alias("tok"),
     ).filter(F.length("tok") > 0)
-    doc_tok = (
-        toks.groupBy("doc", "tok")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .localCheckpoint(eager=True)
+    from zenodb_spark.operators.util import maybe_checkpoint
+
+    doc_tok = maybe_checkpoint(
+        toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("occ"))
     )
     freq = doc_tok.groupBy("tok").agg(F.sum("occ").alias("cnt"))
     total = freq.agg(F.sum("cnt").alias("t"))

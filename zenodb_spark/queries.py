@@ -53,6 +53,7 @@ from zenodb_spark.functions.dims import CONCAT, DECODE, LEN, REPLACEALL, SPLIT, 
 from zenodb_spark.operators import dedup, similarity, textstats, timeops
 from zenodb_spark.operators.crosstab import crosstab
 from zenodb_spark.operators.percentile import hist_agg, hist_quantile, percentile_exact
+from zenodb_spark.operators.util import maybe_checkpoint
 from zenodb_spark.operators.topk import topk
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -3174,11 +3175,11 @@ def q71_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("tok") > 0)
     # tf feeds three differently-pruned consumers (n_docs, idf, scored);
     # checkpoint so the corpus is scanned + exploded once, not three times
-    # (round 6; Catalyst cannot stage-reuse subtrees that prune apart)
-    tf = (
-        toks.groupBy("doc", "tok")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+    # (round 6; Catalyst cannot stage-reuse subtrees that prune apart);
+    # size-gated round 7 — below the gate the rescans are cheaper than the
+    # materialization job
+    tf = maybe_checkpoint(
+        toks.groupBy("doc", "tok").agg(F.count(F.lit(1)).alias("tf"))
     )
     stats = tf.agg(F.count_distinct("doc").alias("n_docs"))
     idf = (
@@ -3319,7 +3320,11 @@ def q72_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.size("toks")
     # the bigram rows feed BOTH the LM build (big) and the scoring join;
-    # checkpoint so the corpus is scanned + bigram-exploded once (round 6)
+    # checkpoint so the corpus is scanned + bigram-exploded once (round 6).
+    # UNCONDITIONAL (not size-gated): both consumers read the full (w1, w2)
+    # rows — nothing prunes — so the duplicate explode is paid at any
+    # scale; round-7 interleaved A/B kept this a local win too (1.17 vs
+    # 1.31 s at sf0.1, min-of-5, consistent across two sessions)
     pairs = t.filter(n >= 2).select(
         "doc",
         F.explode(
@@ -4988,11 +4993,9 @@ def q106_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.length("tok") > 0)
     # dt feeds five differently-pruned consumers (raw LM, target LM, the
     # two totals, scoring); checkpoint so the corpus is scanned + exploded
-    # once, not five times (round-6 measured plan)
-    dt = (
-        toks.groupBy("doc_id", "lang", "tok")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .localCheckpoint(eager=True)
+    # once, not five times (round-6 measured plan; size-gated round 7)
+    dt = maybe_checkpoint(
+        toks.groupBy("doc_id", "lang", "tok").agg(F.count(F.lit(1)).alias("occ"))
     )
     raw = dt.groupBy("tok").agg(F.sum("occ").alias("cr"))
     tgt = dt.filter(F.col("lang") == "en").groupBy("tok").agg(
@@ -6067,9 +6070,10 @@ def q124_cooccurrence_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # the deduped (user, day, type) frame is BOTH sides of the self-join;
     # checkpoint so the scan + distinct shuffle runs once, not twice
-    dt = ev.select(
-        "user_id", F.to_date("ts").alias("day"), "event_type"
-    ).distinct().localCheckpoint(eager=True)
+    # (size-gated round 7)
+    dt = maybe_checkpoint(
+        ev.select("user_id", F.to_date("ts").alias("day"), "event_type").distinct()
+    )
     left = dt.withColumnRenamed("event_type", "type_a")
     right = dt.withColumnRenamed("event_type", "type_b")
     pairs = salted_join(
@@ -8654,10 +8658,10 @@ def q162_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-source rollup with different column needs, and the per-char
     # boundary polynomial above is the query's dominant compute — without
     # a checkpoint the whole chunking pipeline ran twice (round-6 measured
-    # plan: two full Generate subtrees)
-    f = ch.select(
-        "source", "doc_id", F.md5("chunk").alias("h")
-    ).localCheckpoint(eager=True)
+    # plan: two full Generate subtrees; size-gated round 7)
+    f = maybe_checkpoint(
+        ch.select("source", "doc_id", F.md5("chunk").alias("h"))
+    )
     g = f.groupBy("h").agg(F.countDistinct("doc_id").alias("nd"))
     return (
         f.join(g, "h")
@@ -8882,7 +8886,7 @@ def q165_dup_span_strike(spark: SparkSession, sf_dir: str) -> DataFrame:
     # w feeds the per-hash aggregate and the strike join. Checkpoint both:
     # without it the tokenize ran ~4x and the O(tokens) window-md5 pass —
     # the dominant compute — ran twice (round-6 measured plan)
-    tt = (
+    tt = maybe_checkpoint(
         docs.select(
             "doc_id",
             F.filter(
@@ -8891,9 +8895,10 @@ def q165_dup_span_strike(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("toks") > 0)
         .withColumn("n", F.size("toks").cast("long"))
-        .localCheckpoint(eager=True)
     )
-    w = (
+    # gate_df=docs: when tt IS checkpointed its LogicalRDD reports no input
+    # files, so w must size its own decision on the raw corpus scan
+    w = maybe_checkpoint(
         tt.filter(F.col("n") >= W)
         .select(
             "doc_id",
@@ -8904,8 +8909,8 @@ def q165_dup_span_strike(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "p",
             F.md5(F.concat_ws(" ", F.expr(f"slice(toks, int(p), {W})"))).alias("h"),
-        )
-        .localCheckpoint(eager=True)
+        ),
+        gate_df=docs,
     )
     key = F.col("doc_id") * F.lit(1_000_000_000) + F.col("p")
     g = w.groupBy("h").agg(
@@ -10041,7 +10046,7 @@ def q180_contamination_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(F.substring(F.md5(F.col("doc").cast("string")), 1, 4), 16, 10)
         .cast("long") % 50 == 0
     )
-    t = sh.withColumn("bench", bench).localCheckpoint(eager=True)
+    t = maybe_checkpoint(sh.withColumn("bench", bench))
     bs = t.filter("bench").select("shingle").distinct()
     ev = t.filter(~F.col("bench")).select("doc", "shingle")
     marked = ev.join(bs.withColumn("hitm", F.lit(1)), "shingle", "left")
@@ -10289,10 +10294,13 @@ def q183_heaps_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # d feeds the doc-count branch and (via t) two token aggregates;
     # checkpoint the token arrays so the regex-normalize + split runs
-    # once over the corpus instead of three times (round-6 measured plan)
-    d = docs.filter(F.length(normalize_text("text")) > 0).select(
-        "doc_id", bkt.alias("bkt"), toks.alias("toks")
-    ).localCheckpoint(eager=True)
+    # once over the corpus instead of three times (round-6 measured plan;
+    # size-gated round 7)
+    d = maybe_checkpoint(
+        docs.filter(F.length(normalize_text("text")) > 0).select(
+            "doc_id", bkt.alias("bkt"), toks.alias("toks")
+        )
+    )
     t = d.select("doc_id", "bkt", F.explode("toks").alias("tok"))
     firstb = t.groupBy("tok").agg(F.min("bkt").alias("fb"))
     occ_b = t.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_occ"))
@@ -12239,14 +12247,21 @@ def q209_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join) feeds star-CC AND the pair count — without the checkpoint each
     # consumer re-runs the full upstream pipeline (prune-divergent copies,
     # no AQE reuse). Each materialization is at most O(docs)/O(pairs) rows.
-    t = docs.select(
-        "doc_id", F.md5(normalize_text("text")).alias("fp"), F.size(toks).alias("n_tok")
-    ).localCheckpoint()
+    t = maybe_checkpoint(
+        docs.select(
+            "doc_id",
+            F.md5(normalize_text("text")).alias("fp"),
+            F.size(toks).alias("n_tok"),
+        )
+    )
     w = Window.partitionBy("fp")
     tk = t.withColumn("keeper", F.min("doc_id").over(w))
-    pairs = dedup.ngram_jaccard_pairs_prefix(
-        docs, "text", "doc_id", n=3, threshold=0.5
-    ).localCheckpoint()
+    # gate_df=docs: the prefix operator checkpoints its shingle arrays
+    # internally, so the pairs frame reports no input files of its own
+    pairs = maybe_checkpoint(
+        dedup.ngram_jaccard_pairs_prefix(docs, "text", "doc_id", n=3, threshold=0.5),
+        gate_df=docs,
+    )
     labels = dedup.connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("lab").alias("cluster_id")
     )
